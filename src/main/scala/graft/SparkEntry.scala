@@ -1,13 +1,143 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.harness.{ErOracle, Queries}
+import graft.sources.Transcripts
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Operator ids (q names) reference the SURVEY.md §2 inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full ER pipeline on sf0.001 — clustered mention records. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.clustersQ(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Queries.q1Agg _),
+    "w7_turn_assembly" -> (Queries.w7TurnAssembly _),
+    "m1_mentions" -> (Queries.m1Mentions _),
+    "b4_b5_block_stats" -> (Queries.blockStats _),
+    "b1_candidate_pairs" -> (Queries.pairsQ _),
+    "p9_scored_pairs" -> (Queries.scoredQ _),
+    "a2_backptrs" -> (Queries.backptrsQ _),
+    "c1_clusters" -> (Queries.clustersQ _),
+    "a8_pairwise_f1" -> (Queries.pairwiseF1Q _),
+    "b7_blocking_recall" -> (Queries.blockingRecallQ _),
+    "a10_muc" -> (Queries.mucQ _),
+    "a10_bcub" -> (Queries.bcubQ _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w7_turn_assembly" -> Transcripts.withCte(
+      """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        | md5(string_agg(text, '|' ORDER BY turn_idx)) AS turns_md5
+        |FROM transcripts GROUP BY conv_id""".stripMargin),
+
+    "m1_mentions" -> ErOracle.q(
+      "SELECT mention_id, conv_id, turn_idx, start, surface, mtype, m_seq, head_key FROM mentions"),
+
+    "b4_b5_block_stats" -> ErOracle.q(
+      s"""SELECT block_key, CAST(n_mentions AS BIGINT) AS n_mentions,
+         | n_mentions > ${ErOracle.MaxBlockSize} AS oversize
+         |FROM bstats""".stripMargin),
+
+    "b1_candidate_pairs" -> ErOracle.q(
+      "SELECT ant_id, cur_id, block_key FROM pairs"),
+
+    "p9_scored_pairs" -> ErOracle.q(
+      "SELECT ant_id, cur_id, round(score, 6) AS score_r FROM scored2"),
+
+    "a2_backptrs" -> ErOracle.q(
+      "SELECT cur_id, ant_id FROM backptrs"),
+
+    "c1_clusters" -> ErOracle.q(
+      "SELECT mention_id, cluster_id FROM clusters"),
+
+    "a8_pairwise_f1" -> ErOracle.q(
+      """SELECT tp, pred_pairs, gold_pairs,
+        | round(CAST(tp AS DOUBLE) / pred_pairs, 6) AS precision_r,
+        | round(CAST(tp AS DOUBLE) / gold_pairs, 6) AS recall_r,
+        | round(2.0 * (CAST(tp AS DOUBLE) / pred_pairs) * (CAST(tp AS DOUBLE) / gold_pairs)
+        |   / ((CAST(tp AS DOUBLE) / pred_pairs) + (CAST(tp AS DOUBLE) / gold_pairs)), 6) AS f1_r
+        |FROM (
+        | SELECT
+        |  CAST(SUM(CASE WHEN pc_a = pc_c AND g_a = g_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN pc_a = pc_c THEN 1 ELSE 0 END) AS BIGINT) AS pred_pairs,
+        |  CAST(SUM(CASE WHEN g_a = g_c THEN 1 ELSE 0 END) AS BIGINT) AS gold_pairs
+        | FROM (
+        |  SELECT ca.cluster_id AS pc_a, cc.cluster_id AS pc_c,
+        |         ga.entity_id AS g_a, gc.entity_id AS g_c
+        |  FROM pairs p
+        |  JOIN clusters ca ON p.ant_id = ca.mention_id
+        |  JOIN clusters cc ON p.cur_id = cc.mention_id
+        |  JOIN gold ga ON p.ant_id = ga.mention_id
+        |  JOIN gold gc ON p.cur_id = gc.mention_id
+        | )
+        |)""".stripMargin),
+
+    "b7_blocking_recall" -> ErOracle.q(
+      s"""SELECT gold_pairs, recalled, round(CAST(recalled AS DOUBLE) / gold_pairs, 6) AS recall_r
+         |FROM (
+         | SELECT CAST(count(*) AS BIGINT) AS gold_pairs,
+         |  CAST(SUM(CASE WHEN EXISTS(SELECT 1 FROM pairs p
+         |        WHERE p.ant_id = gp.ant_id AND p.cur_id = gp.cur_id)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS recalled
+         | FROM (
+         |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id
+         |  FROM mentions a
+         |  JOIN gold ga ON a.mention_id = ga.mention_id
+         |  JOIN gold gc ON ga.entity_id = gc.entity_id
+         |  JOIN mentions c ON c.mention_id = gc.mention_id
+         |  WHERE a.mention_id < c.mention_id
+         |   AND ((NOT a.closed_class AND NOT c.closed_class)
+         |     OR (a.conv_id = c.conv_id AND c.m_seq - a.m_seq > 0
+         |         AND c.m_seq - a.m_seq <= ${ErOracle.MaxConvDist}))
+         | ) gp
+         |)""".stripMargin),
+
+    "a10_muc" -> ErOracle.q(
+      """SELECT
+        | round(CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE), 6) AS muc_precision_r,
+        | round(CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE), 6) AS muc_recall_r,
+        | round(2.0 * (CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))
+        |     * (CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE))
+        |   / ((CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))
+        |     + (CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE))), 6) AS muc_f1_r
+        |FROM
+        | (SELECT CAST(SUM(sz - parts) AS BIGINT) AS num_r, CAST(SUM(sz - 1) AS BIGINT) AS den_r
+        |  FROM (SELECT g.entity_id, count(*) AS sz, count(DISTINCT c.cluster_id) AS parts
+        |        FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+        |        GROUP BY g.entity_id)),
+        | (SELECT CAST(SUM(sz - parts) AS BIGINT) AS num_p, CAST(SUM(sz - 1) AS BIGINT) AS den_p
+        |  FROM (SELECT c.cluster_id, count(*) AS sz, count(DISTINCT g.entity_id) AS parts
+        |        FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+        |        GROUP BY c.cluster_id))""".stripMargin),
+
+    "a10_bcub" -> ErOracle.q(
+      """SELECT
+        | round(sum_p / n, 6) AS bcub_precision_r,
+        | round(sum_r / n, 6) AS bcub_recall_r,
+        | round(2.0 * (sum_p / n) * (sum_r / n) / ((sum_p / n) + (sum_r / n)), 6) AS bcub_f1_r
+        |FROM
+        | (SELECT SUM(ovl * ovl / CAST(csz AS DOUBLE)) AS sum_p,
+        |         SUM(ovl * ovl / CAST(gsz AS DOUBLE)) AS sum_r
+        |  FROM (SELECT cell.cluster_id, cell.entity_id, cell.ovl, cs.csz, gs.gsz
+        |        FROM (SELECT c.cluster_id, g.entity_id, CAST(count(*) AS BIGINT) AS ovl
+        |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+        |              GROUP BY c.cluster_id, g.entity_id) cell
+        |        JOIN (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS csz
+        |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+        |              GROUP BY c.cluster_id) cs ON cell.cluster_id = cs.cluster_id
+        |        JOIN (SELECT g.entity_id, CAST(count(*) AS BIGINT) AS gsz
+        |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+        |              GROUP BY g.entity_id) gs ON cell.entity_id = gs.entity_id)),
+        | (SELECT CAST(count(*) AS DOUBLE) AS n
+        |  FROM clusters c JOIN gold g ON c.mention_id = g.mention_id)""".stripMargin),
+  )
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level function library of the engine. Everything here is either a
+  * built-in composition (codegen'd by Catalyst for free) or one of the two
+  * custom expressions ([[graft.functions.JaroWinkler]],
+  * [[graft.functions.TokenJaccard]]) registered by [[functions.register]].
+  */
+package object functions {
+
+  /** Register the custom expressions with a session's function registry so
+    * they are usable from SQL and via `call_function`. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "token_jaccard", exprs => TokenJaccard(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  def jaro_winkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
+  def token_jaccard(a: Column, b: Column): Column = call_function("token_jaccard", a, b)
+
+  /** Whitespace tokenization of a turn text (F13: transcripts arrive as
+    * pre-segmented turns, so the PTB tokenizer of the reference reduces to a
+    * split — `/root/reference/.../preprocess/Tokenizer.scala:11-69`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Lowercased normalized form of a mention surface (F1 analog:
+    * `/root/reference/.../coref/Mention.scala:32-51`). */
+  def normSurface(s: Column): Column = lower(trim(s))
+
+  /** Canonical entity head key of a surface token: the digit run with leading
+    * zeros stripped when present (so `Customer#000000007`, `000000007` and
+    * `Cust-7` agree on `7`), else the lowercased token. Deterministic
+    * parse-free head rule (M4' in SURVEY.md §2.2). */
+  def headKey(s: Column): Column = {
+    val digits = regexp_extract(s, "([0-9]+)", 1)
+    val stripped = regexp_replace(digits, "^0+", "")
+    when(digits =!= "", when(stripped === "", "0").otherwise(stripped))
+      .otherwise(lower(s))
+  }
+
+  /** Word shape, run-length compressed (F2 analog:
+    * `/root/reference/.../ner/NerFeaturizer.scala:171-188`):
+    * uppercase→X, lowercase→x, digit→d, other kept; runs >2 collapsed. */
+  def wordShape(s: Column): Column = {
+    val mapped = regexp_replace(regexp_replace(regexp_replace(s,
+      "[A-Z]", "X"), "[a-z]", "x"), "[0-9]", "d")
+    // collapse runs of length >= 3 to two chars + 'e' marker
+    regexp_replace(mapped, "(.)\\1{2,}", "$1$1e")
+  }
+
+  /** Word class (F3 analog: `ner/NerFeaturizer.scala:189-245`). */
+  def wordClass(s: Column): Column =
+    when(s.rlike("^[A-Z][a-z]"), "INITC")
+      .when(s.rlike("^[A-Z]+$"), "CAPS")
+      .when(s.rlike("^[a-z]+$"), "LC")
+      .when(s.rlike("^[0-9]+$"), "NUM")
+      .when(s.rlike("-"), "DASH")
+      .otherwise("OTHER")
+
+  /** Character k-shingles of a string (B4 input). */
+  def charShingles(s: Column, k: Int): Column =
+    when(length(s) < k, array(s)).otherwise(
+      transform(sequence(lit(1), length(s) - (k - 1)), i => s.substr(i, lit(k))))
+
+  /** MinHash signature over shingles using `numHashes` seeded xxhash64 draws
+    * (SURVEY.md §7.3: built-ins only — `min` over `xxhash64(seed, shingle)`).
+    * Deterministic; stays fully inside codegen. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, sh => xxhash64(lit(seed), sh)))
+    }: _*)
+
+  /** LSH band keys from a minhash signature: `bands` keys, each hashing
+    * `rowsPerBand` consecutive signature entries. Output: array<string>
+    * `b<i>:<hash>`. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+      concat_ws(":", lit(s"b$b") +: parts.map(_.cast("string")): _*)
+    }: _*)
+
+  /** Portable (DuckDB-reproducible) MinHash over shingles: lexicographic min
+    * of seeded md5 hex digests. Slower than the xxhash64 path — used by the
+    * oracle-checked harness queries; the engine path uses
+    * [[minhashSignature]]. */
+  def minhashSignatureMd5(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, sh => md5(concat(lit(s"$seed:"), sh))))
+    }: _*)
+
+  /** SimHash (64-bit) over string tokens: sign-sum of per-token xxhash64 bits.
+    * Implemented with built-ins: for each bit b, sum(+1/-1 over tokens) > 0.
+    * Returns BIGINT with bit b set iff the weighted sum is positive. */
+  def simhash64(tokens: Column): Column = {
+    val hashed = transform(tokens, t => xxhash64(t))
+    (0 until 64).map { b =>
+      val bitSum = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

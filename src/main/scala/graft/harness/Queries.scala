@@ -1,0 +1,137 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.sources.Transcripts
+
+/** Spark side of the driver-harness queries (SparkEntry.queries). Each query
+  * has a DuckDB oracle in [[ErOracle]] / [[SparkEntry.oracleSql]] computing
+  * the same rows independently. The pipeline result is memoized per sfDir so
+  * the driver's per-query invocations don't recompute the whole chain. */
+object Queries {
+
+  /** Harness pipeline config — MUST stay in sync with [[ErOracle]] constants:
+    * portable md5 minhash, identifier mention generator. */
+  val harnessCfg: Pipeline.Config = Pipeline.Config(
+    blocking = Blocking.Config(
+      maxConvDist = ErOracle.MaxConvDist,
+      snkPrefixLen = ErOracle.SnkPrefixLen,
+      minhashes = ErOracle.Minhashes,
+      bands = ErOracle.Bands,
+      maxBlockSize = ErOracle.MaxBlockSize,
+      minhashImpl = "md5"),
+    mentionGenerator = "identifier")
+
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
+
+  def pipeline(spark: SparkSession, sfDir: String): Pipeline.Result =
+    memo.getOrElseUpdate(sfDir, {
+      val t = Transcripts.load(spark, sfDir)
+      val r = Pipeline.run(spark, t, harnessCfg)
+      Pipeline.Result(
+        r.mentions.cache(), r.pairs.cache(), r.scored.cache(),
+        r.backptrs.cache(), r.clusters.cache())
+    })
+
+  def gold(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).mentions.select(
+      col("mention_id"),
+      regexp_extract(col("conv_id"), "^c([0-9]+)-", 1).as("entity_id"))
+
+  // ---- queries -----------------------------------------------------------
+
+  /** Relational anchor (validates the harness wiring itself). */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    Transcripts.registerBase(spark, sfDir)
+    spark.table("lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** W7: turn-ordered conversation assembly; md5 over the ordered turn texts
+    * proves per-turn text equality under stable turn ordering (the input-hint
+    * invariant). */
+  def w7TurnAssembly(spark: SparkSession, sfDir: String): DataFrame =
+    Transcripts.load(spark, sfDir)
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        md5(concat_ws("|",
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            s => s.getField("text")))).as("turns_md5"))
+
+  def m1Mentions(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).mentions.select(
+      col("mention_id"), col("conv_id"), col("turn_idx"), col("start"),
+      col("surface"), col("mtype"), col("m_seq"), col("head_key"))
+
+  /** B4+B5 block-key audit incl. the oversize (skew-cap) flags. */
+  def blockStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = pipeline(spark, sfDir).mentions
+    Blocking.blockStats(Blocking.blockKeys(m, harnessCfg.blocking), harnessCfg.blocking)
+  }
+
+  def pairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).pairs.select("ant_id", "cur_id", "block_key")
+
+  def scoredQ(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).scored
+      .select(col("ant_id"), col("cur_id"), round(col("score"), 6).as("score_r"))
+
+  def backptrsQ(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).backptrs.select("cur_id", "ant_id")
+
+  def clustersQ(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).clusters.select("mention_id", "cluster_id")
+
+  def pairwiseF1Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    Eval.pairwiseF1(r.pairs.select("ant_id", "cur_id"), r.clusters, gold(spark, sfDir))
+      .select(col("tp"), col("pred_pairs"), col("gold_pairs"),
+        round(col("precision"), 6).as("precision_r"),
+        round(col("recall"), 6).as("recall_r"),
+        round(col("f1"), 6).as("f1_r"))
+  }
+
+  /** B7: recall of linkable gold pairs under blocking. Linkable = both
+    * open-class (global blocks apply) or same-conversation within the band. */
+  def blockingRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val g = gold(spark, sfDir)
+    val m = r.mentions.join(g, "mention_id")
+      .select(col("mention_id"), col("entity_id"), col("conv_id"),
+        col("m_seq"), col("closed_class"))
+    val a = m.toDF(m.columns.map(_ + "_a"): _*)
+    val c = m.toDF(m.columns.map(_ + "_c"): _*)
+    val goldPairs = a.join(c,
+      col("entity_id_a") === col("entity_id_c") &&
+        col("mention_id_a") < col("mention_id_c") &&
+        ((!col("closed_class_a") && !col("closed_class_c")) ||
+          (col("conv_id_a") === col("conv_id_c") &&
+            col("m_seq_c") - col("m_seq_a") > 0 &&
+            col("m_seq_c") - col("m_seq_a") <= harnessCfg.blocking.maxConvDist)))
+      .select(col("mention_id_a").as("ant_id"), col("mention_id_c").as("cur_id"))
+    Eval.blockingRecall(r.pairs, goldPairs)
+      .select(col("gold_pairs"), col("recalled"), round(col("recall"), 6).as("recall_r"))
+  }
+
+  def mucQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    Eval.muc(r.clusters, gold(spark, sfDir))
+      .select(round(col("muc_precision"), 6).as("muc_precision_r"),
+        round(col("muc_recall"), 6).as("muc_recall_r"),
+        round(col("muc_f1"), 6).as("muc_f1_r"))
+  }
+
+  def bcubQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    Eval.bcub(r.clusters, gold(spark, sfDir))
+      .select(round(col("bcub_precision"), 6).as("bcub_precision_r"),
+        round(col("bcub_recall"), 6).as("bcub_recall_r"),
+        round(col("bcub_f1"), 6).as("bcub_f1_r"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-committing table seam (SURVEY.md §7.0).
+  *
+  * The north rule names Iceberg; no Iceberg runtime exists in this sandbox
+  * (`/opt/spark/jars`, offline coursier), so this seam provides the Iceberg
+  * properties the pipeline actually relies on — atomic snapshot commit,
+  * resume-by-snapshot, per-partition counters + lineage in a manifest — over
+  * Parquet + a JSON commit log. A real Iceberg catalog binding drops in behind
+  * the same four methods when the runtime jar is on the spark-submit
+  * classpath.
+  *
+  * Layout: `<root>/<stage>/snap-<k>/` (parquet) + `<root>/<stage>/snap-<k>.json`
+  * (manifest; the commit marker — data without a manifest is an uncommitted
+  * torn write and is ignored). Manifest records the input lineage token, row
+  * count, and per-partition row counters (north rule: "resume from any
+  * per-partition checkpoint with lineage + counters persisted per partition").
+  */
+class TableIO(rootDir: String) {
+  private def stageDir(stage: String): Path = Paths.get(rootDir, stage)
+
+  /** Latest committed snapshot id of a stage, if any. */
+  def latestSnapshot(stage: String): Option[Int] = {
+    val d = stageDir(stage)
+    if (!Files.isDirectory(d)) None
+    else {
+      val snaps = Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+          s.stripPrefix("snap-").stripSuffix(".json").toInt }
+        .toSeq
+      if (snaps.isEmpty) None else Some(snaps.max)
+    }
+  }
+
+  def manifest(stage: String, snap: Int): Option[String] = {
+    val p = stageDir(stage).resolve(s"snap-$snap.json")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  /** Atomic-commit write: parquet data first, manifest (the commit marker)
+    * last. `lineage` is a deterministic token of the inputs (e.g. upstream
+    * stage+snapshot ids + config hash) enabling resume-safety checks. */
+  def commit(stage: String, df: DataFrame, lineage: String): Int = {
+    val snap = latestSnapshot(stage).map(_ + 1).getOrElse(0)
+    val dataPath = stageDir(stage).resolve(s"snap-$snap").toString
+    df.write.mode("overwrite").parquet(dataPath)
+    // per-partition counters from the parquet footers just written
+    val spark = df.sparkSession
+    val counters = spark.read.parquet(dataPath)
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    val rowCount = spark.read.parquet(dataPath).count()
+    val m =
+      s"""{"stage":"${stage}","snapshot":$snap,"lineage":"${lineage}",
+         |"rowCount":$rowCount,"partitionCounters":$counters}""".stripMargin.replace("\n", "")
+    Files.createDirectories(stageDir(stage))
+    val tmp = stageDir(stage).resolve(s".snap-$snap.json.tmp")
+    Files.writeString(tmp, m)
+    Files.move(tmp, stageDir(stage).resolve(s"snap-$snap.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    snap
+  }
+
+  /** Read a committed snapshot (latest when `snap` is None); None when the
+    * stage has no committed snapshot or the lineage token does not match —
+    * the caller then recomputes (resume semantics). */
+  def readIfCurrent(spark: SparkSession, stage: String, lineage: String,
+      snap: Option[Int] = None): Option[DataFrame] = {
+    val s = snap.orElse(latestSnapshot(stage))
+    s.flatMap { k =>
+      manifest(stage, k) match {
+        case Some(m) if m.contains(s""""lineage":"$lineage"""") =>
+          Some(spark.read.parquet(stageDir(stage).resolve(s"snap-$k").toString))
+        case _ => None
+      }
+    }
+  }
+}

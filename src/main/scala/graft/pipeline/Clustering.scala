@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.annotation.tailrec
+
+/** Transitive clustering (SURVEY.md §2.12).
+  *
+  * The reference forms clusters by sequential union over backpointers
+  * (`OrderedClustering.createFromBackpointers`,
+  * `OrderedClustering.scala:83-99`) — i.e. connected components of the
+  * backpointer forest. Spark-natively this is:
+  *
+  *  1. a per-conversation union-find fast path (`mapGroups` — conversations
+  *     are bounded, the bulk of the edges never enter a distributed loop);
+  *  2. a DataFrame-native hash-to-min connected-components loop (min-label
+  *     propagation + pointer jumping, O(log diameter) rounds) over the
+  *     *contracted* cross-conversation graph, with per-iteration
+  *     checkpointing (north rule).
+  *
+  * Cluster id = min mention_id (string) in the component — deterministic,
+  * content-derived, retry/order-independent.
+  */
+object Clustering {
+
+  /** One hash-to-min CC over edges `(src, dst)` (string ids). `checkpoint` is
+    * invoked with (iteration, labels) after each round — TableIO hooks in
+    * there for resumable per-iteration commits. Returns `(id, cluster_id)`
+    * for every node appearing in `nodes`. */
+  def connectedComponents(
+      nodes: DataFrame, // single col "id"
+      edges: DataFrame, // cols "src", "dst"
+      maxIter: Int = 50,
+      checkpoint: (Int, DataFrame) => DataFrame = (_, df) => df.localCheckpoint(true))
+    : DataFrame = {
+
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    // init: label(v) = min(v, min neighbor)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .unionByName(sym.select(col("dst").as("id"), col("src").as("lbl")))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint(true)
+
+    @tailrec
+    def loop(iter: Int): Unit = {
+      if (iter >= maxIter) return
+      // neighbor-min: candidate label from each neighbor's current label
+      val viaNbr = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      // pointer jump: label(label(v))
+      val viaJump = labels.join(
+        labels.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+        .select(col("id"), col("lbl2").as("lbl"))
+      val next = labels.unionByName(viaNbr).unionByName(viaJump)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      val nextChk = checkpoint(iter, next)
+      val changed = nextChk.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = nextChk
+      if (changed > 0) loop(iter + 1)
+    }
+    loop(0)
+    labels.select(col("id").as("mention_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Per-conversation union-find fast path (custom Aggregator-shaped kernel
+    * via `mapGroups`; SURVEY.md §7.3). Collapses all within-conversation
+    * edges in one pass; returns `(id, local_root)`. */
+  def localRoots(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val convOf = (id: String) => id.substring(0, id.lastIndexOf('#'))
+    val nodeByConv = nodes.select(col("id")).as[String].map(id => (convOf(id), id, id))
+    val edgeByConv = edges
+      .filter(expr("substring_index(src, '#', 1)") === expr("substring_index(dst, '#', 1)"))
+      .as[(String, String)].map { case (s, d) => (convOf(s), s, d) }
+    nodeByConv.union(edgeByConv)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = parent.getOrElseUpdate(x, x)
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        def union(a: String, b: String): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        it.foreach { case (_, a, b) => if (a == b) find(a) else union(a, b) }
+        parent.keysIterator.map(k => (k, find(k))).toSeq
+      }
+      .toDF("id", "local_root")
+  }
+
+  /** Full clustering: union-find contraction within conversations, then
+    * distributed CC on the contracted cross-conversation graph, then expand.
+    */
+  def cluster(
+      spark: SparkSession,
+      mentions: DataFrame,
+      backptrs: DataFrame, // (cur_id, ant_id)
+      checkpoint: (Int, DataFrame) => DataFrame = (_, df) => df.localCheckpoint(true))
+    : DataFrame = {
+
+    val nodes = mentions.select(col("mention_id").as("id"))
+    val edges = backptrs.select(col("ant_id").as("src"), col("cur_id").as("dst"))
+
+    val local = localRoots(spark, nodes, edges).localCheckpoint(true)
+
+    // contract: cross-conversation edges between local roots
+    val cross = edges.filter(
+      expr("substring_index(src, '#', 1)") =!= expr("substring_index(dst, '#', 1)"))
+    val crossRoots = cross
+      .join(local.withColumnRenamed("id", "src").withColumnRenamed("local_root", "src_root"), "src")
+      .join(local.withColumnRenamed("id", "dst").withColumnRenamed("local_root", "dst_root"), "dst")
+      .select(col("src_root").as("src"), col("dst_root").as("dst"))
+
+    val rootNodes = local.select(col("local_root").as("id")).distinct()
+    val rootClusters = connectedComponents(rootNodes, crossRoots, checkpoint = checkpoint)
+
+    local.join(rootClusters.withColumnRenamed("mention_id", "local_root"), "local_root")
+      .select(col("id").as("mention_id"), col("cluster_id"))
+  }
+
+  /** C3: drop singleton clusters (CoNLL postprocessing,
+    * `OrderedClusteringBound.scala:8-11`). */
+  def dropSingletons(clusters: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+    clusters.withColumn("sz", count(lit(1)).over(w))
+      .filter(col("sz") > 1).drop("sz")
+  }
+
+  /** C4: dense relabel (`OrderedClustering.scala:61-67`). */
+  def denseRelabel(clusters: DataFrame): DataFrame =
+    clusters.withColumn("cluster_idx",
+      dense_rank().over(Window.orderBy(col("cluster_id"))) - 1)
+}

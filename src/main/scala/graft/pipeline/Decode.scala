@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Antecedent decoding (SURVEY.md §2.6 A1/A2).
+  *
+  * Per-mention argmax over scored candidate antecedents, reproducing the
+  * reference's `decodeMax` semantics
+  * (`DocumentInferencerBasic.scala:112-128`): the best antecedent wins; ties
+  * go to the *lowest* antecedent id (the reference keeps the first
+  * strictly-greater candidate scanning j ascending); a mention with no
+  * candidate scoring above the link threshold starts a new entity
+  * (backpointer = self).
+  */
+object Decode {
+
+  /** Backpointers `(cur_id, ant_id)`; only linked mentions appear (self-links
+    * are implicit — absent rows mean "new entity", like the reference's
+    * absent pruned cells, `DocumentGraph.scala:20,98`). */
+  def backpointers(scored: DataFrame, threshold: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(col("cur_id"))
+      .orderBy(col("score").desc, col("ant_id").asc)
+    scored
+      .filter(col("score") > threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cur_id"), col("ant_id"), col("score"))
+  }
+
+  /** Per-mention softmax marginals over candidate antecedents (A1,
+    * `DocumentInferencerBasic.scala:24-50`) — used by the coarse-to-fine
+    * pruning pass (B2) and by the trainer's gradient. Two-pass max-shifted
+    * log-sum-exp via window aggregation. */
+  def marginals(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cur_id"))
+    scored
+      .withColumn("mx", max(col("score")).over(w))
+      .withColumn("e", exp(col("score") - col("mx")))
+      .withColumn("z", sum(col("e")).over(w))
+      .withColumn("marginal", col("e") / col("z"))
+      .drop("mx", "e", "z")
+  }
+
+  /** Coarse-to-fine pruning (B2, `CorefPruner.scala:36-47`): keep candidates
+    * within `logThreshold` of the per-mention best score. */
+  def prune(scored: DataFrame, logThreshold: Double = -5.0): DataFrame = {
+    val w = Window.partitionBy(col("cur_id"))
+    scored
+      .withColumn("mx", max(col("score")).over(w))
+      .filter(col("score") >= col("mx") + logThreshold)
+      .drop("mx")
+  }
+}

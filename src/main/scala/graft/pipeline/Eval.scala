@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster-quality evaluation, computed natively as aggregations — the
+  * reference's in-process evaluator family (SURVEY.md §2.6 A7-A10,
+  * `CorefEvaluator.scala`), replacing its forked perl scorer.
+  */
+object Eval {
+
+  /** Pairwise link P/R/F1 (A8, the north-star metric;
+    * `CorefEvaluator.scala:365-395`) over labeled pairs sharing a blocking
+    * key (per BASELINE.json: at 10^12 scale the all-pairs universe is
+    * unmaterializable — the evaluation universe is the blocked pair set).
+    *
+    * @param pairs (ant_id, cur_id) — the evaluation pair universe
+    * @param pred  (mention_id, cluster_id)
+    * @param gold  (mention_id, entity_id)
+    */
+  def pairwiseF1(pairs: DataFrame, pred: DataFrame, gold: DataFrame): DataFrame = {
+    val withPred = pairs
+      .join(pred.select(col("mention_id").as("ant_id"), col("cluster_id").as("pc_a")), "ant_id")
+      .join(pred.select(col("mention_id").as("cur_id"), col("cluster_id").as("pc_c")), "cur_id")
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("g_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("g_c")), "cur_id")
+      .withColumn("pred_same", col("pc_a") === col("pc_c"))
+      .withColumn("gold_same", col("g_a") === col("g_c"))
+    withPred.agg(
+      sum(when(col("pred_same") && col("gold_same"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred_same"), 1L).otherwise(0L)).as("pred_pairs"),
+      sum(when(col("gold_same"), 1L).otherwise(0L)).as("gold_pairs"))
+      .withColumn("precision", col("tp").cast("double") / col("pred_pairs"))
+      .withColumn("recall", col("tp").cast("double") / col("gold_pairs"))
+      .withColumn("f1",
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+  }
+
+  /** Blocking recall audit (B7, `DocumentGraph.scala:117-142`): fraction of
+    * gold same-entity pairs that survive blocking. `goldPairs` are canonical
+    * (ant_id < cur_id). */
+  def blockingRecall(candidatePairs: DataFrame, goldPairs: DataFrame): DataFrame = {
+    val hit = goldPairs.join(candidatePairs.select("ant_id", "cur_id"),
+      Seq("ant_id", "cur_id"), "left_semi")
+    goldPairs.agg(count(lit(1)).as("gold_pairs"))
+      .crossJoin(hit.agg(count(lit(1)).as("recalled")))
+      .withColumn("recall", col("recalled").cast("double") / col("gold_pairs"))
+  }
+
+  /** MUC (A10, `CorefEvaluator.scala:491-503`): link-based metric from the
+    * pred×gold contingency table.
+    * MUC-R = Σ_gold (|g| - p(g)) / Σ_gold (|g| - 1) where p(g) = #pred
+    * clusters intersecting g (singleton pred "clusters" count as partitions);
+    * precision is symmetric. */
+  def muc(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val joined = pred.join(gold, "mention_id") // (mention_id, cluster_id, entity_id)
+    val goldSide = joined.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("cluster_id")).as("parts"))
+      .agg(sum(col("sz") - col("parts")).as("num_r"), sum(col("sz") - 1).as("den_r"))
+    val predSide = joined.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("entity_id")).as("parts"))
+      .agg(sum(col("sz") - col("parts")).as("num_p"), sum(col("sz") - 1).as("den_p"))
+    goldSide.crossJoin(predSide)
+      .withColumn("muc_recall", col("num_r").cast("double") / col("den_r"))
+      .withColumn("muc_precision", col("num_p").cast("double") / col("den_p"))
+      .withColumn("muc_f1", lit(2.0) * col("muc_precision") * col("muc_recall") /
+        (col("muc_precision") + col("muc_recall")))
+  }
+
+  /** B³ (A10): per-mention precision/recall averaged over mentions.
+    * For mention m: p(m) = |C(m) ∩ G(m)| / |C(m)|, r(m) = |C(m) ∩ G(m)| / |G(m)|. */
+  def bcub(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val joined = pred.join(gold, "mention_id")
+    val cell = joined.groupBy(col("cluster_id"), col("entity_id"))
+      .agg(count(lit(1)).as("ovl"))
+    val cSize = joined.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    val gSize = joined.groupBy(col("entity_id")).agg(count(lit(1)).as("gsz"))
+    val n = joined.count().toDouble
+    cell.join(cSize, "cluster_id").join(gSize, "entity_id")
+      .agg(
+        sum(col("ovl") * col("ovl") / col("csz")).as("sum_p"),
+        sum(col("ovl") * col("ovl") / col("gsz")).as("sum_r"))
+      .withColumn("bcub_precision", col("sum_p") / n)
+      .withColumn("bcub_recall", col("sum_r") / n)
+      .withColumn("bcub_f1", lit(2.0) * col("bcub_precision") * col("bcub_recall") /
+        (col("bcub_precision") + col("bcub_recall")))
+  }
+
+  /** Mention-detection P/R/F1 (A7, `CorefDoc.scala:104-109`): pred vs gold
+    * mention extents keyed by (conv_id, turn_idx, start, end). */
+  def mentionPRF(predMentions: DataFrame, goldMentions: DataFrame): DataFrame = {
+    val key = Seq("conv_id", "turn_idx", "start", "end")
+    val inter = predMentions.select(key.map(col): _*)
+      .join(goldMentions.select(key.map(col): _*), key, "left_semi").count()
+    val np = predMentions.count(); val ng = goldMentions.count()
+    val p = if (np == 0) 0.0 else inter.toDouble / np
+    val r = if (ng == 0) 0.0 else inter.toDouble / ng
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    val spark = predMentions.sparkSession
+    import spark.implicits._
+    Seq((inter, np, ng, p, r, f1)).toDF("tp", "n_pred", "n_gold", "precision", "recall", "f1")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+
+/** End-to-end record-linkage pipeline (north rule):
+  * transcripts → mentions → blocking → pairwise scoring → antecedent decode →
+  * transitive clustering. Each stage optionally commits a snapshot through
+  * [[TableIO]] (lineage token = upstream stage snapshot + config hash), so a
+  * re-run resumes from the last committed stage instead of recomputing
+  * (`OrderedClustering`-equivalent final output; SURVEY.md §3.1 for the
+  * reference's lifecycle this mirrors).
+  */
+object Pipeline {
+
+  case class Config(
+      blocking: Blocking.Config = Blocking.Config(),
+      weights: Scoring.Weights = Scoring.DefaultWeights,
+      linkThreshold: Double = 0.0,
+      mentionGenerator: String = "all", // "identifier" | "all"
+      checkpointDir: Option[String] = None) {
+    /** Deterministic config token for lineage. */
+    def token: String = {
+      val s = s"$blocking|${weights.values.mkString(",")}|$linkThreshold|$mentionGenerator"
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+    }
+  }
+
+  case class Result(
+      mentions: DataFrame,
+      pairs: DataFrame,
+      scored: DataFrame,
+      backptrs: DataFrame,
+      clusters: DataFrame)
+
+  def run(spark: SparkSession, transcripts: DataFrame, cfg: Config = Config()): Result = {
+    graft.functions.register(spark)
+    val io = cfg.checkpointDir.map(new TableIO(_))
+
+    def stage(name: String, lineage: String)(compute: => DataFrame): DataFrame =
+      io match {
+        case Some(t) =>
+          t.readIfCurrent(spark, name, lineage).getOrElse {
+            val df = compute
+            val snap = t.commit(name, df, lineage)
+            t.readIfCurrent(spark, name, lineage, Some(snap)).get
+          }
+        case None => compute
+      }
+
+    val tok = cfg.token
+    val mentions = stage("mentions", tok) {
+      if (cfg.mentionGenerator == "identifier") Mentions.extractIdentifier(transcripts)
+      else Mentions.extractAll(transcripts)
+    }
+    val pairs = stage("pairs", tok)(Blocking.candidatePairs(mentions, cfg.blocking))
+    val scored = stage("scores", tok)(Scoring.scorePairs(pairs, mentions, cfg.weights))
+    val backptrs = stage("backptrs", tok)(Decode.backpointers(scored, cfg.linkThreshold))
+    val clusters = stage("clusters", tok) {
+      val ccCheckpoint: (Int, DataFrame) => DataFrame = io match {
+        case Some(t) => (i, df) => {
+          val snap = t.commit(s"cc-iter", df, s"$tok-iter$i")
+          t.readIfCurrent(spark, "cc-iter", s"$tok-iter$i", Some(snap)).get
+        }
+        case None => (_, df) => df.localCheckpoint(true)
+      }
+      Clustering.cluster(spark, mentions, backptrs, ccCheckpoint)
+    }
+    Result(mentions, pairs, scored, backptrs, clusters)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{jaro_winkler, token_jaccard}
+
+/** Pairwise featurization + discriminative scoring (SURVEY.md §2.5).
+  *
+  * The reference scores each candidate pair with a linear model over sparse
+  * string features (`PairwiseScorer.scala:11-47`, feature templates
+  * `PairwiseIndexingFeaturizerJoint.scala:144-420`). This engine expresses the
+  * same feature *semantics* as a dense vector of codegen'd Catalyst columns —
+  * exact/head/containment matches (P4), distance + closed-class anaphoricity
+  * (P2/P3/P5), plus the graded string similarities the north star mandates
+  * (Jaro-Winkler, Levenshtein, token-Jaccard; F15) — and the logistic score
+  * `σ(w·x)` is a plan-constant linear expression: no UDF, no shuffle, fully
+  * inside whole-stage codegen.
+  */
+object Scoring {
+
+  /** Feature names, fixed order (the model's feature dictionary). */
+  val FeatureNames: Seq[String] = Seq(
+    "bias", "head_match", "exact_match", "containment", "token_jaccard",
+    "jaro_winkler", "lev_sim", "abbrev", "anaphoric_close", "closed_cur",
+    "dist_decay")
+
+  /** Trained/handed weights, aligned with [[FeatureNames]]. The default
+    * passes the fixture F1 gate; `Trainer` can re-estimate it. */
+  case class Weights(values: Array[Double]) {
+    require(values.length == FeatureNames.length)
+    def apply(name: String): Double = values(FeatureNames.indexOf(name))
+  }
+  val DefaultWeights: Weights = Weights(Array(
+    /* bias            */ -4.0,
+    /* head_match      */ 5.0,
+    /* exact_match     */ 2.0,
+    /* containment     */ 2.0,
+    /* token_jaccard   */ 1.5,
+    /* jaro_winkler    */ 2.0,
+    /* lev_sim         */ 2.0,
+    /* abbrev          */ 4.5,
+    /* anaphoric_close */ 6.0,
+    /* closed_cur      */ -1.0,
+    /* dist_decay      */ 1.0))
+
+  private def b(c: Column): Column = c.cast("double")
+
+  /** Attach both mentions' attributes to the candidate pairs. Two equi-joins
+    * on the unique `mention_id` — uniform keys, no skew. At cluster scale the
+    * mentions table would be bucketed by `mention_id` so both joins co-locate.
+    */
+  def attachAttrs(pairs: DataFrame, mentions: DataFrame): DataFrame = {
+    val attrs = mentions.select(
+      col("mention_id"), col("conv_id"), col("m_seq"), col("norm"),
+      col("head_key"), col("toks"), col("mtype"), col("closed_class"))
+    val antA = attrs.toDF(attrs.columns.map(_ + "_a"): _*)
+    val curA = attrs.toDF(attrs.columns.map(_ + "_c"): _*)
+    pairs
+      .join(antA, col("ant_id") === col("mention_id_a")).drop("mention_id_a")
+      .join(curA, col("cur_id") === col("mention_id_c")).drop("mention_id_c")
+  }
+
+  /** Abbreviation match (F9 analog, `sem/AbbreviationHandler.scala:7-66`):
+    * one side equals the concatenated initials of the other's tokens. */
+  private def abbrevMatch(normA: Column, toksA: Column, normC: Column, toksC: Column): Column = {
+    def initials(toks: Column): Column =
+      array_join(transform(toks, t => substring(t, 1, 1)), "")
+    (normA === initials(toksC)) || (normC === initials(toksA))
+  }
+
+  /** Add the feature columns. Input: output of [[attachAttrs]]. */
+  def featurize(pairsAttr: DataFrame): DataFrame = {
+    val sameConv = col("conv_id_a") === col("conv_id_c")
+    val dist = col("m_seq_c") - col("m_seq_a")
+    pairsAttr
+      .withColumn("f_head_match", b(col("head_key_a") === col("head_key_c")))
+      .withColumn("f_exact_match", b(col("norm_a") === col("norm_c")))
+      .withColumn("f_containment",
+        b(!col("closed_class_a") && !col("closed_class_c") &&
+          (col("norm_a").contains(col("norm_c")) || col("norm_c").contains(col("norm_a"))) &&
+          (col("norm_a") =!= col("norm_c"))))
+      .withColumn("f_token_jaccard", token_jaccard(col("toks_a"), col("toks_c")))
+      .withColumn("f_jaro_winkler", jaro_winkler(col("norm_a"), col("norm_c")))
+      .withColumn("f_lev_sim",
+        lit(1.0) - b(levenshtein(col("norm_a"), col("norm_c"))) /
+          greatest(length(col("norm_a")), length(col("norm_c"))).cast("double"))
+      .withColumn("f_abbrev",
+        b(abbrevMatch(col("norm_a"), col("toks_a"), col("norm_c"), col("toks_c"))))
+      .withColumn("f_anaphoric_close",
+        b(col("closed_class_c") && sameConv && dist <= 10 && dist > 0))
+      .withColumn("f_closed_cur", b(col("closed_class_c")))
+      .withColumn("f_dist_decay",
+        when(sameConv, lit(1.0) / (lit(1.0) + b(dist))).otherwise(0.0))
+  }
+
+  /** Linear score + logistic probability as plan-constant expressions
+    * (P9/P11; the reference's `score = Σ weights(featIdx)`,
+    * `GUtil.scala:443-451`). Zero out similarity features for closed-class
+    * mentions — lexical similarity between a pronoun and a name is noise
+    * (the reference gates lexical features on mention type the same way). */
+  def score(featurized: DataFrame, w: Weights = DefaultWeights): DataFrame = {
+    val openPair = !col("closed_class_a") && !col("closed_class_c")
+    val gate: Column => Column = c => when(openPair, c).otherwise(0.0)
+    val linear =
+      lit(w("bias")) +
+        gate(col("f_head_match")) * w("head_match") +
+        gate(col("f_exact_match")) * w("exact_match") +
+        gate(col("f_containment")) * w("containment") +
+        gate(col("f_token_jaccard")) * w("token_jaccard") +
+        gate(col("f_jaro_winkler")) * w("jaro_winkler") +
+        gate(col("f_lev_sim")) * w("lev_sim") +
+        gate(col("f_abbrev")) * w("abbrev") +
+        col("f_anaphoric_close") * w("anaphoric_close") +
+        col("f_closed_cur") * w("closed_cur") +
+        col("f_dist_decay") * w("dist_decay")
+    featurized
+      .withColumn("score", linear)
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+  }
+
+  /** Full scoring stage: pairs + mentions → scored pairs. */
+  def scorePairs(pairs: DataFrame, mentions: DataFrame,
+      w: Weights = DefaultWeights): DataFrame =
+    score(featurize(attachAttrs(pairs, mentions)), w)
+      .select(col("ant_id"), col("cur_id"), col("block_key"),
+        col("conv_id_a"), col("conv_id_c"),
+        col("f_head_match"), col("f_exact_match"), col("f_containment"),
+        col("f_token_jaccard"), col("f_jaro_winkler"), col("f_lev_sim"),
+        col("f_abbrev"), col("f_anaphoric_close"), col("f_closed_cur"),
+        col("f_dist_decay"), col("score"), col("prob"))
+}
