@@ -89,6 +89,17 @@ object ErOracle {
        |  SELECT 's:' || substr(regexp_replace(norm, '[^a-z0-9]', '', 'g'), 1, $SnkPrefixLen) AS block_key, mention_id
        |  FROM mentions WHERE NOT closed_class
        |  UNION ALL
+       |  SELECT 'f:' || string_split(norm, ' ')[1] AS block_key, mention_id
+       |  FROM mentions WHERE NOT closed_class
+       |  UNION ALL
+       |  SELECT 'a:' || acro AS block_key, mention_id FROM (
+       |    SELECT mention_id,
+       |      CASE WHEN len(string_split(norm, ' ')) > 1
+       |           THEN array_to_string(list_transform(string_split(norm, ' '), t -> substr(t, 1, 1)), '')
+       |           WHEN length(norm) <= 5 THEN norm END AS acro
+       |    FROM mentions WHERE NOT closed_class)
+       |  WHERE acro IS NOT NULL AND length(acro) > 1
+       |  UNION ALL
        |  $bandKeys
        |),
        |bstats AS (SELECT block_key, count(*) AS n_mentions FROM bkeys GROUP BY block_key),

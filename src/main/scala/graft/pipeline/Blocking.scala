@@ -36,7 +36,7 @@ object Blocking {
       snkPrefixLen: Int = 6,
       shingleK: Int = 3,
       minhashes: Int = 12,
-      bands: Int = 4, // 4 bands x 3 rows
+      bands: Int = 6, // 6 bands x 2 rows: catches 2-edit typos w.p. ~0.93
       maxBlockSize: Int = 1000,
       enableLsh: Boolean = true,
       /** "xxhash64" (fast engine path) | "md5" (portable, DuckDB-reproducible
@@ -58,7 +58,27 @@ object Blocking {
         .as("block_key"),
       col("mention_id"))
 
-    if (!cfg.enableLsh) headKeyed.unionByName(snk)
+    // first-token key: blocks truncated surfaces ("Acme" vs "Acme Data
+    // Systems") that share neither head nor prefix window
+    val firstTok = base.select(
+      concat(lit("f:"), element_at(split(col("norm"), " "), 1)).as("block_key"),
+      col("mention_id"))
+
+    // acronym key: initials of multi-token surfaces; short single tokens are
+    // candidate acronyms of themselves ("ADS" ↔ "Acme Data Systems") — the
+    // blocking-side analog of the reference's abbreviation feature
+    // (`sem/AbbreviationHandler.scala:7-66`)
+    val initials = array_join(
+      transform(split(col("norm"), " "), t => substring(t, 1, 1)), "")
+    val acronym = base
+      .withColumn("acro",
+        when(size(split(col("norm"), " ")) > 1, initials)
+          .when(length(col("norm")) <= 5, col("norm")))
+      .filter(col("acro").isNotNull && length(col("acro")) > 1)
+      .select(concat(lit("a:"), col("acro")).as("block_key"), col("mention_id"))
+
+    val exact = headKeyed.unionByName(snk).unionByName(firstTok).unionByName(acronym)
+    if (!cfg.enableLsh) exact
     else {
       val mh =
         if (cfg.minhashImpl == "md5")
@@ -70,7 +90,7 @@ object Blocking {
         .select(explode(lshBandKeys(col("sig"), cfg.bands, cfg.minhashes / cfg.bands))
           .as("block_key"), col("mention_id"))
         .withColumn("block_key", concat(lit("l:"), col("block_key")))
-      headKeyed.unionByName(snk).unionByName(lsh)
+      exact.unionByName(lsh)
     }
   }
 

@@ -47,6 +47,51 @@ object Eval {
       .withColumn("recall", col("recalled").cast("double") / col("gold_pairs"))
   }
 
+  /** B7a — within-conversation antecedent recall (the reference's pruning
+    * stat, `DocumentGraph.scala:117-142`): of mentions having >=1 prior
+    * same-entity mention in their conversation, the fraction that retain >=1
+    * such candidate antecedent after blocking. */
+  def antecedentRecall(candidatePairs: DataFrame, mentions: DataFrame,
+      gold: DataFrame): DataFrame = {
+    val m = mentions.join(gold, "mention_id")
+      .select(col("mention_id"), col("conv_id"), col("m_seq"), col("entity_id"))
+    val a = m.toDF(m.columns.map(_ + "_a"): _*)
+    val c = m.toDF(m.columns.map(_ + "_c"): _*)
+    val goldAnte = a.join(c,
+      col("conv_id_a") === col("conv_id_c") &&
+        col("entity_id_a") === col("entity_id_c") &&
+        col("m_seq_a") < col("m_seq_c"))
+      .select(col("mention_id_a").as("ant_id"), col("mention_id_c").as("cur_id"))
+    val anaphoric = goldAnte.select(col("cur_id")).distinct()
+    val retained = goldAnte
+      .join(candidatePairs.select("ant_id", "cur_id"), Seq("ant_id", "cur_id"), "left_semi")
+      .select(col("cur_id")).distinct()
+    anaphoric.agg(count(lit(1)).as("anaphoric"))
+      .crossJoin(retained.agg(count(lit(1)).as("retained")))
+      .withColumn("recall", col("retained").cast("double") / col("anaphoric"))
+  }
+
+  /** B7b — entity connectivity recall: what transitive clustering actually
+    * needs from blocking is that each gold entity's mentions stay *connected*
+    * through same-entity candidate pairs (short forms may reach each other
+    * via the full-form pivot rather than a direct block). MUC-style link
+    * recall of the blocking graph: sum(|e| - components(e)) / sum(|e| - 1). */
+  def connectivityRecall(spark: org.apache.spark.sql.SparkSession,
+      candidatePairs: DataFrame, gold: DataFrame): DataFrame = {
+    val sameEntity = candidatePairs
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .filter(col("e_a") === col("e_c"))
+      .select(col("ant_id").as("src"), col("cur_id").as("dst"))
+    val nodes = gold.select(col("mention_id").as("id"))
+    val comps = Clustering.connectedComponents(nodes, sameEntity)
+    comps.join(gold, "mention_id")
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("cluster_id")).as("parts"))
+      .agg(sum(col("sz") - col("parts")).as("num"), sum(col("sz") - 1).as("den"))
+      .withColumn("recall", col("num").cast("double") / col("den"))
+  }
+
   /** MUC (A10, `CorefEvaluator.scala:491-503`): link-based metric from the
     * pred×gold contingency table.
     * MUC-R = Σ_gold (|g| - p(g)) / Σ_gold (|g| - 1) where p(g) = #pred

@@ -27,8 +27,12 @@ import graft.functions.{headKey, normSurface}
   */
 object Mentions {
 
+  /** Third-person anaphoric pronouns (the closed class that links to an
+    * in-conversation antecedent; deictic we/you/I are not anaphora in this
+    * engine — the reference handles those via speaker features instead,
+    * `PairwiseIndexingFeaturizerJoint.scala:220-234`). */
   val Pronouns: Seq[String] =
-    Seq("they", "it", "he", "she", "them", "him", "her", "we", "you", "i")
+    Seq("they", "it", "he", "she", "them", "him", "her")
   val NominalHeads: Seq[String] =
     Seq("vendor", "company", "client", "supplier", "firm", "organization")
   val IdentifierRe = "^(?:[A-Za-z]+[#-])?[0-9]+$"

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Unit + property tests for the custom expressions and text kernels
+  * (SURVEY.md §5: per-operator unit tests with seeded property-style
+  * symmetry/bounds checks). */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private val alphabet = ('a' to 'e') ++ Seq(' ', '#', '0', '1')
+  private def randStr(): String =
+    Seq.fill(rng.nextInt(13))(alphabet(rng.nextInt(alphabet.size))).mkString
+  private def forAllPairs(n: Int)(f: (String, String) => Unit): Unit =
+    (0 until n).foreach(_ => f(randStr(), randStr()))
+
+  test("jaro-winkler: known values (cross-checked against DuckDB)") {
+    assert(Sim.jaroWinkler("martha", "marhta") === 0.9611111111111111)
+    assert(Sim.jaroWinkler("dwayne", "duane") === 0.8400000000000001)
+    assert(Sim.jaroWinkler("dixon", "dicksonx") === 0.8133333333333332)
+    assert(Sim.jaroWinkler("cust-7", "customer#000000007") === 0.6296296296296297)
+    assert(Sim.jaroWinkler("000000012", "000000120") === 0.9777777777777777)
+    assert(Sim.jaroWinkler("", "") === 1.0)
+    assert(Sim.jaroWinkler("", "abc") === 0.0)
+    assert(Sim.jaroWinkler("abc", "abc") === 1.0)
+  }
+
+  test("jaro-winkler: symmetry, bounds, identity (property)") {
+    forAllPairs(500) { (a, b) =>
+      val s = Sim.jaroWinkler(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s === Sim.jaroWinkler(b, a))
+      assert(Sim.jaroWinkler(a, a) === 1.0)
+    }
+  }
+
+  test("token jaccard: bounds, symmetry, known values") {
+    assert(Sim.tokenJaccard(Array("a", "b"), Array("b", "a")) === 1.0)
+    assert(Sim.tokenJaccard(Array("a", "b"), Array("b", "c")) === 1.0 / 3)
+    assert(Sim.tokenJaccard(Array[String](), Array[String]()) === 1.0)
+    assert(Sim.tokenJaccard(Array("a"), Array[String]()) === 0.0)
+    forAllPairs(500) { (a, b) =>
+      val (ta, tb) = (a.split(" "), b.split(" "))
+      val s = Sim.tokenJaccard(ta, tb)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s === Sim.tokenJaccard(tb, ta))
+    }
+  }
+
+  test("expressions agree with scala kernels through the SQL surface") {
+    val df = Seq(("acme data systems", "acme dta systems"),
+      ("cust-7", "customer#000000007"), ("", "x")).toDF("a", "b")
+    val rows = df.select(
+      jaro_winkler($"a", $"b").as("jw"),
+      token_jaccard(split($"a", " "), split($"b", " ")).as("jac"),
+      $"a", $"b").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jw") === Sim.jaroWinkler(r.getAs[String]("a"), r.getAs[String]("b")))
+      assert(r.getAs[Double]("jac") ===
+        Sim.tokenJaccard(r.getAs[String]("a").split(" "), r.getAs[String]("b").split(" ")))
+    }
+    // and via SQL text (registered function)
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect()(0)
+    assert(viaSql.getAs[Double]("jw") === 0.9611111111111111)
+  }
+
+  test("headKey: digit-run canonicalization") {
+    val df = Seq("Customer#000000007", "000000007", "Cust-7", "they", "000", "A0B1")
+      .toDF("s").select($"s", headKey($"s").as("k"))
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("Customer#000000007") === "7")
+    assert(m("000000007") === "7")
+    assert(m("Cust-7") === "7")
+    assert(m("they") === "they")
+    assert(m("000") === "0")
+    assert(m("A0B1") === "0") // first digit run
+  }
+
+  test("wordShape / wordClass") {
+    val df = Seq("Customer#000000007", "ADS", "acme", "A0-b")
+      .toDF("s").select($"s", wordShape($"s").as("sh"), wordClass($"s").as("cl"))
+    val m = df.collect().map(r => (r.getString(0), (r.getString(1), r.getString(2)))).toMap
+    assert(m("ADS") === (("XXe", "CAPS"))) // run of 3 X collapses to XXe
+    assert(m("acme")._2 === "LC")
+    assert(m("Customer#000000007")._1 === "Xxxe#dde")
+    assert(m("Customer#000000007")._2 === "INITC")
+  }
+
+  test("minhash signature: deterministic, length, LSH banding shape") {
+    val df = Seq("acme data systems", "acme data systems", "bolt labs").toDF("s")
+      .select(minhashSignature(charShingles($"s", 3), 12).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+    assert(sigs.forall(_.length == 12))
+    val bands = Seq("acme data systems").toDF("s")
+      .select(lshBandKeys(minhashSignature(charShingles($"s", 3), 12), 6, 2).as("b"))
+      .collect()(0).getSeq[String](0)
+    assert(bands.length === 6 && bands.forall(_.startsWith("b")))
+  }
+
+  test("simhash: identical inputs collide, hamming bounded") {
+    val df = Seq(
+      ("a", "acme data systems ltd"), ("b", "acme data systems ltd"),
+      ("c", "completely different words here")).toDF("id", "s")
+      .select($"id", simhash64(split($"s", " ")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") === m("b"))
+    val d = java.lang.Long.bitCount(m("a") ^ m("c"))
+    assert(d > 0 && d <= 64)
+  }
+}

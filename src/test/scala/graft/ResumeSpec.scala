@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.fixtures.ErFixture
+import graft.io.TableIO
+import graft.pipeline._
+
+/** North-rule resumability: every stage commits a snapshot (parquet + JSON
+  * manifest with lineage + per-partition counters); a re-run resumes from the
+  * last committed stage; a truncated run (later stages deleted) recomputes
+  * only what is missing and reproduces byte-identical clusters. */
+class ResumeSpec extends SparkSuite {
+  import ErFixture._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-ckpt-$tag").toString
+    d
+  }
+
+  lazy val g = generate(entities = 10, convs = 20, seed = 7L)
+  lazy val transcripts = transcriptsDF(spark, g).cache()
+
+  test("checkpointed run commits manifests with lineage and counters") {
+    val dir = freshDir("a")
+    val cfg = Pipeline.Config(mentionGenerator = "all", checkpointDir = Some(dir))
+    val r = Pipeline.run(spark, transcripts, cfg)
+    val n = r.clusters.count()
+    assert(n > 0)
+    val io = new TableIO(dir)
+    for (stage <- Seq("mentions", "pairs", "scores", "backptrs", "clusters")) {
+      val snap = io.latestSnapshot(stage)
+      assert(snap.isDefined, s"stage $stage not committed")
+      val m = io.manifest(stage, snap.get).get
+      assert(m.contains("\"lineage\"") && m.contains("partitionCounters"), m)
+    }
+  }
+
+  test("re-run resumes from snapshots (no recompute) and is identical") {
+    val dir = freshDir("b")
+    val cfg = Pipeline.Config(mentionGenerator = "all", checkpointDir = Some(dir))
+    val r1 = Pipeline.run(spark, transcripts, cfg)
+    val c1 = r1.clusters.orderBy("mention_id").collect().toSeq
+    val io = new TableIO(dir)
+    val snapsBefore = Seq("mentions", "pairs", "scores", "backptrs", "clusters")
+      .map(s => s -> io.latestSnapshot(s).get).toMap
+    // second run must read the committed snapshots, not write new ones
+    val r2 = Pipeline.run(spark, transcripts, cfg)
+    val c2 = r2.clusters.orderBy("mention_id").collect().toSeq
+    assert(c1 === c2)
+    snapsBefore.foreach { case (s, k) =>
+      assert(io.latestSnapshot(s).get === k, s"stage $s recomputed on resume")
+    }
+  }
+
+  test("truncated run (clusters deleted) recomputes only the missing stage") {
+    val dir = freshDir("c")
+    val cfg = Pipeline.Config(mentionGenerator = "all", checkpointDir = Some(dir))
+    val c1 = Pipeline.run(spark, transcripts, cfg).clusters.orderBy("mention_id").collect().toSeq
+    // kill the final stage commit (simulates dying mid-pipeline)
+    val clustersDir = Paths.get(dir, "clusters")
+    Files.walk(clustersDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    val io = new TableIO(dir)
+    val scoresSnap = io.latestSnapshot("scores").get
+    val c2 = Pipeline.run(spark, transcripts, cfg).clusters.orderBy("mention_id").collect().toSeq
+    assert(c1 === c2, "resumed output differs from original")
+    assert(io.latestSnapshot("scores").get === scoresSnap, "scores stage recomputed")
+    assert(io.latestSnapshot("clusters").isDefined)
+  }
+
+  test("config change invalidates lineage and recomputes") {
+    val dir = freshDir("d")
+    val cfg = Pipeline.Config(mentionGenerator = "all", checkpointDir = Some(dir))
+    Pipeline.run(spark, transcripts, cfg).clusters.count()
+    val io = new TableIO(dir)
+    val before = io.latestSnapshot("backptrs").get
+    val cfg2 = cfg.copy(linkThreshold = 0.5)
+    Pipeline.run(spark, transcripts, cfg2).clusters.count()
+    assert(io.latestSnapshot("backptrs").get > before,
+      "changed config must produce a new snapshot")
+  }
+}
