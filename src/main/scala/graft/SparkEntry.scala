@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.harness.{ErOracle, Queries}
+import graft.harness.{ErOracle, OpsOracle, Queries}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,6 +24,19 @@ object SparkEntry {
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
     "a10_muc" -> (Queries.mucQ _),
     "a10_bcub" -> (Queries.bcubQ _),
+    // training-data pipeline ops
+    "dd_exact" -> (Queries.ddExactQ _),
+    "dd_minhash_lsh" -> (Queries.ddMinhashLshQ _),
+    "dd_ngram_jaccard" -> (Queries.ddNgramJaccardQ _),
+    "dd_simhash" -> (Queries.ddSimhashQ _),
+    "dd_embedding" -> (Queries.ddEmbeddingQ _),
+    "sim_topk_brute" -> (Queries.simTopKQ _),
+    "sim_ann_lsh" -> (Queries.simAnnLshQ _),
+    "ta_langid" -> (Queries.taLangIdQ _),
+    "ta_quality" -> (Queries.taQualityQ _),
+    "ta_token_counts" -> (Queries.taTokenCountsQ _),
+    "ta_fingerprint" -> (Queries.taFingerprintQ _),
+    "mm_meta" -> (Queries.mmMetaQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,5 +152,18 @@ object SparkEntry {
         |              GROUP BY g.entity_id) gs ON cell.entity_id = gs.entity_id)),
         | (SELECT CAST(count(*) AS DOUBLE) AS n
         |  FROM clusters c JOIN gold g ON c.mention_id = g.mention_id)""".stripMargin),
+
+    // training-data pipeline ops (dd_simhash is xxhash64-based: rows-only)
+    "dd_exact" -> OpsOracle.ddExact,
+    "dd_minhash_lsh" -> OpsOracle.ddMinhashLsh(),
+    "dd_ngram_jaccard" -> OpsOracle.ddNgramJaccard(),
+    "dd_embedding" -> OpsOracle.ddEmbedding(),
+    "sim_topk_brute" -> OpsOracle.simTopKBrute(),
+    "sim_ann_lsh" -> OpsOracle.simAnnLsh(),
+    "ta_langid" -> OpsOracle.taLangId,
+    "ta_quality" -> OpsOracle.taQuality,
+    "ta_token_counts" -> OpsOracle.taTokenCounts,
+    "ta_fingerprint" -> OpsOracle.taFingerprint,
+    "mm_meta" -> OpsOracle.mmMeta,
   )
 }

@@ -134,4 +134,53 @@ object Queries {
         round(col("bcub_recall"), 6).as("bcub_recall_r"),
         round(col("bcub_f1"), 6).as("bcub_f1_r"))
   }
+
+  // ---- training-data pipeline ops (documents / embeddings) ----------------
+
+  private def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    Transcripts.registerBase(spark, sfDir); spark.table("documents")
+  }
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    Transcripts.registerBase(spark, sfDir); spark.table("embeddings")
+  }
+
+  def ddExactQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.exact(graft.ops.Dedup.corpus(documents(spark, sfDir)))
+
+  def ddMinhashLshQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.minhashLsh(graft.ops.Dedup.corpus(documents(spark, sfDir)),
+      impl = "md5")
+
+  def ddNgramJaccardQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccard(graft.ops.Dedup.corpus(documents(spark, sfDir)))
+
+  def ddSimhashQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.simhash(graft.ops.Dedup.corpus(documents(spark, sfDir)))
+
+  def ddEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.embeddingNearDup(
+      graft.ops.Similarity.corpus(embeddings(spark, sfDir)))
+
+  def simTopKQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.bruteTopK(
+      graft.ops.Similarity.corpus(embeddings(spark, sfDir)))
+
+  def simAnnLshQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.annLsh(
+      graft.ops.Similarity.corpus(embeddings(spark, sfDir)))
+
+  def taLangIdQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.langId(documents(spark, sfDir))
+
+  def taQualityQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.quality(documents(spark, sfDir))
+
+  def taTokenCountsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.tokenCounts(documents(spark, sfDir))
+
+  def taFingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.fingerprint(documents(spark, sfDir))
+
+  def mmMetaQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Multimodal.withPayload(documents(spark, sfDir)).drop("payload")
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Document-level deduplication operators for the training-data pipeline —
+  * exact (hash groupBy), MinHash-LSH, n-gram Jaccard banding, SimHash.
+  * All shuffle only on content-derived keys (hashes / buckets); no global
+  * sorts — each operator scales linearly with one hash-partitioned exchange.
+  *
+  * The driver corpus has no natural near-duplicates, so the harness queries
+  * run over [[corpus]]: documents plus deterministically planted exact and
+  * near copies (reproduced identically by the DuckDB oracle SQL).
+  */
+object Dedup {
+
+  /** documents + planted dups: doc_id%11==0 → exact copy (+2,000,000);
+    * doc_id%7==0 → first token dropped (+1,000,000). */
+  def corpus(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, locate(' ', text) + 1)").as("text"))
+    val exact = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    base.unionByName(near).unionByName(exact)
+  }
+
+  /** Exact dedup: md5-hash groupBy; keep-first = min doc_id per group.
+    * Map-side partial agg + one exchange on the hash — the canonical
+    * billion-row dedup shape. */
+  def exact(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Word 3-gram shingles of a normalized text. */
+  def wordShingles(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(lower(text), " ")
+    when(size(toks) < 3, array(array_join(toks, " "))).otherwise(
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+  }
+
+  /** MinHash-LSH near-dup pairs: shingle → minhash → band → bucket-join →
+    * exact-Jaccard verify (threshold). `impl` = "md5" (oracle-portable) or
+    * "xxhash64" (engine path). */
+  def minhashLsh(corpus: DataFrame, threshold: Double = 0.7,
+      minhashes: Int = 12, bands: Int = 6, impl: String = "xxhash64"): DataFrame = {
+    val withSh = corpus.select(col("doc_id"), wordShingles(col("text")).as("sh"))
+    val sig = if (impl == "md5") minhashSignatureMd5(col("sh"), minhashes)
+      else minhashSignature(col("sh"), minhashes)
+    val keyed = withSh
+      .select(col("doc_id"), explode(lshBandKeys(sig, bands, minhashes / bands)).as("bk"))
+    // candidate ids first (dedup across bands), fetch shingles once per pair
+    // — at 10^12 scale the band join must not carry the shingle payload
+    val cands = keyed.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, withSh, threshold)
+  }
+
+  /** Exact-Jaccard verify stage shared by the candidate generators. */
+  private def verifyJaccard(cands: DataFrame, withSh: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        token_jaccard(col("sh_a"), col("sh_b")).as("jacc"))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc_r"))
+
+  /** N-gram Jaccard near-dup with char-length banding: each doc keys into
+    * its 64-char-length bucket and the next one, so near-equal-length pairs
+    * meet without a quadratic self-join. */
+  def ngramJaccard(corpus: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val withSh = corpus.select(col("doc_id"),
+      wordShingles(col("text")).as("sh"), length(col("text")).as("len"))
+    // both sides emit {bucket, bucket+1} so any |bucket diff| <= 1 pair meets
+    // regardless of id orientation
+    val l = withSh.select(col("doc_id").as("doc_a"),
+      explode(array(floor(col("len") / 64), floor(col("len") / 64) + 1)).as("bucket"))
+    val r = withSh.select(col("doc_id").as("doc_b"),
+      explode(array(floor(col("len") / 64), floor(col("len") / 64) + 1)).as("bucket"))
+    val cands = l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, withSh, threshold)
+  }
+
+  /** SimHash near-dup: 64-bit simhash over word shingles, 4x16-bit band keys
+    * (two docs within Hamming distance 3 share >=1 exact 16-bit band), verify
+    * by Hamming <= maxHamming. xxhash64-based (engine path; no SQL oracle). */
+  def simhash(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withH = corpus.select(col("doc_id"),
+      simhash64(wordShingles(col("text"))).as("h"))
+    val keyed = withH.select(col("doc_id"), col("h"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(s"$b:"), shiftright(col("h"), b * 16).bitwiseAND(0xffffL))): _*))
+        .as("bk"))
+    val l = keyed.select(col("bk"), col("doc_id").as("doc_a"), col("h").as("h_a"))
+    val r = keyed.select(col("bk"), col("doc_id").as("doc_b"), col("h").as("h_b"))
+    l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(hamming64(col("h_a"), col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column.
+  *
+  * - [[bruteTopK]]: exact cosine top-k as the correctness baseline. The dot
+  *   product is an explicit left-associated 64-term double expression so the
+  *   DuckDB oracle reproduces it bit-for-bit (no UDF, fully codegen'd); norms
+  *   are precomputed once per vector.
+  * - [[annLsh]]: random-hyperplane (sign) LSH bucketing as the scale path —
+  *   each vector probes only its bucket; hyperplanes are seeded plan
+  *   literals (also reproduced verbatim in the oracle SQL).
+  * - [[embeddingNearDup]]: cosine >= threshold near-duplicate pairs over the
+  *   planted-dup corpus.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** embeddings (cast to double) + planted near-dup copies (vec_id%9==0 →
+    * +1,000,000 with component 1 shifted by +0.05), plus precomputed norm. */
+  def corpus(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val near = base.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("emb"), 1) + 0.05), slice(col("emb"), 2, Dim - 1)).as("emb"))
+    base.unionByName(near).withColumn("nrm", sqrt(dot64(col("emb"), col("emb"))))
+  }
+
+  /** Explicit left-associated dot product (bit-reproducible in DuckDB). */
+  def dot64(a: Column, b: Column): Column =
+    (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  def cosine(a: Column, b: Column): Column =
+    dot64(a, b) / (sqrt(dot64(a, a)) * sqrt(dot64(b, b)))
+
+  private def cosPre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot64(a, b) / (na * nb)
+
+  /** Exact top-k neighbors for the query subset `vec_id % queryMod == 0`.
+    * Output (q_id, nb_id, rank, cos_r). Plan shape: broadcast the small query
+    * side against the full corpus — one pass over the big side, no shuffle
+    * until the tiny per-query top-k. */
+  def bruteTopK(corpus: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val queries = corpus.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val cands = corpus.select(col("vec_id").as("nb_id"), col("emb").as("nb_emb"),
+      col("nrm").as("nb_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("nb_id").asc)
+    broadcast(queries).join(cands, col("q_id") =!= col("nb_id"))
+      .select(col("q_id"), col("nb_id"),
+        round(cosPre(col("q_emb"), col("nb_emb"), col("q_nrm"), col("nb_nrm")), 6).as("cos_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Seeded random hyperplanes (deterministic; plan literals). */
+  def hyperplanes(bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(Dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket key: `bits` hyperplane sign bits as plan-literal
+    * expressions (no UDF). */
+  def signBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val dot = (1 to Dim).map(i => element_at(emb, i) * lit(p(i - 1))).reduce(_ + _)
+      when(dot >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN via sign-LSH: probe only the query's bucket. Returns per-query top-k
+    * within bucket; recall vs [[bruteTopK]] is measured in OpsSpec. */
+  def annLsh(corpus: DataFrame, k: Int = 5, queryMod: Int = 50,
+      bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, seed)
+    val bucketed = corpus.withColumn("bucket", signBucket(col("emb"), planes))
+    val queries = bucketed.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val cands = bucketed.select(col("vec_id").as("nb_id"), col("emb").as("nb_emb"),
+      col("nrm").as("nb_nrm"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("nb_id").asc)
+    queries.join(cands, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+      .select(col("q_id"), col("nb_id"),
+        round(cosPre(col("q_emb"), col("nb_emb"), col("q_nrm"), col("nb_nrm")), 6).as("cos_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (>= threshold, default 0.99). */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val l = corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val r = corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    l.join(r, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing — checked against the planted
+  * duplicates of the derived corpora. */
+class OpsSpec extends SparkSuite {
+
+  lazy val documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+  lazy val embeddings = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+  lazy val docCorpus = Dedup.corpus(documents).cache()
+  lazy val embCorpus = Similarity.corpus(embeddings).cache()
+
+  test("exact dedup finds every planted exact copy") {
+    val planted = documents.filter(col("doc_id") % 11 === 0).count()
+    val found = Dedup.exact(docCorpus)
+    assert(found.count() === planted)
+    // keep-first semantics: canonical id is always the original
+    assert(found.filter(col("keep_doc_id") >= 1000000L).count() === 0)
+  }
+
+  test("minhash-LSH finds >=95% of planted near-dups (one token dropped)") {
+    val planted = documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+    val found = Dedup.minhashLsh(docCorpus, impl = "xxhash64")
+    val hit = planted.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
+    val total = planted.count()
+    info(s"minhash-LSH recall: $hit/$total")
+    assert(hit.toDouble / total >= 0.95)
+  }
+
+  test("ngram-jaccard banding finds >=95% of planted near-dups") {
+    val planted = documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+    val found = Dedup.ngramJaccard(docCorpus)
+    val hit = planted.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
+    info(s"ngram recall: $hit/${planted.count()}")
+    assert(hit.toDouble / planted.count() >= 0.95)
+  }
+
+  test("simhash finds exact copies (hamming 0) and most near-dups") {
+    val found = Dedup.simhash(docCorpus).cache()
+    val exactPlanted = documents.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b"))
+    val hitExact = exactPlanted.join(found.filter(col("hamming") === 0),
+      Seq("doc_a", "doc_b"), "left_semi").count()
+    assert(hitExact === exactPlanted.count(), "exact copies must collide at hamming 0")
+    val nearPlanted = documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+    val hitNear = nearPlanted.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
+    info(s"simhash near-dup recall: $hitNear/${nearPlanted.count()}")
+    assert(hitNear.toDouble / nearPlanted.count() >= 0.5)
+  }
+
+  test("embedding near-dup finds every planted perturbed vector") {
+    val planted = embeddings.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("vec_a"), (col("vec_id") + 1000000L).as("vec_b"))
+    val found = Similarity.embeddingNearDup(embCorpus)
+    val hit = planted.join(found, Seq("vec_a", "vec_b"), "left_semi").count()
+    assert(hit === planted.count(),
+      s"cosine(v, v+eps) must exceed 0.99: $hit/${planted.count()}")
+  }
+
+  test("brute-force topk: rank-1 of a planted query is its source vector") {
+    val topk = Similarity.bruteTopK(embCorpus).cache()
+    // planted vec 1000000 (from vec 0): its nearest neighbor must be vec 0
+    val r1 = topk.filter(col("q_id") === 1000000L && col("rank") === 1)
+      .select("nb_id").collect()
+    assert(r1.nonEmpty && r1(0).getLong(0) === 0L)
+    assert(topk.groupBy("q_id").count().filter(col("count") =!= 5).count() === 0)
+  }
+
+  test("ann-lsh: same-bucket recall vs brute force, measured") {
+    val brute = Similarity.bruteTopK(embCorpus, k = 5)
+      .select(col("q_id"), col("nb_id"))
+    val ann = Similarity.annLsh(embCorpus, k = 5, bits = 4)
+      .select(col("q_id"), col("nb_id"))
+    val inter = brute.join(ann, Seq("q_id", "nb_id"), "left_semi").count()
+    val recall = inter.toDouble / brute.count()
+    info(s"ANN recall@5 (4-bit buckets): $recall")
+    assert(recall >= 2.0 / 16, "sign-LSH must beat the 1/16 random-bucket baseline 2x")
+    // the planted near-identical pair must share a bucket at any bit width
+    val planes = Similarity.hyperplanes(8)
+    val b = embCorpus.filter(col("vec_id").isin(0L, 1000000L))
+      .select(Similarity.signBucket(col("emb"), planes)).collect().map(_.getString(0))
+    assert(b(0) === b(1), "near-identical vectors must hash to the same bucket")
+  }
+
+  test("multimodal: payload schema + decode stub batch kernel") {
+    val media = Multimodal.withPayload(documents)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Multimodal.decodeStub(spark, media).cache()
+    assert(feats.count() === documents.count())
+    val f = feats.filter(col("doc_id") === 0L).collect()(0)
+    assert(f.resized_w <= 32 && f.resized_h <= 32)
+    assert(f.frame_count >= 1 && f.frame_count <= 4)
+    assert(f.mean_byte > 0.0 && f.mean_byte < 255.0)
+    // deterministic: re-run yields identical features
+    val again = Multimodal.decodeStub(spark, media).collect().toSet
+    assert(again === feats.collect().toSet)
+  }
+
+  test("text analysis: shapes and determinism") {
+    val li = TextAnalysis.langId(documents).cache()
+    assert(li.count() === 500)
+    assert(li.filter(!col("lang_pred").isin("en", "es", "fr", "de", "und")).count() === 0)
+    val q = TextAnalysis.quality(documents)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+    val tc = TextAnalysis.tokenCounts(documents)
+    assert(tc.filter(col("bpeish_tokens") < col("ws_tokens")).count() === 0)
+    val fp = TextAnalysis.fingerprint(documents)
+    assert(fp.select("fp_set").distinct().count() === 500) // content-set hash is unique per doc
+  }
+}
