@@ -17,6 +17,7 @@ object SparkEntry {
     "m1_mentions" -> (Queries.m1Mentions _),
     "b4_b5_block_stats" -> (Queries.blockStats _),
     "b1_candidate_pairs" -> (Queries.pairsQ _),
+    "p_surface_pairs" -> (Queries.surfacePairsQ _),
     "p9_scored_pairs" -> (Queries.scoredQ _),
     "a2_backptrs" -> (Queries.backptrsQ _),
     "c1_clusters" -> (Queries.clustersQ _),
@@ -56,15 +57,19 @@ object SparkEntry {
       "SELECT mention_id, conv_id, turn_idx, start, surface, mtype, m_seq, head_key FROM mentions"),
 
     "b4_b5_block_stats" -> ErOracle.q(
-      s"""SELECT block_key, CAST(n_mentions AS BIGINT) AS n_mentions,
-         | n_mentions > ${ErOracle.MaxBlockSize} AS oversize
+      s"""SELECT block_key, CAST(n_surfaces AS BIGINT) AS n_surfaces,
+         | CAST(mention_mass AS BIGINT) AS mention_mass,
+         | n_surfaces > ${ErOracle.MaxBlockSize} OR mention_mass > ${ErOracle.MaxBlockMass} AS oversize
          |FROM bstats""".stripMargin),
 
     "b1_candidate_pairs" -> ErOracle.q(
-      "SELECT ant_id, cur_id, block_key FROM pairs"),
+      "SELECT ant_id, cur_id, block_key FROM cpairs"),
+
+    "p_surface_pairs" -> ErOracle.q(
+      "SELECT norm_a, norm_b, block_key, round(score, 6) AS score_r FROM sscored"),
 
     "p9_scored_pairs" -> ErOracle.q(
-      "SELECT ant_id, cur_id, round(score, 6) AS score_r FROM scored2"),
+      "SELECT ant_id, cur_id, round(score, 6) AS score_r FROM scoredall"),
 
     "a2_backptrs" -> ErOracle.q(
       "SELECT cur_id, ant_id FROM backptrs"),
@@ -86,7 +91,7 @@ object SparkEntry {
         | FROM (
         |  SELECT ca.cluster_id AS pc_a, cc.cluster_id AS pc_c,
         |         ga.entity_id AS g_a, gc.entity_id AS g_c
-        |  FROM pairs p
+        |  FROM cpairs p
         |  JOIN clusters ca ON p.ant_id = ca.mention_id
         |  JOIN clusters cc ON p.cur_id = cc.mention_id
         |  JOIN gold ga ON p.ant_id = ga.mention_id
@@ -98,7 +103,7 @@ object SparkEntry {
       s"""SELECT gold_pairs, recalled, round(CAST(recalled AS DOUBLE) / gold_pairs, 6) AS recall_r
          |FROM (
          | SELECT CAST(count(*) AS BIGINT) AS gold_pairs,
-         |  CAST(SUM(CASE WHEN EXISTS(SELECT 1 FROM pairs p
+         |  CAST(SUM(CASE WHEN EXISTS(SELECT 1 FROM cpairs p
          |        WHERE p.ant_id = gp.ant_id AND p.cur_id = gp.cur_id)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS recalled
          | FROM (

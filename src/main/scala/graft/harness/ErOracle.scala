@@ -23,6 +23,7 @@ object ErOracle {
 
   /** Must mirror the harness pipeline config in SparkEntry. */
   val MaxBlockSize = 300
+  val MaxBlockMass = 2000
   val MaxConvDist = 30
   val SnkPrefixLen = 6
   val Minhashes = 12
@@ -43,7 +44,7 @@ object ErOracle {
       .mkString(",\n    ")
     val bandKeys = (0 until Bands).map { b =>
       val hs = (0 until Minhashes / Bands).map(r => s"h${b * (Minhashes / Bands) + r}")
-      s"SELECT 'l:' || ${(s"'b$b'" +: hs).mkString(" || ':' || ")} AS block_key, mention_id FROM sigs"
+      s"SELECT 'l:' || ${(s"'b$b'" +: hs).mkString(" || ':' || ")} AS block_key, norm FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
 
     // weights: keep in sync with graft.pipeline.Scoring.DefaultWeights
@@ -72,79 +73,103 @@ object ErOracle {
        |    (mtype = 'PRONOMINAL') AS closed_class
        |  FROM ment0
        |),
+       |surfaces AS MATERIALIZED (
+       |  SELECT norm, string_split(norm, ' ') AS toks,
+       |    ${headKeySql("string_split(norm, ' ')[len(string_split(norm, ' '))]")} AS head_key
+       |  FROM (SELECT DISTINCT norm FROM mentions WHERE NOT closed_class)
+       |),
        |shing AS (
-       |  SELECT mention_id,
+       |  SELECT norm,
        |    CASE WHEN length(norm) < 3 THEN [norm]
        |         ELSE list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3)) END AS sh
-       |  FROM mentions WHERE NOT closed_class
+       |  FROM surfaces
        |),
        |sigs AS (
-       |  SELECT mention_id,
+       |  SELECT norm,
        |    $sigCols
        |  FROM shing
        |),
        |bkeys AS (
-       |  SELECT 'h:' || head_key AS block_key, mention_id FROM mentions WHERE NOT closed_class
+       |  SELECT 'h:' || head_key AS block_key, norm FROM surfaces
        |  UNION ALL
-       |  SELECT 's:' || substr(regexp_replace(norm, '[^a-z0-9]', '', 'g'), 1, $SnkPrefixLen) AS block_key, mention_id
-       |  FROM mentions WHERE NOT closed_class
+       |  SELECT 's:' || substr(regexp_replace(norm, '[^a-z0-9]', '', 'g'), 1, $SnkPrefixLen) AS block_key, norm
+       |  FROM surfaces
        |  UNION ALL
-       |  SELECT 'f:' || string_split(norm, ' ')[1] AS block_key, mention_id
-       |  FROM mentions WHERE NOT closed_class
+       |  SELECT 'f:' || string_split(norm, ' ')[1] AS block_key, norm FROM surfaces
        |  UNION ALL
-       |  SELECT 'a:' || acro AS block_key, mention_id FROM (
-       |    SELECT mention_id,
+       |  SELECT 'a:' || acro AS block_key, norm FROM (
+       |    SELECT norm,
        |      CASE WHEN len(string_split(norm, ' ')) > 1
        |           THEN array_to_string(list_transform(string_split(norm, ' '), t -> substr(t, 1, 1)), '')
        |           WHEN length(norm) <= 5 THEN norm END AS acro
-       |    FROM mentions WHERE NOT closed_class)
+       |    FROM surfaces)
        |  WHERE acro IS NOT NULL AND length(acro) > 1
        |  UNION ALL
        |  $bandKeys
        |),
-       |bstats AS (SELECT block_key, count(*) AS n_mentions FROM bkeys GROUP BY block_key),
+       |scounts AS (
+       |  SELECT norm, CAST(count(*) AS BIGINT) AS n_mentions
+       |  FROM mentions WHERE NOT closed_class GROUP BY norm
+       |),
+       |bstats AS (
+       |  SELECT b.block_key, count(*) AS n_surfaces, SUM(sc.n_mentions) AS mention_mass
+       |  FROM bkeys b JOIN scounts sc ON b.norm = sc.norm
+       |  GROUP BY b.block_key
+       |),
        |bkeys_ok AS (
-       |  SELECT b.block_key, b.mention_id FROM bkeys b
-       |  JOIN bstats s ON b.block_key = s.block_key WHERE s.n_mentions <= $MaxBlockSize
+       |  SELECT b.block_key, b.norm FROM bkeys b
+       |  JOIN bstats s ON b.block_key = s.block_key
+       |  WHERE s.n_surfaces <= $MaxBlockSize AND s.mention_mass <= $MaxBlockMass
        |),
-       |pairs AS MATERIALIZED (
-       |  SELECT ant_id, cur_id, min(block_key) AS block_key FROM (
-       |    SELECT a.mention_id AS ant_id, c.mention_id AS cur_id, 'conv' AS block_key
-       |    FROM mentions a JOIN mentions c ON a.conv_id = c.conv_id
-       |      AND c.m_seq > a.m_seq AND c.m_seq - a.m_seq <= $MaxConvDist
-       |    UNION ALL
-       |    SELECT l.mention_id AS ant_id, r.mention_id AS cur_id, l.block_key
+       |spairs AS MATERIALIZED (
+       |  SELECT norm_a, norm_b, min(block_key) AS block_key FROM (
+       |    SELECT l.norm AS norm_a, r.norm AS norm_b, l.block_key
        |    FROM bkeys_ok l JOIN bkeys_ok r ON l.block_key = r.block_key
-       |      AND l.mention_id < r.mention_id
-       |  ) GROUP BY ant_id, cur_id
+       |      AND l.norm < r.norm
+       |  ) GROUP BY norm_a, norm_b
        |),
-       |scored AS (
-       |  SELECT p.ant_id, p.cur_id, p.block_key,
-       |    a.conv_id AS conv_id_a, c.conv_id AS conv_id_c,
-       |    CASE WHEN a.head_key = c.head_key THEN 1.0 ELSE 0.0 END AS f_head_match,
-       |    CASE WHEN a.norm = c.norm THEN 1.0 ELSE 0.0 END AS f_exact_match,
-       |    CASE WHEN (NOT a.closed_class) AND (NOT c.closed_class)
-       |          AND (contains(a.norm, c.norm) OR contains(c.norm, a.norm))
-       |          AND a.norm <> c.norm THEN 1.0 ELSE 0.0 END AS f_containment,
-       |    CASE WHEN a.norm = c.norm THEN 1.0 ELSE 0.0 END AS f_token_jaccard,
-       |    jaro_winkler_similarity(a.norm, c.norm) AS f_jaro_winkler,
-       |    1.0 - CAST(levenshtein(a.norm, c.norm) AS DOUBLE)
-       |        / CAST(greatest(length(a.norm), length(c.norm)) AS DOUBLE) AS f_lev_sim,
-       |    CASE WHEN a.norm = substr(c.norm, 1, 1) OR c.norm = substr(a.norm, 1, 1)
-       |         THEN 1.0 ELSE 0.0 END AS f_abbrev,
-       |    CASE WHEN c.closed_class AND a.conv_id = c.conv_id
-       |          AND c.m_seq - a.m_seq <= 10 AND c.m_seq - a.m_seq > 0
-       |         THEN 1.0 ELSE 0.0 END AS f_anaphoric_close,
-       |    CASE WHEN c.closed_class THEN 1.0 ELSE 0.0 END AS f_closed_cur,
-       |    CASE WHEN a.conv_id = c.conv_id
-       |         THEN 1.0 / (1.0 + CAST(c.m_seq - a.m_seq AS DOUBLE)) ELSE 0.0 END AS f_dist_decay,
-       |    (NOT a.closed_class) AND (NOT c.closed_class) AS open_pair
-       |  FROM pairs p
-       |  JOIN mentions a ON p.ant_id = a.mention_id
-       |  JOIN mentions c ON p.cur_id = c.mention_id
+       |sscored AS MATERIALIZED (
+       |  SELECT p.norm_a, p.norm_b, p.block_key,
+       |    f_head_match, f_exact_match, f_containment, f_token_jaccard,
+       |    f_jaro_winkler, f_lev_sim, f_abbrev,
+       |    ${wv("bias")}
+       |    + f_head_match * ${wv("head_match")}
+       |    + f_exact_match * ${wv("exact_match")}
+       |    + f_containment * ${wv("containment")}
+       |    + f_token_jaccard * ${wv("token_jaccard")}
+       |    + f_jaro_winkler * ${wv("jaro_winkler")}
+       |    + f_lev_sim * ${wv("lev_sim")}
+       |    + f_abbrev * ${wv("abbrev")} AS score
+       |  FROM (
+       |    SELECT p.norm_a, p.norm_b, p.block_key,
+       |      CASE WHEN a.head_key = c.head_key THEN 1.0 ELSE 0.0 END AS f_head_match,
+       |      CASE WHEN a.norm = c.norm THEN 1.0 ELSE 0.0 END AS f_exact_match,
+       |      CASE WHEN (contains(a.norm, c.norm) OR contains(c.norm, a.norm))
+       |            AND a.norm <> c.norm THEN 1.0 ELSE 0.0 END AS f_containment,
+       |      CAST(len(list_intersect(list_distinct(a.toks), list_distinct(c.toks))) AS DOUBLE)
+       |        / (len(list_distinct(a.toks)) + len(list_distinct(c.toks))
+       |           - len(list_intersect(list_distinct(a.toks), list_distinct(c.toks)))) AS f_token_jaccard,
+       |      jaro_winkler_similarity(a.norm, c.norm) AS f_jaro_winkler,
+       |      1.0 - CAST(levenshtein(a.norm, c.norm) AS DOUBLE)
+       |          / CAST(greatest(length(a.norm), length(c.norm)) AS DOUBLE) AS f_lev_sim,
+       |      CASE WHEN a.norm = array_to_string(list_transform(c.toks, t -> substr(t, 1, 1)), '')
+       |            OR c.norm = array_to_string(list_transform(a.toks, t -> substr(t, 1, 1)), '')
+       |           THEN 1.0 ELSE 0.0 END AS f_abbrev
+       |    FROM spairs p
+       |    JOIN surfaces a ON p.norm_a = a.norm
+       |    JOIN surfaces c ON p.norm_b = c.norm
+       |  ) p
        |),
-       |scored2 AS MATERIALIZED (
-       |  SELECT *,
+       |bandp AS (
+       |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id, 'conv' AS block_key,
+       |    a.norm AS norm_a, c.norm AS norm_c, a.head_key AS hk_a, c.head_key AS hk_c,
+       |    a.closed_class AS cc_a, c.closed_class AS cc_c,
+       |    c.m_seq - a.m_seq AS dist
+       |  FROM mentions a JOIN mentions c ON a.conv_id = c.conv_id
+       |    AND c.m_seq > a.m_seq AND c.m_seq - a.m_seq <= $MaxConvDist
+       |),
+       |bscored AS (
+       |  SELECT ant_id, cur_id, block_key,
        |    ${wv("bias")}
        |    + (CASE WHEN open_pair THEN f_head_match ELSE 0.0 END) * ${wv("head_match")}
        |    + (CASE WHEN open_pair THEN f_exact_match ELSE 0.0 END) * ${wv("exact_match")}
@@ -156,14 +181,58 @@ object ErOracle {
        |    + f_anaphoric_close * ${wv("anaphoric_close")}
        |    + f_closed_cur * ${wv("closed_cur")}
        |    + f_dist_decay * ${wv("dist_decay")} AS score
-       |  FROM scored
+       |  FROM (
+       |    SELECT ant_id, cur_id, block_key,
+       |      CASE WHEN hk_a = hk_c THEN 1.0 ELSE 0.0 END AS f_head_match,
+       |      CASE WHEN norm_a = norm_c THEN 1.0 ELSE 0.0 END AS f_exact_match,
+       |      CASE WHEN (NOT cc_a) AND (NOT cc_c)
+       |            AND (contains(norm_a, norm_c) OR contains(norm_c, norm_a))
+       |            AND norm_a <> norm_c THEN 1.0 ELSE 0.0 END AS f_containment,
+       |      CASE WHEN norm_a = norm_c THEN 1.0 ELSE 0.0 END AS f_token_jaccard,
+       |      jaro_winkler_similarity(norm_a, norm_c) AS f_jaro_winkler,
+       |      1.0 - CAST(levenshtein(norm_a, norm_c) AS DOUBLE)
+       |          / CAST(greatest(length(norm_a), length(norm_c)) AS DOUBLE) AS f_lev_sim,
+       |      CASE WHEN norm_a = substr(norm_c, 1, 1) OR norm_c = substr(norm_a, 1, 1)
+       |           THEN 1.0 ELSE 0.0 END AS f_abbrev,
+       |      CASE WHEN cc_c AND dist <= 10 AND dist > 0 THEN 1.0 ELSE 0.0 END AS f_anaphoric_close,
+       |      CASE WHEN cc_c THEN 1.0 ELSE 0.0 END AS f_closed_cur,
+       |      1.0 / (1.0 + CAST(dist AS DOUBLE)) AS f_dist_decay,
+       |      (NOT cc_a) AND (NOT cc_c) AS open_pair
+       |    FROM bandp
+       |  )
+       |),
+       |globalx AS (
+       |  SELECT least(ma.mention_id, mb.mention_id) AS ant_id,
+       |         greatest(ma.mention_id, mb.mention_id) AS cur_id,
+       |         s.block_key, s.score
+       |  FROM (SELECT * FROM sscored WHERE score > 0.0) s
+       |  JOIN mentions ma ON ma.norm = s.norm_a AND NOT ma.closed_class
+       |  JOIN mentions mb ON mb.norm = s.norm_b AND NOT mb.closed_class
+       |  WHERE NOT (ma.conv_id = mb.conv_id AND abs(ma.m_seq - mb.m_seq) <= $MaxConvDist)
+       |),
+       |scoredall AS MATERIALIZED (
+       |  SELECT ant_id, cur_id, block_key, score FROM bscored
+       |  UNION ALL
+       |  SELECT ant_id, cur_id, block_key, score FROM globalx
        |),
        |backptrs AS MATERIALIZED (
        |  SELECT cur_id, ant_id, score FROM (
        |    SELECT cur_id, ant_id, score,
        |      ROW_NUMBER() OVER (PARTITION BY cur_id ORDER BY score DESC, ant_id ASC) AS rk
-       |    FROM scored2 WHERE score > 0.0
+       |    FROM scoredall WHERE score > 0.0
        |  ) WHERE rk = 1
+       |),
+       |cpairs AS (
+       |  SELECT ant_id, cur_id, min(block_key) AS block_key FROM (
+       |    SELECT ant_id, cur_id, block_key FROM bandp
+       |    UNION ALL
+       |    SELECT least(ma.mention_id, mb.mention_id) AS ant_id,
+       |           greatest(ma.mention_id, mb.mention_id) AS cur_id, s.block_key
+       |    FROM spairs s
+       |    JOIN mentions ma ON ma.norm = s.norm_a AND NOT ma.closed_class
+       |    JOIN mentions mb ON mb.norm = s.norm_b AND NOT mb.closed_class
+       |    WHERE NOT (ma.conv_id = mb.conv_id AND abs(ma.m_seq - mb.m_seq) <= $MaxConvDist)
+       |  ) GROUP BY ant_id, cur_id
        |),
        |-- every backpointer edge points to a lexicographically smaller id, so
        |-- components are parent-trees: the cluster id (component min) is the

@@ -25,13 +25,16 @@ object Queries {
 
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
 
+  /** Drop memoized per-sfDir results (required between SparkSessions). */
+  def clearCache(): Unit = memo.clear()
+
   def pipeline(spark: SparkSession, sfDir: String): Pipeline.Result =
     memo.getOrElseUpdate(sfDir, {
       val t = Transcripts.load(spark, sfDir)
       val r = Pipeline.run(spark, t, harnessCfg)
       Pipeline.Result(
-        r.mentions.cache(), r.pairs.cache(), r.scored.cache(),
-        r.backptrs.cache(), r.clusters.cache())
+        r.mentions.cache(), r.surfacePairs.cache(), r.surfaceScores.cache(),
+        r.scored.cache(), r.backptrs.cache(), r.clusters.cache())
     })
 
   def gold(spark: SparkSession, sfDir: String): DataFrame =
@@ -72,11 +75,22 @@ object Queries {
   /** B4+B5 block-key audit incl. the oversize (skew-cap) flags. */
   def blockStats(spark: SparkSession, sfDir: String): DataFrame = {
     val m = pipeline(spark, sfDir).mentions
-    Blocking.blockStats(Blocking.blockKeys(m, harnessCfg.blocking), harnessCfg.blocking)
+    val surfaces = Blocking.surfaceTable(m)
+    Blocking.blockStats(Blocking.blockKeys(surfaces, harnessCfg.blocking),
+      surfaces, harnessCfg.blocking)
   }
 
+  /** Full candidate mention-pair universe (eval/B7; not an execution stage). */
+  def candidateUniverse(spark: SparkSession, sfDir: String): DataFrame =
+    Blocking.candidatePairs(pipeline(spark, sfDir).mentions, harnessCfg.blocking)
+
   def pairsQ(spark: SparkSession, sfDir: String): DataFrame =
-    pipeline(spark, sfDir).pairs.select("ant_id", "cur_id", "block_key")
+    candidateUniverse(spark, sfDir).select("ant_id", "cur_id", "block_key")
+
+  def surfacePairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).surfaceScores
+      .select(col("norm_a"), col("norm_b"), col("block_key"),
+        round(col("score"), 6).as("score_r"))
 
   def scoredQ(spark: SparkSession, sfDir: String): DataFrame =
     pipeline(spark, sfDir).scored
@@ -90,7 +104,8 @@ object Queries {
 
   def pairwiseF1Q(spark: SparkSession, sfDir: String): DataFrame = {
     val r = pipeline(spark, sfDir)
-    Eval.pairwiseF1(r.pairs.select("ant_id", "cur_id"), r.clusters, gold(spark, sfDir))
+    Eval.pairwiseF1(candidateUniverse(spark, sfDir).select("ant_id", "cur_id"),
+      r.clusters, gold(spark, sfDir))
       .select(col("tp"), col("pred_pairs"), col("gold_pairs"),
         round(col("precision"), 6).as("precision_r"),
         round(col("recall"), 6).as("recall_r"),
@@ -115,7 +130,7 @@ object Queries {
             col("m_seq_c") - col("m_seq_a") > 0 &&
             col("m_seq_c") - col("m_seq_a") <= harnessCfg.blocking.maxConvDist)))
       .select(col("mention_id_a").as("ant_id"), col("mention_id_c").as("cur_id"))
-    Eval.blockingRecall(r.pairs, goldPairs)
+    Eval.blockingRecall(candidateUniverse(spark, sfDir), goldPairs)
       .select(col("gold_pairs"), col("recalled"), round(col("recall"), 6).as("recall_r"))
   }
 

@@ -30,7 +30,8 @@ object Pipeline {
 
   case class Result(
       mentions: DataFrame,
-      pairs: DataFrame,
+      surfacePairs: DataFrame,
+      surfaceScores: DataFrame,
       scored: DataFrame,
       backptrs: DataFrame,
       clusters: DataFrame)
@@ -55,8 +56,25 @@ object Pipeline {
       if (cfg.mentionGenerator == "identifier") Mentions.extractIdentifier(transcripts)
       else Mentions.extractAll(transcripts)
     }
-    val pairs = stage("pairs", tok)(Blocking.candidatePairs(mentions, cfg.blocking))
-    val scored = stage("scores", tok)(Scoring.scorePairs(pairs, mentions, cfg.weights))
+    val surfaces = Blocking.surfaceTable(mentions)
+    val surfacePairs = stage("surface_pairs", tok)(
+      Blocking.surfacePairs(surfaces, cfg.blocking))
+    val surfaceScores = stage("surface_scores", tok)(
+      Scoring.scoreSurfacePairs(surfacePairs, surfaces, cfg.weights))
+    // mention-level scored pairs: conversation band with full conversational
+    // features ∪ the expansion of *linked* surface pairs (coarse-to-fine:
+    // sub-threshold surface pairs never materialize at mention granularity)
+    val scored = stage("scores", tok) {
+      val band = Scoring.scorePairs(
+        Blocking.convBandPairs(mentions, cfg.blocking), mentions, cfg.weights)
+        .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
+      val linked = surfaceScores.filter(col("score") > cfg.linkThreshold)
+        .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
+      val global = Blocking.expandToMentionPairs(linked, mentions, cfg.blocking,
+        extraCols = Seq("score"))
+      band.unionByName(global.select(col("ant_id"), col("cur_id"),
+        col("block_key"), col("score")))
+    }
     val backptrs = stage("backptrs", tok)(Decode.backpointers(scored, cfg.linkThreshold))
     val clusters = stage("clusters", tok) {
       val ccCheckpoint: (Int, DataFrame) => DataFrame = io match {
@@ -68,6 +86,6 @@ object Pipeline {
       }
       Clustering.cluster(spark, mentions, backptrs, ccCheckpoint)
     }
-    Result(mentions, pairs, scored, backptrs, clusters)
+    Result(mentions, surfacePairs, surfaceScores, scored, backptrs, clusters)
   }
 }

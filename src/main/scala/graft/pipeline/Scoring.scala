@@ -93,29 +93,63 @@ object Scoring {
         when(sameConv, lit(1.0) / (lit(1.0) + b(dist))).otherwise(0.0))
   }
 
-  /** Linear score + logistic probability as plan-constant expressions
-    * (P9/P11; the reference's `score = Σ weights(featIdx)`,
-    * `GUtil.scala:443-451`). Zero out similarity features for closed-class
-    * mentions — lexical similarity between a pronoun and a name is noise
-    * (the reference gates lexical features on mention type the same way). */
-  def score(featurized: DataFrame, w: Weights = DefaultWeights): DataFrame = {
+  /** The model's effective (gated) feature vector in [[FeatureNames]] order.
+    * Similarity features are zeroed for closed-class mentions — lexical
+    * similarity between a pronoun and a name is noise (the reference gates
+    * lexical features on mention type the same way). Shared by the scorer
+    * and the trainer's gradient. */
+  def featureVector: Seq[(String, Column)] = {
     val openPair = !col("closed_class_a") && !col("closed_class_c")
     val gate: Column => Column = c => when(openPair, c).otherwise(0.0)
-    val linear =
-      lit(w("bias")) +
-        gate(col("f_head_match")) * w("head_match") +
-        gate(col("f_exact_match")) * w("exact_match") +
-        gate(col("f_containment")) * w("containment") +
-        gate(col("f_token_jaccard")) * w("token_jaccard") +
-        gate(col("f_jaro_winkler")) * w("jaro_winkler") +
-        gate(col("f_lev_sim")) * w("lev_sim") +
-        gate(col("f_abbrev")) * w("abbrev") +
-        col("f_anaphoric_close") * w("anaphoric_close") +
-        col("f_closed_cur") * w("closed_cur") +
-        col("f_dist_decay") * w("dist_decay")
+    Seq(
+      "bias" -> lit(1.0),
+      "head_match" -> gate(col("f_head_match")),
+      "exact_match" -> gate(col("f_exact_match")),
+      "containment" -> gate(col("f_containment")),
+      "token_jaccard" -> gate(col("f_token_jaccard")),
+      "jaro_winkler" -> gate(col("f_jaro_winkler")),
+      "lev_sim" -> gate(col("f_lev_sim")),
+      "abbrev" -> gate(col("f_abbrev")),
+      "anaphoric_close" -> col("f_anaphoric_close"),
+      "closed_cur" -> col("f_closed_cur"),
+      "dist_decay" -> col("f_dist_decay"))
+  }
+
+  /** Linear score + logistic probability as plan-constant expressions
+    * (P9/P11; the reference's `score = Σ weights(featIdx)`,
+    * `GUtil.scala:443-451`). */
+  def score(featurized: DataFrame, w: Weights = DefaultWeights): DataFrame = {
+    val linear = featureVector.map { case (n, c) => c * w(n) }.reduce(_ + _)
     featurized
       .withColumn("score", linear)
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+  }
+
+  /** Surface-level scoring (the coarse-to-fine global path): score each
+    * distinct surface pair once — conversational features are identically
+    * zero here (cross-conversation semantics), so the score is a pure
+    * function of the two normalized surfaces. Output:
+    * `(norm_a, norm_b, block_key, f_*, score)`. */
+  def scoreSurfacePairs(surfacePairs: DataFrame, surfaces: DataFrame,
+      w: Weights = DefaultWeights): DataFrame = {
+    val attrs = surfaces.select(col("norm"), col("head_key"), col("toks"))
+    val a = attrs.toDF("norm_a", "head_key_a", "toks_a")
+    val c = attrs.toDF("norm_c", "head_key_c", "toks_c")
+    val joined = surfacePairs
+      .join(a, "norm_a")
+      .join(c.withColumnRenamed("norm_c", "norm_b"), "norm_b")
+      .withColumn("norm_c", col("norm_b"))
+      .withColumn("closed_class_a", lit(false))
+      .withColumn("closed_class_c", lit(false))
+      .withColumn("conv_id_a", lit(null).cast("string"))
+      .withColumn("conv_id_c", lit(null).cast("string"))
+      .withColumn("m_seq_a", lit(null).cast("int"))
+      .withColumn("m_seq_c", lit(null).cast("int"))
+    score(featurize(joined), w)
+      .select(col("norm_a"), col("norm_b"), col("block_key"),
+        col("f_head_match"), col("f_exact_match"), col("f_containment"),
+        col("f_token_jaccard"), col("f_jaro_winkler"), col("f_lev_sim"),
+        col("f_abbrev"), col("score"))
   }
 
   /** Full scoring stage: pairs + mentions → scored pairs. */

@@ -1,0 +1,71 @@
+package graft.train
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Scoring
+
+/** Adagrad + L1 logistic trainer (T1, SURVEY.md §2.11).
+  *
+  * The reference trains a feature-rich linear model with per-coordinate
+  * Adagrad and lazy L1 proximal updates
+  * (`CorefFeaturizerTrainer.scala:156-193`, defaults η=1.0, λ=0.001,
+  * `Driver.java:168-173`). This engine's feature space is the fixed dense
+  * vector of [[Scoring.FeatureNames]], so the per-epoch gradient is a single
+  * Spark aggregation (A4: `Σ (σ(w·x) − y)·x`) — map-side partial aggregation,
+  * one tiny row to the driver, update applied driver-side, weights re-enter
+  * the next plan as literals (the broadcast-weights pattern at dense-dim
+  * scale). Batch = full dataset per epoch: at 10^12 rows the aggregate
+  * amortizes the shuffle the reference's batch-of-1 never could.
+  */
+object Trainer {
+
+  case class Epoch(epoch: Int, loss: Double, weights: Array[Double])
+
+  /** @param labeled featurized pairs (output of Scoring.featurize) with a
+    *                `label` column (1.0 = same entity / 0.0 = not)
+    * @return learned weights + per-epoch loss trace */
+  def train(labeled: DataFrame, epochs: Int = 30, eta: Double = 1.0,
+      lambda: Double = 0.001, init: Option[Array[Double]] = None): (Scoring.Weights, Seq[Epoch]) = {
+    val feats = Scoring.featureVector
+    val dim = feats.size
+    val w = init.getOrElse(Array.fill(dim)(0.0)).clone()
+    val sqGrad = Array.fill(dim)(0.0)
+    val n = labeled.count().toDouble
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Epoch]
+
+    val cached = labeled.localCheckpoint(true)
+    for (ep <- 0 until epochs) {
+      val linear = feats.zipWithIndex.map { case ((_, c), i) => c * w(i) }.reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-linear))
+      val resid = p - col("label")
+      // gradient of mean log-loss + current loss, in one aggregation
+      val aggs = feats.map { case (name, c) => sum(resid * c).as(s"g_$name") } :+
+        sum(-col("label") * log(greatest(p, lit(1e-12))) -
+          (lit(1.0) - col("label")) * log(greatest(lit(1.0) - p, lit(1e-12)))).as("loss")
+      val row = cached.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val grad = (0 until dim).map(i => row.getDouble(i) / n).toArray
+      val loss = row.getDouble(dim) / n
+      // Adagrad + L1 proximal (CorefFeaturizerTrainer.scala:174-191 shape)
+      var i = 0
+      while (i < dim) {
+        sqGrad(i) += grad(i) * grad(i)
+        val h = 1.0 + math.sqrt(sqGrad(i))
+        val wi = w(i) - eta * grad(i) / h
+        val shrink = eta * lambda / h
+        w(i) = math.signum(wi) * math.max(0.0, math.abs(wi) - shrink)
+        i += 1
+      }
+      trace += Epoch(ep, loss, w.clone())
+    }
+    (Scoring.Weights(w), trace.toSeq)
+  }
+
+  /** Assemble labeled training pairs from a pipeline run + gold labels. */
+  def labeledPairs(pairs: DataFrame, mentions: DataFrame, gold: DataFrame): DataFrame = {
+    val feat = Scoring.featurize(Scoring.attachAttrs(pairs, mentions))
+    feat
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .withColumn("label", (col("e_a") === col("e_c")).cast("double"))
+  }
+}

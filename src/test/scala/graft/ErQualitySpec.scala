@@ -15,9 +15,10 @@ class ErQualitySpec extends SparkSuite {
   lazy val transcripts = transcriptsDF(spark, g).cache()
   lazy val res = {
     val r = Pipeline.run(spark, transcripts, Pipeline.Config(mentionGenerator = "all"))
-    Pipeline.Result(r.mentions.cache(), r.pairs.cache(), r.scored.cache(),
-      r.backptrs.cache(), r.clusters.cache())
+    Pipeline.Result(r.mentions.cache(), r.surfacePairs.cache(), r.surfaceScores.cache(),
+      r.scored.cache(), r.backptrs.cache(), r.clusters.cache())
   }
+  lazy val universe = Blocking.candidatePairs(res.mentions).cache()
   lazy val goldMentions = goldDF(spark, g).cache()
   /** (mention_id, entity_id) via extent join. */
   lazy val gold = res.mentions
@@ -34,11 +35,11 @@ class ErQualitySpec extends SparkSuite {
 
   test("blocking recall >= 0.995 (antecedent + entity connectivity)") {
     // B7a: reference-semantics within-conversation antecedent recall
-    val ar = Eval.antecedentRecall(res.pairs, res.mentions, gold).collect()(0)
+    val ar = Eval.antecedentRecall(universe, res.mentions, gold).collect()(0)
     info(s"antecedent recall: $ar")
     assert(ar.getAs[Double]("recall") >= 0.995, s"antecedent recall too low: $ar")
     // B7b: cross-conversation entity connectivity under blocking
-    val cr = Eval.connectivityRecall(spark, res.pairs, gold).collect()(0)
+    val cr = Eval.connectivityRecall(spark, universe, gold).collect()(0)
     info(s"connectivity recall: $cr")
     assert(cr.getAs[Double]("recall") >= 0.995, s"connectivity recall too low: $cr")
     // diagnostic: direct pair recall over open-class/same-conv linkable pairs
@@ -55,7 +56,7 @@ class ErQualitySpec extends SparkSuite {
             col("m_seq_c") - col("m_seq_a") > 0 &&
             col("m_seq_c") - col("m_seq_a") <= 30)))
       .select(col("mention_id_a").as("ant_id"), col("mention_id_c").as("cur_id"))
-    val r = Eval.blockingRecall(res.pairs, goldPairs).collect()(0)
+    val r = Eval.blockingRecall(universe, goldPairs).collect()(0)
     info(s"direct pair recall (diagnostic): $r")
   }
 
@@ -106,7 +107,7 @@ class ErQualitySpec extends SparkSuite {
   }
 
   test("pairwise F1 >= 0.99 on labeled same-block pairs (north rule)") {
-    val f1row = Eval.pairwiseF1(res.pairs.select("ant_id", "cur_id"),
+    val f1row = Eval.pairwiseF1(universe.select("ant_id", "cur_id"),
       res.clusters, gold).collect()(0)
     info(f1row.toString)
     assert(f1row.getAs[Double]("f1") >= 0.99, s"F1 gate failed: $f1row")

@@ -28,8 +28,10 @@ class PipelineSmokeSpec extends SparkSuite {
     val gold = res.mentions
       .select(col("mention_id"),
         regexp_extract(col("conv_id"), "^c([0-9]+)-", 1).as("entity_id"))
+    val universe = Blocking.candidatePairs(res.mentions,
+      graft.harness.Queries.harnessCfg.blocking)
     val f1row = Eval.pairwiseF1(
-      res.pairs.select("ant_id", "cur_id"), res.clusters, gold).collect()(0)
+      universe.select("ant_id", "cur_id"), res.clusters, gold).collect()(0)
     val f1 = f1row.getAs[Double]("f1")
     info(s"pairwise F1 on harness view = $f1 (tp=${f1row.getAs[Long]("tp")}, " +
       s"pred=${f1row.getAs[Long]("pred_pairs")}, gold=${f1row.getAs[Long]("gold_pairs")})")

@@ -28,7 +28,7 @@ class ResumeSpec extends SparkSuite {
     val n = r.clusters.count()
     assert(n > 0)
     val io = new TableIO(dir)
-    for (stage <- Seq("mentions", "pairs", "scores", "backptrs", "clusters")) {
+    for (stage <- Seq("mentions", "surface_pairs", "surface_scores", "scores", "backptrs", "clusters")) {
       val snap = io.latestSnapshot(stage)
       assert(snap.isDefined, s"stage $stage not committed")
       val m = io.manifest(stage, snap.get).get
@@ -42,7 +42,7 @@ class ResumeSpec extends SparkSuite {
     val r1 = Pipeline.run(spark, transcripts, cfg)
     val c1 = r1.clusters.orderBy("mention_id").collect().toSeq
     val io = new TableIO(dir)
-    val snapsBefore = Seq("mentions", "pairs", "scores", "backptrs", "clusters")
+    val snapsBefore = Seq("mentions", "surface_pairs", "surface_scores", "scores", "backptrs", "clusters")
       .map(s => s -> io.latestSnapshot(s).get).toMap
     // second run must read the committed snapshots, not write new ones
     val r2 = Pipeline.run(spark, transcripts, cfg)
