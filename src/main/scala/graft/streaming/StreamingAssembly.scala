@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest path (SURVEY.md §2.13). The reference's only streaming
+  * shape is the constant-memory one-doc-at-a-time scan + per-doc prediction
+  * writer (`ConllDocReader.readConllDocsProcessStreaming`,
+  * `EntitySystem.scala:205-214`). Spark-natively:
+  *
+  *  - mention extraction is stateless per turn → runs unchanged on a stream;
+  *  - conversation assembly is a session window on `ts` keyed by `conv_id`
+  *    with a watermark for late turns;
+  *  - per-conversation running state (dense mention sequence numbers, the
+  *    stream analog of the canonical-order window) is
+  *    `flatMapGroupsWithState`.
+  */
+object StreamingAssembly {
+
+  val transcriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampType)))
+
+  /** File-stream source over a directory of transcript parquet. */
+  def streamTranscripts(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(transcriptSchema).parquet(dir)
+
+  /** Stateless streaming mention extraction — identical logic to the batch
+    * identifier generator (mention ids are position-derived, no window). */
+  def extractMentions(stream: DataFrame): DataFrame = {
+    import graft.pipeline.Mentions.{IdentifierRe, Pronouns}
+    stream
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("ts"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").rlike(IdentifierRe) || lower(col("tok")).isin(Pronouns: _*))
+      .select(col("conv_id"), col("turn_idx"), col("pos").as("start"),
+        col("tok").as("surface"),
+        when(lower(col("tok")).isin(Pronouns: _*), "PRONOMINAL")
+          .otherwise("PROPER").as("mtype"),
+        concat(col("conv_id"), lit("#"),
+          lpad(col("turn_idx").cast("string"), 4, "0"),
+          lpad(col("pos").cast("string"), 4, "0")).as("mention_id"),
+        col("role"), col("ts"))
+  }
+
+  /** Conversation sessions: watermarked session window per conv_id —
+    * (conv_id, session start/end, n_turns, n_chars). */
+  def conversationSessions(stream: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
+      .select(col("conv_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_turns"), col("n_chars"))
+
+  case class TurnEvent(conv_id: String, turn_idx: Int, text: String)
+  case class SeqState(nextSeq: Int)
+  case class SequencedTurn(conv_id: String, turn_idx: Int, m_seq: Int)
+
+  /** Per-conversation running sequence numbers via flatMapGroupsWithState —
+    * the streaming analog of the canonical-order window (W1). Turns must
+    * arrive in order per conversation (file source preserves batch order;
+    * out-of-order handling would buffer by watermark). */
+  def sequenceTurns(spark: SparkSession, stream: DataFrame) = {
+    import spark.implicits._
+    stream.select(col("conv_id"), col("turn_idx"), col("text")).as[TurnEvent]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (convId: String, turns: Iterator[TurnEvent], state: GroupState[SeqState]) => {
+          var next = state.getOption.map(_.nextSeq).getOrElse(0)
+          val out = turns.toSeq.sortBy(_.turn_idx).map { t =>
+            val s = SequencedTurn(convId, t.turn_idx, next); next += 1; s
+          }
+          state.update(SeqState(next))
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.fixtures.ErFixture
+import graft.streaming.StreamingAssembly
+
+/** Streaming ingest: the stream path must agree with the batch path on the
+  * same data (micro-batch equivalence), and session windows / stateful
+  * sequencing must behave. */
+class StreamingSpec extends SparkSuite {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-stream").toString
+    val g = ErFixture.generate(entities = 10, convs = 20, seed = 11L)
+    ErFixture.transcriptsDF(spark, g).repartition(3).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming mention extraction == batch extraction on same input") {
+    val stream = StreamingAssembly.streamTranscripts(spark, dir)
+    val q = StreamingAssembly.extractMentions(stream)
+      .writeStream.format("memory").queryName("stream_mentions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_mentions")
+      .select("mention_id", "surface", "mtype").orderBy("mention_id").collect().toSeq
+    val batch = graft.pipeline.Mentions.extractIdentifier(spark.read.parquet(dir))
+      .select("mention_id", "surface", "mtype").orderBy("mention_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows assemble conversations with watermark") {
+    val stream = StreamingAssembly.streamTranscripts(spark, dir)
+    // complete mode: emit every session at end-of-stream (append would hold
+    // back sessions the watermark has not yet closed)
+    val q = StreamingAssembly.conversationSessions(stream, gap = "1 hour")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sessions = spark.table("stream_sessions")
+    // every conversation appears; session turn counts sum to the turn count
+    val total = sessions.agg(sum("n_turns")).collect()(0).getLong(0)
+    val expected = spark.read.parquet(dir).count()
+    assert(total === expected)
+  }
+
+  test("stateful per-conversation sequencing (flatMapGroupsWithState)") {
+    val stream = StreamingAssembly.streamTranscripts(spark, dir)
+    val q = StreamingAssembly.sequenceTurns(spark, stream)
+      .writeStream.format("memory").queryName("stream_seq")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val seqd = spark.table("stream_seq")
+    val bad = seqd.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), countDistinct("m_seq").as("d"),
+        min("m_seq").as("mn"), max("m_seq").as("mx"))
+      .filter(col("n") =!= col("d") || col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.count() === 0, "m_seq must be dense 0..n-1 per conversation")
+  }
+}
