@@ -25,6 +25,9 @@ object SparkEntry {
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
     "a10_muc" -> (Queries.mucQ _),
     "a10_bcub" -> (Queries.bcubQ _),
+    "a5_lexcounts" -> (Queries.lexCountsQ _),
+    "w3_top_heads" -> (Queries.topHeadsQ _),
+    "a16_rollup" -> (Queries.rollupQ _),
     // training-data pipeline ops
     "dd_exact" -> (Queries.ddExactQ _),
     "dd_minhash_lsh" -> (Queries.ddMinhashLshQ _),
@@ -157,6 +160,20 @@ object SparkEntry {
         |              GROUP BY g.entity_id) gs ON cell.entity_id = gs.entity_id)),
         | (SELECT CAST(count(*) AS DOUBLE) AS n
         |  FROM clusters c JOIN gold g ON c.mention_id = g.mention_id)""".stripMargin),
+
+    "a5_lexcounts" -> Transcripts.withCte(
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM transcripts
+        |) GROUP BY tok HAVING count(*) >= 20""".stripMargin),
+
+    "w3_top_heads" -> ErOracle.q(
+      """SELECT head_key, CAST(count(*) AS BIGINT) AS n
+        |FROM mentions WHERE NOT closed_class
+        |GROUP BY head_key ORDER BY n DESC, head_key ASC LIMIT 20""".stripMargin),
+
+    "a16_rollup" -> ErOracle.q(
+      """SELECT role, mtype, CAST(count(*) AS BIGINT) AS n
+        |FROM mentions GROUP BY ROLLUP(role, mtype)""".stripMargin),
 
     // training-data pipeline ops (dd_simhash is xxhash64-based: rows-only)
     "dd_exact" -> OpsOracle.ddExact,

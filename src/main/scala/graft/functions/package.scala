@@ -93,17 +93,22 @@ package object functions {
       array_min(transform(shingles, sh => md5(concat(lit(s"$seed:"), sh))))
     }: _*)
 
-  /** SimHash (64-bit) over string tokens: sign-sum of per-token xxhash64 bits.
-    * Implemented with built-ins: for each bit b, sum(+1/-1 over tokens) > 0.
-    * Returns BIGINT with bit b set iff the weighted sum is positive. */
-  def simhash64(tokens: Column): Column = {
-    val hashed = transform(tokens, t => xxhash64(t))
+  /** SimHash (64-bit) from a pre-materialized array of 64-bit token hashes:
+    * for each bit b, sign-sum over tokens > 0 sets the bit. Callers MUST pass
+    * a *column reference* to materialized hashes (not an inline expression) —
+    * the 64 per-bit aggregates each re-evaluate their input expression. */
+  def simhash64FromHashes(hashed: Column): Column =
     (0 until 64).map { b =>
       val bitSum = aggregate(hashed, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-  }
+
+  /** SimHash (64-bit) over string tokens — convenience for small inputs; for
+    * datasets, materialize `transform(tokens, xxhash64)` into a column first
+    * and use [[simhash64FromHashes]]. */
+  def simhash64(tokens: Column): Column =
+    simhash64FromHashes(transform(tokens, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -53,13 +53,13 @@ object ErOracle {
 
     s"""${Transcripts.cte},
        |toks AS (
-       |  SELECT t.conv_id, t.turn_idx,
+       |  SELECT t.conv_id, t.turn_idx, t.role,
        |         unnest(string_split(t.text, ' ')) AS tok,
        |         CAST(generate_subscripts(string_split(t.text, ' '), 1) - 1 AS INT) AS pos
        |  FROM transcripts t
        |),
        |ment0 AS (
-       |  SELECT conv_id, turn_idx, pos AS start, tok AS surface,
+       |  SELECT conv_id, turn_idx, role, pos AS start, tok AS surface,
        |         CASE WHEN lower(tok) IN ($pronouns) THEN 'PRONOMINAL' ELSE 'PROPER' END AS mtype,
        |         lower(tok) AS norm
        |  FROM toks

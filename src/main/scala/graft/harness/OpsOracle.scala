@@ -71,7 +71,7 @@ object OpsOracle {
   def ddNgramJaccard(threshold: Double = 0.7): String =
     s"""WITH $docCorpusCte,
        |$wordShinglesCte,
-       |banded AS (SELECT doc_id, sh, CAST(floor(length(text) / 64) AS BIGINT) AS b0 FROM wsh),
+       |banded AS (SELECT doc_id, sh, CAST(floor(length(text) / 16) AS BIGINT) AS b0 FROM wsh),
        |cands AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM (SELECT doc_id, unnest([b0, b0 + 1]) AS bucket FROM banded) l

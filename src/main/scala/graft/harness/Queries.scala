@@ -150,6 +150,30 @@ object Queries {
         round(col("bcub_f1"), 6).as("bcub_f1_r"))
   }
 
+  /** A5: lexical count table with cutoff (LexicalCountsBundle analog —
+    * `groupBy(token).count.filter(n >= cutoff)`). */
+  def lexCountsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Transcripts.load(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+
+  /** W3: top-k heaviest entity heads (keepTopNKeys analog) — deterministic
+    * tie-break on the key. */
+  def topHeadsQ(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).mentions
+      .filter(!col("closed_class"))
+      .groupBy("head_key").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("head_key").asc)
+      .limit(20)
+
+  /** A16: rollup / grouping-sets analog (the reference's hand-rolled
+    * property-prefix subdivision counters, `CorefEvaluator.scala:333-339`). */
+  def rollupQ(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).mentions
+      .rollup(col("role"), col("mtype"))
+      .agg(count(lit(1)).as("n"))
+
   // ---- training-data pipeline ops (documents / embeddings) ----------------
 
   private def documents(spark: SparkSession, sfDir: String): DataFrame = {

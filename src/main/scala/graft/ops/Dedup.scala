@@ -52,8 +52,12 @@ object Dedup {
     val withSh = corpus.select(col("doc_id"), wordShingles(col("text")).as("sh"))
     val sig = if (impl == "md5") minhashSignatureMd5(col("sh"), minhashes)
       else minhashSignature(col("sh"), minhashes)
+    // materialize the signature as a column before banding: lshBandKeys
+    // references its input once per band entry, and an inline sig expression
+    // would be duplicated 12x (each copy re-shingling the text)
     val keyed = withSh
-      .select(col("doc_id"), explode(lshBandKeys(sig, bands, minhashes / bands)).as("bk"))
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, minhashes / bands)).as("bk"))
     // candidate ids first (dedup across bands), fetch shingles once per pair
     // — at 10^12 scale the band join must not carry the shingle payload
     val cands = keyed.select(col("bk"), col("doc_id").as("doc_a"))
@@ -75,7 +79,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc_r"))
 
   /** N-gram Jaccard near-dup with char-length banding: each doc keys into
-    * its 64-char-length bucket and the next one, so near-equal-length pairs
+    * its 16-char-length bucket and the next one, so near-equal-length pairs
     * meet without a quadratic self-join. */
   def ngramJaccard(corpus: DataFrame, threshold: Double = 0.7): DataFrame = {
     val withSh = corpus.select(col("doc_id"),
@@ -83,9 +87,9 @@ object Dedup {
     // both sides emit {bucket, bucket+1} so any |bucket diff| <= 1 pair meets
     // regardless of id orientation
     val l = withSh.select(col("doc_id").as("doc_a"),
-      explode(array(floor(col("len") / 64), floor(col("len") / 64) + 1)).as("bucket"))
+      explode(array(floor(col("len") / 16), floor(col("len") / 16) + 1)).as("bucket"))
     val r = withSh.select(col("doc_id").as("doc_b"),
-      explode(array(floor(col("len") / 64), floor(col("len") / 64) + 1)).as("bucket"))
+      explode(array(floor(col("len") / 16), floor(col("len") / 16) + 1)).as("bucket"))
     val cands = l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cands, withSh, threshold)
@@ -95,8 +99,12 @@ object Dedup {
     * (two docs within Hamming distance 3 share >=1 exact 16-bit band), verify
     * by Hamming <= maxHamming. xxhash64-based (engine path; no SQL oracle). */
   def simhash(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withH = corpus.select(col("doc_id"),
-      simhash64(wordShingles(col("text"))).as("h"))
+    // materialize token hashes once per row; the 64 bit-aggregates then read
+    // the array column instead of re-shingling 64x
+    val withH = corpus
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hv"))
+      .select(col("doc_id"), simhash64FromHashes(col("hv")).as("h"))
     val keyed = withH.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"), shiftright(col("h"), b * 16).bitwiseAND(0xffffL))): _*))

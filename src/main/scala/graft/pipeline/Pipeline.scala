@@ -52,9 +52,15 @@ object Pipeline {
       }
 
     val tok = cfg.token
+    // explicit repartition (north rule): file scans often arrive with too few
+    // partitions; hash-spread conversations across the cluster before the
+    // narrow mention-extraction stage so every downstream broadcast-join leg
+    // inherits real parallelism.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = transcripts.repartition(par, col("conv_id"))
     val mentions = stage("mentions", tok) {
-      if (cfg.mentionGenerator == "identifier") Mentions.extractIdentifier(transcripts)
-      else Mentions.extractAll(transcripts)
+      if (cfg.mentionGenerator == "identifier") Mentions.extractIdentifier(spread)
+      else Mentions.extractAll(spread)
     }
     val surfaces = Blocking.surfaceTable(mentions)
     val surfacePairs = stage("surface_pairs", tok)(
