@@ -58,11 +58,14 @@ object Pipeline {
     // inherits real parallelism.
     val par = spark.sparkContext.defaultParallelism
     val spread = transcripts.repartition(par, col("conv_id"))
+    // mentions and surfaces fan out into many downstream legs (5 block-key
+    // families + stats + scoring attach); cache them or each leg re-derives
+    // the whole extraction chain
     val mentions = stage("mentions", tok) {
       if (cfg.mentionGenerator == "identifier") Mentions.extractIdentifier(spread)
       else Mentions.extractAll(spread)
-    }
-    val surfaces = Blocking.surfaceTable(mentions)
+    }.cache()
+    val surfaces = Blocking.surfaceTable(mentions).cache()
     val surfacePairs = stage("surface_pairs", tok)(
       Blocking.surfacePairs(surfaces, cfg.blocking))
     val surfaceScores = stage("surface_scores", tok)(
