@@ -43,6 +43,26 @@ package object functions {
       .otherwise(lower(s))
   }
 
+  /** Width of the positional suffix of a mention id: `#` + 6-digit turn_idx +
+    * 6-digit start. Width 6 (not 4) so 100k-turn conversations / very long
+    * turns can't silently collide ids or break the lexicographic-order
+    * invariant (mention_id order == (turn_idx, start) order) that decode
+    * tie-breaks and CC root selection rely on. */
+  val MentionIdSuffixLen: Int = 13
+
+  /** Canonical mention id: `conv_id#<turn_idx,6><start,6>` — sorts
+    * lexicographically in the reference's canonical mention order within a
+    * conversation (`/root/reference/.../coref/CorefDocAssembler.scala:473-475`). */
+  def mentionId(convId: Column, turnIdx: Column, start: Column): Column =
+    concat(convId, lit("#"),
+      lpad(turnIdx.cast("string"), 6, "0"),
+      lpad(start.cast("string"), 6, "0"))
+
+  /** Inverse of [[mentionId]]'s conv component: strip the fixed-width
+    * positional suffix. Robust to `#` inside conv_id (unlike substring_index). */
+  def convOfMentionId(id: Column): Column =
+    id.substr(lit(1), length(id) - lit(MentionIdSuffixLen))
+
   /** Word shape, run-length compressed (F2 analog:
     * `/root/reference/.../ner/NerFeaturizer.scala:171-188`):
     * uppercase→X, lowercase→x, digit→d, other kept; runs >2 collapsed. */

@@ -28,6 +28,9 @@ object ErOracle {
   val SnkPrefixLen = 6
   val Minhashes = 12
   val Bands = 4
+  val ExpansionSalt = 8
+  val SaltThreshold = 64
+  val MaxSelfMentions = 100000
 
   private def headKeySql(col: String): String = {
     val digits = s"regexp_extract($col, '([0-9]+)', 1)"
@@ -67,7 +70,7 @@ object ErOracle {
        |),
        |mentions AS MATERIALIZED (
        |  SELECT *,
-       |    conv_id || '#' || lpad(CAST(turn_idx AS STRING), 4, '0') || lpad(CAST(start AS STRING), 4, '0') AS mention_id,
+       |    conv_id || '#' || lpad(CAST(turn_idx AS STRING), 6, '0') || lpad(CAST(start AS STRING), 6, '0') AS mention_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, start) - 1 AS INT) AS m_seq,
        |    ${headKeySql("surface")} AS head_key,
        |    (mtype = 'PRONOMINAL') AS closed_class
@@ -201,19 +204,82 @@ object ErOracle {
        |    FROM bandp
        |  )
        |),
+       |-- surface self score: what the model assigns an exact-match pair of
+       |-- this surface (all similarity features identically 1.0, containment
+       |-- 0, abbrev only when the surface equals its own initials)
+       |sself AS (
+       |  SELECT s.norm,
+       |    ${wv("bias")}
+       |    + 1.0 * ${wv("head_match")}
+       |    + 1.0 * ${wv("exact_match")}
+       |    + 0.0 * ${wv("containment")}
+       |    + 1.0 * ${wv("token_jaccard")}
+       |    + 1.0 * ${wv("jaro_winkler")}
+       |    + 1.0 * ${wv("lev_sim")}
+       |    + (CASE WHEN s.norm = array_to_string(list_transform(s.toks, t -> substr(t, 1, 1)), '')
+       |       THEN 1.0 ELSE 0.0 END) * ${wv("abbrev")} AS score
+       |  FROM surfaces s JOIN scounts sc ON s.norm = sc.norm
+       |  WHERE sc.n_mentions >= 2
+       |),
+       |-- same-surface spanning chains (bucketed two-level for heavy surfaces)
+       |chainsrc AS (
+       |  SELECT m.mention_id, m.conv_id, m.m_seq, m.norm,
+       |    CASE WHEN sc.n_mentions > $SaltThreshold
+       |      THEN (instr('0123456789abcdef', substr(md5(m.mention_id), 1, 1)) - 1) % $ExpansionSalt
+       |      ELSE 0 END AS salt
+       |  FROM mentions m JOIN scounts sc ON m.norm = sc.norm
+       |  WHERE NOT m.closed_class AND sc.n_mentions >= 2
+       |),
+       |chain1 AS (
+       |  SELECT norm,
+       |    lag(mention_id) OVER w1 AS ant_id, mention_id AS cur_id,
+       |    lag(conv_id) OVER w1 AS conv_a, conv_id AS conv_c,
+       |    lag(m_seq) OVER w1 AS seq_a, m_seq AS seq_c
+       |  FROM chainsrc
+       |  WINDOW w1 AS (PARTITION BY norm, salt ORDER BY mention_id)
+       |),
+       |bmin AS (
+       |  SELECT norm, salt, min(mention_id) AS mention_id FROM chainsrc GROUP BY norm, salt
+       |),
+       |chain2 AS (
+       |  SELECT b.norm,
+       |    lag(b.mention_id) OVER w2 AS ant_id, b.mention_id AS cur_id,
+       |    lag(m.conv_id) OVER w2 AS conv_a, m.conv_id AS conv_c,
+       |    lag(m.m_seq) OVER w2 AS seq_a, m.m_seq AS seq_c
+       |  FROM bmin b JOIN mentions m ON b.mention_id = m.mention_id
+       |  WINDOW w2 AS (PARTITION BY b.norm ORDER BY b.mention_id)
+       |),
+       |chains AS (
+       |  SELECT ch.ant_id, ch.cur_id, 'x:self' AS block_key, s.score
+       |  FROM (SELECT * FROM chain1 UNION ALL SELECT * FROM chain2) ch
+       |  JOIN sself s ON ch.norm = s.norm
+       |  WHERE ch.ant_id IS NOT NULL
+       |    AND NOT (ch.conv_a = ch.conv_c AND abs(ch.seq_a - ch.seq_c) <= $MaxConvDist)
+       |),
+       |-- bridge expansion: ONE edge per linked surface pair, between the two
+       |-- surfaces' minimum mentions (same components as the full clique —
+       |-- every clique edge carries the identical surface-level score)
+       |smin AS (
+       |  SELECT sm.norm, sm.mention_id, m.conv_id, m.m_seq
+       |  FROM (SELECT norm, min(mention_id) AS mention_id
+       |        FROM mentions WHERE NOT closed_class GROUP BY norm) sm
+       |  JOIN mentions m ON sm.mention_id = m.mention_id
+       |),
        |globalx AS (
-       |  SELECT least(ma.mention_id, mb.mention_id) AS ant_id,
-       |         greatest(ma.mention_id, mb.mention_id) AS cur_id,
+       |  SELECT least(a.mention_id, b.mention_id) AS ant_id,
+       |         greatest(a.mention_id, b.mention_id) AS cur_id,
        |         s.block_key, s.score
        |  FROM (SELECT * FROM sscored WHERE score > 0.0) s
-       |  JOIN mentions ma ON ma.norm = s.norm_a AND NOT ma.closed_class
-       |  JOIN mentions mb ON mb.norm = s.norm_b AND NOT mb.closed_class
-       |  WHERE NOT (ma.conv_id = mb.conv_id AND abs(ma.m_seq - mb.m_seq) <= $MaxConvDist)
+       |  JOIN smin a ON s.norm_a = a.norm
+       |  JOIN smin b ON s.norm_b = b.norm
+       |  WHERE NOT (a.conv_id = b.conv_id AND abs(a.m_seq - b.m_seq) <= $MaxConvDist)
        |),
        |scoredall AS MATERIALIZED (
        |  SELECT ant_id, cur_id, block_key, score FROM bscored
        |  UNION ALL
        |  SELECT ant_id, cur_id, block_key, score FROM globalx
+       |  UNION ALL
+       |  SELECT ant_id, cur_id, block_key, score FROM chains
        |),
        |backptrs AS MATERIALIZED (
        |  SELECT cur_id, ant_id, score FROM (
@@ -232,6 +298,17 @@ object ErOracle {
        |    JOIN mentions ma ON ma.norm = s.norm_a AND NOT ma.closed_class
        |    JOIN mentions mb ON mb.norm = s.norm_b AND NOT mb.closed_class
        |    WHERE NOT (ma.conv_id = mb.conv_id AND abs(ma.m_seq - mb.m_seq) <= $MaxConvDist)
+       |    UNION ALL
+       |    -- same-surface cliques: two mentions of one normalized surface
+       |    -- share every blocking key by construction (capped + audited for
+       |    -- ultra-heavy surfaces)
+       |    SELECT ma.mention_id AS ant_id, mb.mention_id AS cur_id, 'x:self' AS block_key
+       |    FROM mentions ma
+       |    JOIN mentions mb ON ma.norm = mb.norm AND ma.mention_id < mb.mention_id
+       |    JOIN scounts sc ON ma.norm = sc.norm
+       |    WHERE NOT ma.closed_class AND NOT mb.closed_class
+       |      AND sc.n_mentions <= $MaxSelfMentions
+       |      AND NOT (ma.conv_id = mb.conv_id AND abs(ma.m_seq - mb.m_seq) <= $MaxConvDist)
        |  ) GROUP BY ant_id, cur_id
        |),
        |-- every backpointer edge points to a lexicographically smaller id, so

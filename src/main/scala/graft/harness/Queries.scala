@@ -20,7 +20,10 @@ object Queries {
       minhashes = ErOracle.Minhashes,
       bands = ErOracle.Bands,
       maxBlockSize = ErOracle.MaxBlockSize,
-      minhashImpl = "md5"),
+      minhashImpl = "md5",
+      expansionSalt = ErOracle.ExpansionSalt,
+      saltThreshold = ErOracle.SaltThreshold,
+      maxSelfMentions = ErOracle.MaxSelfMentions),
     mentionGenerator = "identifier")
 
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -39,7 +39,18 @@ object Blocking {
       enableLsh: Boolean = true,
       /** "xxhash64" (fast engine path) | "md5" (portable, DuckDB-reproducible
         * — used by the oracle-checked harness queries). */
-      minhashImpl: String = "xxhash64")
+      minhashImpl: String = "xxhash64",
+      /** Salt fan-out S for heavy-surface mention expansion / chaining. */
+      expansionSalt: Int = 8,
+      /** Surfaces with more mentions than this get salted into S deterministic
+        * buckets (`m_seq % S` — portable, no hash needed) wherever their
+        * mention set is joined or windowed. */
+      saltThreshold: Int = 64,
+      /** Eval-universe cap: surfaces above this mention count do not emit
+        * their same-surface clique into the candidate universe (audited —
+        * at that size the clique is quadratic even for evaluation; sample or
+        * raise deliberately). */
+      maxSelfMentions: Int = 100000)
 
   /** Distinct open-class surfaces: `(norm, head_key, toks, n_mentions)`.
     * head_key/toks are functions of norm, so `first` is deterministic. */
@@ -113,7 +124,9 @@ object Blocking {
   /** Candidate *surface* pairs `(norm_a, norm_b, block_key)`, `norm_a <
     * norm_b`, deduped across keys, oversize keys dropped (audited). */
   def surfacePairs(surfaces: DataFrame, cfg: Config = Config()): DataFrame = {
-    val keys = blockKeys(surfaces, cfg)
+    // keys feeds both the stats gate and the self-join legs — cache it or the
+    // minhash signatures (the expensive leg) are computed twice per run
+    val keys = blockKeys(surfaces, cfg).cache()
     val sized = keys.join(
       blockStats(keys, surfaces, cfg).filter(!col("oversize")).select(col("block_key")),
       Seq("block_key"))
@@ -137,17 +150,90 @@ object Blocking {
       .select(col("ant_id"), col("cur_id"), lit("conv").as("block_key"))
   }
 
-  /** Expand surface pairs to mention pairs (canonical `ant_id < cur_id`),
-    * excluding pairs already covered by the conversation band (those carry
-    * conversational features there). Used by the Pipeline on *linked*
-    * surface pairs, and by the B7 audits on all of them. */
-  def expandToMentionPairs(surfacePairs: DataFrame, mentions: DataFrame,
+  /** Per-surface open-class mention counts `(norm, n_mentions)` — the skew
+    * statistic every expansion path keys its salting decision on. */
+  def mentionCounts(mentions: DataFrame): DataFrame =
+    mentions.filter(!col("closed_class"))
+      .groupBy(col("norm")).agg(count(lit(1)).as("n_mentions"))
+
+  /** Deterministic, DuckDB-portable salt bucket for a mention of a surface
+    * with `n` mentions: heavy surfaces bucket on the first md5 nibble of the
+    * mention id — uniform for ANY mention pattern (a positional salt like
+    * `m_seq % S` degenerates when a surface always appears at the same turn
+    * position, e.g. a turn-0 greeting template). */
+  private def saltOf(n: Column, id: Column, cfg: Config): Column =
+    when(n > cfg.saltThreshold,
+      pmod(call_function("instr", lit("0123456789abcdef"),
+        substring(md5(id.cast("binary")), 1, 1)) - 1, lit(cfg.expansionSalt)))
+      .otherwise(0).cast("int")
+
+  /** Same-surface spanning chains — the implicit self-link of every repeated
+    * surface (two mentions with an identical normalized surface are candidate
+    * coreferent wherever they occur; without this leg, single-surface
+    * entities can never merge across conversations). For transitive
+    * clustering a spanning tree suffices, so this emits `n-1` *chain* edges
+    * per surface (consecutive mentions in mention_id order), not the `n²/2`
+    * clique: linear in mentions, no skew. Heavy surfaces are bucketed
+    * (`m_seq % S`) and chained two-level — within each bucket, plus a chain
+    * over the bucket minima — so no single task ever sorts more than ~n/S
+    * rows of one surface. In-band pairs are excluded: the conversation band
+    * already scores them, with a strictly higher score (same features +
+    * dist_decay ≥ 0), so connectivity is preserved.
+    * Output: `(ant_id, cur_id, norm)` with `ant_id < cur_id`. */
+  def sameSurfaceChainPairs(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = mentions.filter(!col("closed_class"))
+      .join(mentionCounts(mentions), "norm")
+      .filter(col("n_mentions") >= 2)
+      .select(col("norm"), col("mention_id"), col("conv_id"), col("m_seq"),
+        saltOf(col("n_mentions"), col("mention_id"), cfg).as("salt"))
+    val wBucket = Window.partitionBy(col("norm"), col("salt")).orderBy(col("mention_id"))
+    val leg1 = src
+      .select(col("norm"),
+        lag(col("mention_id"), 1).over(wBucket).as("ant_id"),
+        col("mention_id").as("cur_id"),
+        lag(col("conv_id"), 1).over(wBucket).as("conv_a"),
+        col("conv_id").as("conv_c"),
+        lag(col("m_seq"), 1).over(wBucket).as("seq_a"),
+        col("m_seq").as("seq_c"))
+    val bucketMin = src.groupBy(col("norm"), col("salt"))
+      .agg(min(col("mention_id")).as("mention_id"))
+      .join(mentions.select(col("mention_id"), col("conv_id"), col("m_seq")), "mention_id")
+    val wSurface = Window.partitionBy(col("norm")).orderBy(col("mention_id"))
+    val leg2 = bucketMin
+      .select(col("norm"),
+        lag(col("mention_id"), 1).over(wSurface).as("ant_id"),
+        col("mention_id").as("cur_id"),
+        lag(col("conv_id"), 1).over(wSurface).as("conv_a"),
+        col("conv_id").as("conv_c"),
+        lag(col("m_seq"), 1).over(wSurface).as("seq_a"),
+        col("m_seq").as("seq_c"))
+    leg1.unionByName(leg2)
+      .filter(col("ant_id").isNotNull &&
+        !(col("conv_a") === col("conv_c") &&
+          abs(col("seq_a") - col("seq_c")) <= cfg.maxConvDist))
+      .select(col("ant_id"), col("cur_id"), col("norm"))
+  }
+
+  /** Bridge expansion of *linked* surface pairs: ONE mention-pair edge per
+    * linked surface pair — (min mention of `norm_a`) × (min mention of
+    * `norm_b`). A single bridge provably yields the same connected components
+    * as the full n_a×n_b clique: all same-surface mentions are already
+    * connected by [[sameSurfaceChainPairs]], and every clique edge of a
+    * linked pair would carry the identical surface-level score (the score is
+    * a pure function of the two surfaces). Cost: O(|linked pairs|) instead of
+    * O(Σ n_a·n_b) — this is what kills the heavy-surface quadratic at 10^12
+    * turns. Joins hit exactly one row per norm: uniform keys, no salt needed.
+    * In-band bridges are excluded (the band scores them strictly higher). */
+  def bridgePairs(linkedSurfacePairs: DataFrame, mentions: DataFrame,
       cfg: Config = Config(), extraCols: Seq[String] = Nil): DataFrame = {
-    val m = mentions.filter(!col("closed_class"))
+    val smin = mentions.filter(!col("closed_class"))
+      .groupBy(col("norm")).agg(min(col("mention_id")).as("mention_id"))
+      .join(mentions.select(col("mention_id"), col("conv_id"), col("m_seq")), "mention_id")
       .select(col("norm"), col("mention_id"), col("conv_id"), col("m_seq"))
-    val a = m.toDF("norm_a", "id_a", "conv_a", "seq_a")
-    val b = m.toDF("norm_b", "id_b", "conv_b", "seq_b")
-    surfacePairs.join(a, "norm_a").join(b, "norm_b")
+    val a = smin.toDF("norm_a", "id_a", "conv_a", "seq_a")
+    val b = smin.toDF("norm_b", "id_b", "conv_b", "seq_b")
+    linkedSurfacePairs.join(a, "norm_a").join(b, "norm_b")
       .filter(!(col("conv_a") === col("conv_b") &&
         abs(col("seq_a") - col("seq_b")) <= cfg.maxConvDist))
       .select(Seq(least(col("id_a"), col("id_b")).as("ant_id"),
@@ -155,11 +241,61 @@ object Blocking {
         col("block_key")) ++ extraCols.map(col): _*)
   }
 
-  /** Full candidate mention-pair universe (band ∪ expanded surface blocks) —
-    * the evaluation/B7 universe; the execution path never materializes the
-    * unlinked global expansion. */
+  /** Expand surface pairs to ALL mention pairs (canonical `ant_id < cur_id`),
+    * excluding pairs already covered by the conversation band. This is the
+    * full n_a×n_b expansion — used by the *evaluation* universe (B7 /
+    * "labeled pairs sharing a blocking key"); the execution path uses
+    * [[bridgePairs]]+[[sameSurfaceChainPairs]] instead. Runs as the north
+    * rule's salted, skew-aware shuffle-hash join: a surface above
+    * `saltThreshold` mentions has its mention side split into
+    * `expansionSalt` deterministic buckets and the pair side replicated
+    * across them, so no reducer owns a heavy surface's whole n_a×n_b block.
+    * Accepts self pairs (`norm_a == norm_b`, the same-surface clique); self
+    * rows (`id_a == id_b`) are dropped. */
+  def expandToMentionPairs(surfacePairs: DataFrame, mentions: DataFrame,
+      cfg: Config = Config(), extraCols: Seq[String] = Nil): DataFrame = {
+    val counts = mentionCounts(mentions)
+    val m = mentions.filter(!col("closed_class"))
+      .join(counts, "norm")
+      .select(col("norm"), col("mention_id"), col("conv_id"), col("m_seq"),
+        saltOf(col("n_mentions"), col("mention_id"), cfg).as("salt"))
+    val a = m.toDF("norm_a", "id_a", "conv_a", "seq_a", "salt_a")
+    val b = m.toDF("norm_b", "id_b", "conv_b", "seq_b", "salt_b")
+    def saltsFor(n: Column): Column =
+      when(n > cfg.saltThreshold, sequence(lit(0), lit(cfg.expansionSalt - 1)))
+        .otherwise(array(lit(0)))
+    val p = surfacePairs
+      .join(counts.select(col("norm").as("norm_a"), col("n_mentions").as("n_a")), "norm_a")
+      .join(counts.select(col("norm").as("norm_b"), col("n_mentions").as("n_b")), "norm_b")
+    p.withColumn("salt_a", explode(saltsFor(col("n_a"))))
+      .join(a.hint("shuffle_hash"), Seq("norm_a", "salt_a"))
+      .withColumn("salt_b", explode(saltsFor(col("n_b"))))
+      .join(b.hint("shuffle_hash"), Seq("norm_b", "salt_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(!(col("conv_a") === col("conv_b") &&
+        abs(col("seq_a") - col("seq_b")) <= cfg.maxConvDist))
+      .select(Seq(least(col("id_a"), col("id_b")).as("ant_id"),
+        greatest(col("id_a"), col("id_b")).as("cur_id"),
+        col("block_key")) ++ extraCols.map(col): _*)
+  }
+
+  /** Same-surface self pairs for the eval universe: every surface repeated
+    * 2..maxSelfMentions times contributes its clique (capped + implicitly
+    * audited via [[mentionCounts]]). */
+  def selfSurfacePairs(mentions: DataFrame, cfg: Config = Config()): DataFrame =
+    mentionCounts(mentions)
+      .filter(col("n_mentions") >= 2 && col("n_mentions") <= cfg.maxSelfMentions)
+      .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
+        lit("x:self").as("block_key"))
+
+  /** Full candidate mention-pair universe (band ∪ expanded surface blocks ∪
+    * same-surface cliques) — the evaluation/B7 universe; the execution path
+    * never materializes the unlinked global expansion. */
   def candidatePairs(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
-    val global = expandToMentionPairs(surfacePairs(surfaceTable(mentions), cfg), mentions, cfg)
+    val global = expandToMentionPairs(
+      surfacePairs(surfaceTable(mentions), cfg)
+        .unionByName(selfSurfacePairs(mentions, cfg)),
+      mentions, cfg)
     convBandPairs(mentions, cfg).unionByName(global)
       .groupBy(col("ant_id"), col("cur_id"))
       .agg(min(col("block_key")).as("block_key"))

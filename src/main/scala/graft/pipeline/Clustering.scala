@@ -73,10 +73,15 @@ object Clustering {
     * edges in one pass; returns `(id, local_root)`. */
   def localRoots(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val convOf = (id: String) => id.substring(0, id.lastIndexOf('#'))
+    // canonical conv-key extraction: fixed-width positional suffix strip —
+    // MUST agree with the column-side graft.functions.convOfMentionId used by
+    // `cluster`'s edge classification, or a conv_id containing '#' could pass
+    // the within-conversation filter yet group under different local graphs.
+    val convOf = (id: String) => id.dropRight(graft.functions.MentionIdSuffixLen)
     val nodeByConv = nodes.select(col("id")).as[String].map(id => (convOf(id), id, id))
     val edgeByConv = edges
-      .filter(expr("substring_index(src, '#', 1)") === expr("substring_index(dst, '#', 1)"))
+      .filter(graft.functions.convOfMentionId(col("src")) ===
+        graft.functions.convOfMentionId(col("dst")))
       .as[(String, String)].map { case (s, d) => (convOf(s), s, d) }
     nodeByConv.union(edgeByConv)
       .groupByKey(_._1)
@@ -116,7 +121,8 @@ object Clustering {
 
     // contract: cross-conversation edges between local roots
     val cross = edges.filter(
-      expr("substring_index(src, '#', 1)") =!= expr("substring_index(dst, '#', 1)"))
+      graft.functions.convOfMentionId(col("src")) =!=
+        graft.functions.convOfMentionId(col("dst")))
     val crossRoots = cross
       .join(local.withColumnRenamed("id", "src").withColumnRenamed("local_root", "src_root"), "src")
       .join(local.withColumnRenamed("id", "dst").withColumnRenamed("local_root", "dst_root"), "dst")
@@ -137,8 +143,25 @@ object Clustering {
       .filter(col("sz") > 1).drop("sz")
   }
 
-  /** C4: dense relabel (`OrderedClustering.scala:61-67`). */
-  def denseRelabel(clusters: DataFrame): DataFrame =
-    clusters.withColumn("cluster_idx",
-      dense_rank().over(Window.orderBy(col("cluster_id"))) - 1)
+  /** C4: dense relabel (`OrderedClustering.scala:61-67`). Scalable two-pass
+    * (NOT a global-order window, which would funnel every row through one
+    * partition): range-partition the distinct cluster ids, number locally,
+    * then add exclusive per-partition offsets (a num-partitions-sized
+    * cumulative sum). */
+  def denseRelabel(clusters: DataFrame): DataFrame = {
+    val distinctIds = clusters.select(col("cluster_id")).distinct()
+      .repartitionByRange(col("cluster_id"))
+    val withLocal = distinctIds
+      .withColumn("part", spark_partition_id())
+      .withColumn("local_idx",
+        row_number().over(Window.partitionBy(col("part")).orderBy(col("cluster_id"))).cast("long") - 1)
+    val offsets = withLocal.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("part"), col("offset")) // one row per partition — tiny
+    val indexed = withLocal.join(broadcast(offsets), "part")
+      .select(col("cluster_id"), (col("offset") + col("local_idx")).as("cluster_idx"))
+    clusters.join(indexed, "cluster_id")
+  }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{headKey, normSurface}
+import graft.functions.{headKey, mentionId, normSurface}
 
 /** Mention extraction: transcript turns → mention rows (the row-generator of
   * SURVEY.md §2.2). Three candidate generators, union'd + deduped like the
@@ -19,7 +19,7 @@ import graft.functions.{headKey, normSurface}
   *    determiner).
   *
   * Mention identity is positional and deterministic: `mention_id =
-  * conv_id#<turn,4><start,4>` sorts lexicographically in the reference's
+  * conv_id#<turn,6><start,6>` sorts lexicographically in the reference's
   * canonical mention order within a conversation
   * (`CorefDocAssembler.scala:473-475`); `m_seq` is the dense per-conversation
   * index assigned by a window, never `monotonically_increasing_id`
@@ -118,8 +118,6 @@ object Mentions {
       .withColumn("closed_class", col("mtype").isin("PRONOMINAL", "NOMINAL"))
       .withColumn("m_seq", (row_number().over(wConv) - 1).cast("int"))
       .withColumn("mention_id",
-        concat(col("conv_id"), lit("#"),
-          lpad(col("turn_idx").cast("string"), 4, "0"),
-          lpad(col("start").cast("string"), 4, "0")))
+        mentionId(col("conv_id"), col("turn_idx"), col("start")))
   }
 }

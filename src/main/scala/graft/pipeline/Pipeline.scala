@@ -70,19 +70,31 @@ object Pipeline {
       Blocking.surfacePairs(surfaces, cfg.blocking))
     val surfaceScores = stage("surface_scores", tok)(
       Scoring.scoreSurfacePairs(surfacePairs, surfaces, cfg.weights))
-    // mention-level scored pairs: conversation band with full conversational
-    // features ∪ the expansion of *linked* surface pairs (coarse-to-fine:
-    // sub-threshold surface pairs never materialize at mention granularity)
+    // mention-level scored pairs, three legs (all linear in mentions +
+    // linked surface pairs — no quadratic expansion anywhere):
+    //  - conversation band with full conversational features;
+    //  - same-surface chains (spanning tree per repeated surface, bucketed
+    //    for heavy surfaces) carrying the surface self-score;
+    //  - ONE bridge edge per *linked* surface pair (coarse-to-fine:
+    //    sub-threshold surface pairs never materialize at mention
+    //    granularity; a single bridge yields the same connected components
+    //    as the full clique because every clique edge would carry the
+    //    identical surface-level score).
     val scored = stage("scores", tok) {
       val band = Scoring.scorePairs(
         Blocking.convBandPairs(mentions, cfg.blocking), mentions, cfg.weights)
         .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       val linked = surfaceScores.filter(col("score") > cfg.linkThreshold)
         .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
-      val global = Blocking.expandToMentionPairs(linked, mentions, cfg.blocking,
+      val bridge = Blocking.bridgePairs(linked, mentions, cfg.blocking,
         extraCols = Seq("score"))
-      band.unionByName(global.select(col("ant_id"), col("cur_id"),
-        col("block_key"), col("score")))
+      val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking)
+        .join(Scoring.selfScores(surfaces, cfg.weights).hint("shuffle_hash"), "norm")
+        .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
+      band
+        .unionByName(bridge.select(col("ant_id"), col("cur_id"),
+          col("block_key"), col("score")))
+        .unionByName(chains)
     }
     val backptrs = stage("backptrs", tok)(Decode.backpointers(scored, cfg.linkThreshold))
     val clusters = stage("clusters", tok) {

@@ -152,6 +152,19 @@ object Scoring {
         col("f_abbrev"), col("score"))
   }
 
+  /** Per-surface *self* score — the score the model assigns to an exact-match
+    * pair of this surface (norm vs itself). Attached to the same-surface
+    * chain edges ([[Blocking.sameSurfaceChainPairs]]): every chain edge of a
+    * surface carries the identical, surface-pure score, so it is computed
+    * once per distinct repeated surface. Output: `(norm, block_key, score)`. */
+  def selfScores(surfaces: DataFrame, w: Weights = DefaultWeights): DataFrame = {
+    val self = surfaces.filter(col("n_mentions") >= 2)
+      .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
+        lit("x:self").as("block_key"))
+    scoreSurfacePairs(self, surfaces, w)
+      .select(col("norm_a").as("norm"), col("block_key"), col("score"))
+  }
+
   /** Full scoring stage: pairs + mentions → scored pairs. */
   def scorePairs(pairs: DataFrame, mentions: DataFrame,
       w: Weights = DefaultWeights): DataFrame =

@@ -40,9 +40,8 @@ object StreamingAssembly {
         col("tok").as("surface"),
         when(lower(col("tok")).isin(Pronouns: _*), "PRONOMINAL")
           .otherwise("PROPER").as("mtype"),
-        concat(col("conv_id"), lit("#"),
-          lpad(col("turn_idx").cast("string"), 4, "0"),
-          lpad(col("pos").cast("string"), 4, "0")).as("mention_id"),
+        graft.functions.mentionId(col("conv_id"), col("turn_idx"), col("pos"))
+          .as("mention_id"),
         col("role"), col("ts"))
   }
 
