@@ -175,10 +175,11 @@ object SparkEntry {
       """SELECT role, mtype, CAST(count(*) AS BIGINT) AS n
         |FROM mentions GROUP BY ROLLUP(role, mtype)""".stripMargin),
 
-    // training-data pipeline ops (dd_simhash is xxhash64-based: rows-only)
+    // training-data pipeline ops
     "dd_exact" -> OpsOracle.ddExact,
     "dd_minhash_lsh" -> OpsOracle.ddMinhashLsh(),
     "dd_ngram_jaccard" -> OpsOracle.ddNgramJaccard(),
+    "dd_simhash" -> OpsOracle.ddSimhash(),
     "dd_embedding" -> OpsOracle.ddEmbedding(),
     "sim_topk_brute" -> OpsOracle.simTopKBrute(),
     "sim_ann_lsh" -> OpsOracle.simAnnLsh(),

@@ -68,15 +68,31 @@ object OpsOracle {
        |) WHERE jacc >= $threshold""".stripMargin
   }
 
-  def ddNgramJaccard(threshold: Double = 0.7): String =
+  def ddNgramJaccard(threshold: Double = 0.7, minhashes: Int = 12,
+      bands: Int = 6): String = {
+    val rpb = minhashes / bands
+    val sigCols = (0 until minhashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS h$i").mkString(",\n    ")
+    val bandKeys = (0 until bands).map { b =>
+      val hs = (0 until rpb).map(r => s"h${b * rpb + r}")
+      s"SELECT ${(s"'b$b'" +: hs).mkString(" || ':' || ")} AS bk, doc_id FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH $docCorpusCte,
        |$wordShinglesCte,
        |banded AS (SELECT doc_id, sh, CAST(floor(length(text) / 16) AS BIGINT) AS b0 FROM wsh),
+       |sigs AS (SELECT doc_id, $sigCols FROM wsh),
+       |bks AS (
+       |  $bandKeys
+       |),
+       |keyed AS (
+       |  SELECT b.doc_id, CAST(u.bucket AS STRING) || '|' || k.bk AS key
+       |  FROM banded b
+       |  JOIN (SELECT doc_id, unnest([b0, b0 + 1]) AS bucket FROM banded) u ON b.doc_id = u.doc_id
+       |  JOIN bks k ON b.doc_id = k.doc_id
+       |),
        |cands AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM (SELECT doc_id, unnest([b0, b0 + 1]) AS bucket FROM banded) l
-       |  JOIN (SELECT doc_id, unnest([b0, b0 + 1]) AS bucket FROM banded) r
-       |    ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  FROM keyed l JOIN keyed r ON l.key = r.key AND l.doc_id < r.doc_id
        |  GROUP BY l.doc_id, r.doc_id
        |)
        |SELECT doc_a, doc_b, round(jacc, 6) AS jacc_r FROM (
@@ -85,6 +101,47 @@ object OpsOracle {
        |  JOIN (SELECT doc_id, sh AS sh_a FROM banded) l ON c.doc_a = l.doc_id
        |  JOIN (SELECT doc_id, sh AS sh_b FROM banded) r ON c.doc_b = r.doc_id
        |) WHERE jacc >= $threshold""".stripMargin
+  }
+
+  /** Portable md5-nibble SimHash (two 32-bit halves) — mirrors
+    * graft.ops.Dedup.simhashPortable. */
+  def ddSimhash(maxHamming: Int = 3): String = {
+    def half(offset: Int): String = (0 until 32).map { b =>
+      val nib = (offset + b) / 4 + 1
+      val bit = (offset + b) % 4
+      s"""(CASE WHEN list_sum(list_transform(nibs,
+         | nv -> CASE WHEN (nv[$nib] >> $bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN (1::BIGINT << $b) ELSE 0::BIGINT END)""".stripMargin.replace("\n", "")
+    }.mkString("\n    + ")
+    s"""WITH $docCorpusCte,
+       |$wordShinglesCte,
+       |hexes AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hx FROM wsh),
+       |nibsrc AS (
+       |  SELECT doc_id, list_transform(hx, h -> list_transform(range(1, 17),
+       |    i -> CAST(instr('0123456789abcdef', substr(h, i, 1)) - 1 AS INT))) AS nibs
+       |  FROM hexes
+       |),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    ${half(32)} AS h_hi,
+       |    ${half(0)} AS h_lo
+       |  FROM nibsrc
+       |),
+       |keyed AS (
+       |  SELECT doc_id, h_hi, h_lo, unnest([
+       |    '0:' || CAST(h_lo & 65535 AS STRING),
+       |    '1:' || CAST((h_lo >> 16) & 65535 AS STRING),
+       |    '2:' || CAST(h_hi & 65535 AS STRING),
+       |    '3:' || CAST((h_hi >> 16) & 65535 AS STRING)]) AS bk
+       |  FROM hashes
+       |)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    min(CAST(bit_count(xor(l.h_hi, r.h_hi)) + bit_count(xor(l.h_lo, r.h_lo)) AS INT)) AS hamming
+       |  FROM keyed l JOIN keyed r ON l.bk = r.bk AND l.doc_id < r.doc_id
+       |  GROUP BY l.doc_id, r.doc_id
+       |) WHERE hamming <= $maxHamming""".stripMargin
+  }
 
   // ---- embeddings ---------------------------------------------------------
 
@@ -119,33 +176,60 @@ object OpsOracle {
        |  FROM cosed
        |) WHERE rank <= $k""".stripMargin
 
-  def simAnnLsh(k: Int = 5, queryMod: Int = 50, bits: Int = 8, seed: Long = 42L): String = {
-    val planes = graft.ops.Similarity.hyperplanes(bits, seed)
-    val bucketExpr = planes.map { p =>
-      val dot = (1 to graft.ops.Similarity.Dim)
-        .map(i => s"emb[$i] * ${p(i - 1)}").mkString(" + ")
-      s"(CASE WHEN ($dot) >= 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
+  /** Multi-table sign-LSH key legs — mirrors graft.ops.Similarity.lshKeys
+    * (plane values are the same seeded plan literals). */
+  private def lshKeyedSql(bits: Int, tables: Int, seed: Long): String =
+    (0 until tables).map { t =>
+      val planes = graft.ops.Similarity.hyperplanes(bits, seed + t)
+      val bucketExpr = planes.map { p =>
+        val dot = (1 to graft.ops.Similarity.Dim)
+          .map(i => s"emb[$i] * ${p(i - 1)}").mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"SELECT vec_id, '$t:' || $bucketExpr AS bucket FROM ecorpus"
+    }.mkString("\n  UNION ALL\n  ")
+
+  def simAnnLsh(k: Int = 5, queryMod: Int = 50, bits: Int = 8,
+      seed: Long = 42L, tables: Int = 4): String =
     s"""WITH $embCorpusCte,
-       |bucketed AS (SELECT vec_id, emb, nrm, $bucketExpr AS bucket FROM ecorpus),
-       |cosed AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
-       |    round((${dotSql("q.emb", "c.emb")}) / (q.nrm * c.nrm), 6) AS cos_r
-       |  FROM bucketed q JOIN bucketed c
+       |keyed AS (
+       |  ${lshKeyedSql(bits, tables, seed)}
+       |),
+       |cands AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS nb_id
+       |  FROM keyed q JOIN keyed c
        |    ON q.bucket = c.bucket AND q.vec_id % $queryMod = 0 AND q.vec_id <> c.vec_id
+       |  GROUP BY q.vec_id, c.vec_id
+       |),
+       |cosed AS (
+       |  SELECT cd.q_id, cd.nb_id,
+       |    round((${dotSql("q.emb", "c.emb")}) / (q.nrm * c.nrm), 6) AS cos_r
+       |  FROM cands cd
+       |  JOIN ecorpus q ON cd.q_id = q.vec_id
+       |  JOIN ecorpus c ON cd.nb_id = c.vec_id
        |)
        |SELECT q_id, nb_id, cos_r, rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nb_id ASC) AS INT) AS rank
        |  FROM cosed
        |) WHERE rank <= $k""".stripMargin
-  }
 
-  def ddEmbedding(threshold: Double = 0.99): String =
-    s"""WITH $embCorpusCte
+  def ddEmbedding(threshold: Double = 0.99, bits: Int = 8,
+      seed: Long = 42L, tables: Int = 4): String =
+    s"""WITH $embCorpusCte,
+       |keyed AS (
+       |  ${lshKeyedSql(bits, tables, seed)}
+       |),
+       |cands AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM keyed l JOIN keyed r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  GROUP BY l.vec_id, r.vec_id
+       |)
        |SELECT vec_a, vec_b, round(cos, 6) AS cos_r FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT c.vec_a, c.vec_b,
        |    (${dotSql("a.emb", "b.emb")}) / (a.nrm * b.nrm) AS cos
-       |  FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+       |  FROM cands c
+       |  JOIN ecorpus a ON c.vec_a = a.vec_id
+       |  JOIN ecorpus b ON c.vec_b = b.vec_id
        |) WHERE cos >= $threshold""".stripMargin
 
   // ---- text analysis (over raw documents) ---------------------------------

@@ -194,10 +194,11 @@ object Queries {
       impl = "md5")
 
   def ddNgramJaccardQ(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Dedup.ngramJaccard(graft.ops.Dedup.corpus(documents(spark, sfDir)))
+    graft.ops.Dedup.ngramJaccard(graft.ops.Dedup.corpus(documents(spark, sfDir)),
+      impl = "md5")
 
   def ddSimhashQ(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Dedup.simhash(graft.ops.Dedup.corpus(documents(spark, sfDir)))
+    graft.ops.Dedup.simhashPortable(graft.ops.Dedup.corpus(documents(spark, sfDir)))
 
   def ddEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Similarity.embeddingNearDup(

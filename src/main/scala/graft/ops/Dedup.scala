@@ -78,19 +78,31 @@ object Dedup {
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc_r"))
 
-  /** N-gram Jaccard near-dup with char-length banding: each doc keys into
-    * its 16-char-length bucket and the next one, so near-equal-length pairs
-    * meet without a quadratic self-join. */
-  def ngramJaccard(corpus: DataFrame, threshold: Double = 0.7): DataFrame = {
+  /** N-gram Jaccard near-dup banded on (length-bucket × minhash band). A
+    * length bucket alone is a degenerate blocking key — real corpora
+    * concentrate lengths, so one 16-char bucket holds O(n) docs and the
+    * self-join inside it goes quadratic. Composing each of the doc's two
+    * length buckets {b, b+1} with its minhash band keys keeps the
+    * length-compatibility semantics while bounding every block to docs that
+    * also collide on content. */
+  def ngramJaccard(corpus: DataFrame, threshold: Double = 0.7,
+      minhashes: Int = 12, bands: Int = 6, impl: String = "xxhash64"): DataFrame = {
     val withSh = corpus.select(col("doc_id"),
       wordShingles(col("text")).as("sh"), length(col("text")).as("len"))
-    // both sides emit {bucket, bucket+1} so any |bucket diff| <= 1 pair meets
-    // regardless of id orientation
-    val l = withSh.select(col("doc_id").as("doc_a"),
-      explode(array(floor(col("len") / 16), floor(col("len") / 16) + 1)).as("bucket"))
-    val r = withSh.select(col("doc_id").as("doc_b"),
-      explode(array(floor(col("len") / 16), floor(col("len") / 16) + 1)).as("bucket"))
-    val cands = l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+    val sig = if (impl == "md5") minhashSignatureMd5(col("sh"), minhashes)
+      else minhashSignature(col("sh"), minhashes)
+    val keyed = withSh
+      .select(col("doc_id"), sig.as("sig"), col("len"))
+      .select(col("doc_id"), col("len"),
+        explode(lshBandKeys(col("sig"), bands, minhashes / bands)).as("bk"))
+      .select(col("doc_id"),
+        explode(array(floor(col("len") / 16), floor(col("len") / 16) + 1)).as("bucket"),
+        col("bk"))
+      .select(col("doc_id"),
+        concat(col("bucket").cast("string"), lit("|"), col("bk")).as("key"))
+    val cands = keyed.select(col("key"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("key"), col("doc_id").as("doc_b")), Seq("key"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cands, withSh, threshold)
   }
@@ -114,6 +126,52 @@ object Dedup {
     l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(hamming64(col("h_a"), col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Portable (DuckDB-reproducible) SimHash: per-shingle 64-bit hash from the
+    * first 16 md5 nibbles, carried as two 32-bit halves (DuckDB BIGINT cannot
+    * shift into bit 63). Same banding + verify shape as [[simhash]]; this
+    * variant backs the fully-oracled `dd_simhash` harness query while the
+    * engine path stays xxhash64. */
+  def simhashPortable(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Column
+    val hexes = corpus
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s => md5(s.cast("binary"))).as("hx"))
+    val nibs = hexes.select(col("doc_id"),
+      transform(col("hx"), h =>
+        transform(sequence(lit(1), lit(16)), i =>
+          (call_function("instr", lit("0123456789abcdef"),
+            call_function("substring", h, i, lit(1))) - 1).cast("int"))).as("nibs"))
+    // 32 sign-sum bits per half; nibs is a materialized column reference so
+    // the 64 aggregates don't each re-hash the shingles
+    def half(offset: Int): Column = (0 until 32).map { b =>
+      val nib = (offset + b) / 4 + 1
+      val bit = (offset + b) % 4
+      val bitSum = aggregate(col("nibs"), lit(0L), (acc, nv) =>
+        acc + when(shiftright(element_at(nv, nib).cast("long"), bit)
+          .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val withH = nibs.select(col("doc_id"), half(32).as("h_hi"), half(0).as("h_lo"))
+    val keyed = withH.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      explode(array(
+        concat(lit("0:"), col("h_lo").bitwiseAND(lit(0xffffL)).cast("string")),
+        concat(lit("1:"), shiftright(col("h_lo"), 16).bitwiseAND(lit(0xffffL)).cast("string")),
+        concat(lit("2:"), col("h_hi").bitwiseAND(lit(0xffffL)).cast("string")),
+        concat(lit("3:"), shiftright(col("h_hi"), 16).bitwiseAND(lit(0xffffL)).cast("string"))))
+        .as("bk"))
+    val l = keyed.select(col("bk"), col("doc_id").as("doc_a"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+    val r = keyed.select(col("bk"), col("doc_id").as("doc_b"),
+      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
+    l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -74,33 +74,61 @@ object Similarity {
     concat(bits: _*)
   }
 
-  /** ANN via sign-LSH: probe only the query's bucket. Returns per-query top-k
-    * within bucket; recall vs [[bruteTopK]] is measured in OpsSpec. */
+  /** Multi-table sign-LSH bucket keys: `tables` independent plane sets (seed
+    * + t), each key prefixed by its table index. A vector emits `tables`
+    * keys; two vectors are candidates when ANY table buckets them together —
+    * the standard recall amplifier (P[miss] = Π per-table miss). */
+  def lshKeys(corpus: DataFrame, bits: Int, tables: Int, seed: Long): DataFrame =
+    (0 until tables).map { t =>
+      val planes = hyperplanes(bits, seed + t)
+      corpus.select(col("vec_id"),
+        concat(lit(s"$t:"), signBucket(col("emb"), planes)).as("bucket"))
+    }.reduce(_ unionByName _)
+
+  /** ANN via multi-table sign-LSH: candidate ids are gathered from every
+    * table's bucket (deduped id-only — the bucket join never carries the
+    * embedding payload), then scored exactly and top-k'd. Recall is gated in
+    * OpsSpec against [[bruteTopK]] on a planted-neighbor corpus. */
   def annLsh(corpus: DataFrame, k: Int = 5, queryMod: Int = 50,
-      bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bits, seed)
-    val bucketed = corpus.withColumn("bucket", signBucket(col("emb"), planes))
-    val queries = bucketed.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
-    val cands = bucketed.select(col("vec_id").as("nb_id"), col("emb").as("nb_emb"),
-      col("nrm").as("nb_nrm"), col("bucket"))
+      bits: Int = 8, seed: Long = 42L, tables: Int = 4): DataFrame = {
+    val keyed = lshKeys(corpus, bits, tables, seed)
+    val qIds = keyed.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    val candIds = qIds
+      .join(keyed.select(col("vec_id").as("nb_id"), col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("nb_id"))
+      .select("q_id", "nb_id").distinct()
+    val q = corpus.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val c = corpus.select(col("vec_id").as("nb_id"), col("emb").as("nb_emb"),
+      col("nrm").as("nb_nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("nb_id").asc)
-    queries.join(cands, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+    candIds.join(q, "q_id").join(c, "nb_id")
       .select(col("q_id"), col("nb_id"),
         round(cosPre(col("q_emb"), col("nb_emb"), col("q_nrm"), col("nb_nrm")), 6).as("cos_r"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (>= threshold, default 0.99). */
-  def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.99): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs (>= threshold, default 0.99) —
+    * bucketed, never all-pairs: candidates come from a multi-table sign-LSH
+    * bucket self-join (at cos 0.99 the per-table same-bucket probability is
+    * ~0.9, so 4 tables miss ~1e-4 of true pairs), then exact-cosine verify.
+    * Shuffles only on bucket keys; the verify joins fetch each embedding by
+    * unique id. */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.99,
+      bits: Int = 8, seed: Long = 42L, tables: Int = 4): DataFrame = {
+    val keyed = lshKeys(corpus, bits, tables, seed)
+    val cands = keyed.select(col("bucket"), col("vec_id").as("vec_a"))
+      .join(keyed.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
     val l = corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))
     val r = corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
       col("nrm").as("nrm_b"))
-    l.join(r, col("vec_a") < col("vec_b"))
+    cands.join(l, "vec_a").join(r, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -72,20 +72,54 @@ class OpsSpec extends SparkSuite {
     assert(topk.groupBy("q_id").count().filter(col("count") =!= 5).count() === 0)
   }
 
-  test("ann-lsh: same-bucket recall vs brute force, measured") {
-    val brute = Similarity.bruteTopK(embCorpus, k = 5)
-      .select(col("q_id"), col("nb_id"))
-    val ann = Similarity.annLsh(embCorpus, k = 5, bits = 4)
+  test("ann-lsh: recall@5 >= 0.9 vs brute force on planted true neighbors") {
+    // A meaningful ANN gate needs queries with *actual* near neighbors —
+    // uniform random vectors have none (organic top-5 sits at cos ~0.3-0.44,
+    // where no sublinear index can reach high recall). Plant 5 graded
+    // neighbors (cos ~0.99+) per query; brute-force top-5 is ground truth.
+    val queries = embCorpus.filter(col("vec_id") % 50 === 0)
+    val planted = (1 to 5).map { j =>
+      queries.select((col("vec_id") + 7000001L * j).as("vec_id"),
+        concat(array(element_at(col("emb"), 1) + lit(0.15 * j)),
+          slice(col("emb"), 2, Similarity.Dim - 1)).as("emb"))
+    }.reduce(_ unionByName _)
+    val annCorpus = embCorpus.select("vec_id", "emb").unionByName(planted)
+      .withColumn("nrm", sqrt(Similarity.dot64(col("emb"), col("emb"))))
+      .cache()
+    val brute = Similarity.bruteTopK(annCorpus, k = 5)
+      .select(col("q_id"), col("nb_id")).cache()
+    val ann = Similarity.annLsh(annCorpus, k = 5)
       .select(col("q_id"), col("nb_id"))
     val inter = brute.join(ann, Seq("q_id", "nb_id"), "left_semi").count()
     val recall = inter.toDouble / brute.count()
-    info(s"ANN recall@5 (4-bit buckets): $recall")
-    assert(recall >= 2.0 / 16, "sign-LSH must beat the 1/16 random-bucket baseline 2x")
+    info(s"ANN recall@5 (8-bit x 4 tables): $recall")
+    assert(recall >= 0.9, s"multi-table ANN recall gate failed: $recall")
+    // organic-corpus recall, measured for the record (no gate: random
+    // vectors have no true near neighbors)
+    val bruteOrg = Similarity.bruteTopK(embCorpus, k = 5).select(col("q_id"), col("nb_id"))
+    val annOrg = Similarity.annLsh(embCorpus, k = 5).select(col("q_id"), col("nb_id"))
+    val recOrg = bruteOrg.join(annOrg, Seq("q_id", "nb_id"), "left_semi").count().toDouble /
+      bruteOrg.count()
+    info(s"organic-corpus ANN recall@5: $recOrg")
     // the planted near-identical pair must share a bucket at any bit width
     val planes = Similarity.hyperplanes(8)
     val b = embCorpus.filter(col("vec_id").isin(0L, 1000000L))
       .select(Similarity.signBucket(col("emb"), planes)).collect().map(_.getString(0))
     assert(b(0) === b(1), "near-identical vectors must hash to the same bucket")
+  }
+
+  test("portable simhash matches the engine path's planted-dup detection") {
+    val found = Dedup.simhashPortable(docCorpus).cache()
+    val exactPlanted = documents.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b"))
+    val hitExact = exactPlanted.join(found.filter(col("hamming") === 0),
+      Seq("doc_a", "doc_b"), "left_semi").count()
+    assert(hitExact === exactPlanted.count(), "exact copies must collide at hamming 0")
+    val nearPlanted = documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+    val hitNear = nearPlanted.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
+    info(s"portable simhash near-dup recall: $hitNear/${nearPlanted.count()}")
+    assert(hitNear.toDouble / nearPlanted.count() >= 0.5)
   }
 
   test("multimodal: payload schema + decode stub batch kernel") {
