@@ -15,10 +15,13 @@ object SparkEntry {
     "q1_agg" -> (Queries.q1Agg _),
     "w7_turn_assembly" -> (Queries.w7TurnAssembly _),
     "m1_mentions" -> (Queries.m1Mentions _),
+    "m1b_mentions_all" -> (Queries.m1bMentionsAll _),
+    "p2_surface_scores_all" -> (Queries.p2SurfaceScoresAll _),
     "b4_b5_block_stats" -> (Queries.blockStats _),
     "b1_candidate_pairs" -> (Queries.pairsQ _),
     "p_surface_pairs" -> (Queries.surfacePairsQ _),
     "p9_scored_pairs" -> (Queries.scoredQ _),
+    "p5_band_features" -> (Queries.p5BandFeatures _),
     "a2_backptrs" -> (Queries.backptrsQ _),
     "c1_clusters" -> (Queries.clustersQ _),
     "a8_pairwise_f1" -> (Queries.pairwiseF1Q _),
@@ -59,6 +62,18 @@ object SparkEntry {
     "m1_mentions" -> ErOracle.q(
       "SELECT mention_id, conv_id, turn_idx, start, surface, mtype, m_seq, head_key FROM mentions"),
 
+    "m1b_mentions_all" -> ErOracle.qAll(
+      """SELECT mention_id, conv_id, turn_idx, start, "end", surface, mtype, m_seq, head_key
+        |FROM mentions""".stripMargin),
+
+    "p2_surface_scores_all" -> ErOracle.qAll(
+      """SELECT norm_a, norm_b, block_key,
+        | round(f_token_jaccard, 6) AS f_token_jaccard_r,
+        | round(f_jaro_winkler, 6) AS f_jaro_winkler_r,
+        | round(f_lev_sim, 6) AS f_lev_sim_r,
+        | f_abbrev, round(score, 6) AS score_r
+        |FROM sscored""".stripMargin),
+
     "b4_b5_block_stats" -> ErOracle.q(
       s"""SELECT block_key, CAST(n_surfaces AS BIGINT) AS n_surfaces,
          | CAST(mention_mass AS BIGINT) AS mention_mass,
@@ -73,6 +88,12 @@ object SparkEntry {
 
     "p9_scored_pairs" -> ErOracle.q(
       "SELECT ant_id, cur_id, round(score, 6) AS score_r FROM scoredall"),
+
+    "p5_band_features" -> ErOracle.q(
+      """SELECT ant_id, cur_id, f_same_role, f_number_match, f_number_clash,
+        | f_gender_match, f_gender_clash,
+        | round(f_dist_decay, 6) AS f_dist_decay_r, round(score, 6) AS score_r
+        |FROM bscored""".stripMargin),
 
     "a2_backptrs" -> ErOracle.q(
       "SELECT cur_id, ant_id FROM backptrs"),

@@ -40,28 +40,29 @@ object ErOracle {
        | ELSE lower($col) END""".stripMargin.replace("\n", "")
   }
 
-  /** CTE chain from `transcripts` through `clusters` + `gold`. */
-  val chain: String = {
-    val sigCols = (0 until Minhashes)
-      .map(i => s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS h$i")
-      .mkString(",\n    ")
-    val bandKeys = (0 until Bands).map { b =>
-      val hs = (0 until Minhashes / Bands).map(r => s"h${b * (Minhashes / Bands) + r}")
-      s"SELECT 'l:' || ${(s"'b$b'" +: hs).mkString(" || ':' || ")} AS block_key, norm FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
+  // -- shared chain components (both engines' harness configs) --------------
 
-    // weights: keep in sync with graft.pipeline.Scoring.DefaultWeights
-    val w = graft.pipeline.Scoring.DefaultWeights
-    def wv(n: String) = w(n)
+  private val sigCols: String = (0 until Minhashes)
+    .map(i => s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS h$i")
+    .mkString(",\n    ")
+  private val bandKeysSql: String = (0 until Bands).map { b =>
+    val hs = (0 until Minhashes / Bands).map(r => s"h${b * (Minhashes / Bands) + r}")
+    s"SELECT 'l:' || ${(s"'b$b'" +: hs).mkString(" || ':' || ")} AS block_key, norm FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+  // weights: keep in sync with graft.pipeline.Scoring.DefaultWeights
+  private def wv(n: String): Double = graft.pipeline.Scoring.DefaultWeights(n)
 
-    s"""${Transcripts.cte},
-       |toks AS (
+  private val toksSql: String =
+    s"""toks AS (
        |  SELECT t.conv_id, t.turn_idx, t.role,
        |         unnest(string_split(t.text, ' ')) AS tok,
        |         CAST(generate_subscripts(string_split(t.text, ' '), 1) - 1 AS INT) AS pos
        |  FROM transcripts t
-       |),
-       |ment0 AS (
+       |)""".stripMargin
+
+  /** Identifier+pronoun mention extraction (the harness execution path). */
+  private val mentionsIdentSql: String =
+    s"""ment0 AS (
        |  SELECT conv_id, turn_idx, role, pos AS start, tok AS surface,
        |         CASE WHEN lower(tok) IN ($pronouns) THEN 'PRONOMINAL' ELSE 'PROPER' END AS mtype,
        |         lower(tok) AS norm
@@ -70,13 +71,96 @@ object ErOracle {
        |),
        |mentions AS MATERIALIZED (
        |  SELECT *,
+       |    CASE WHEN mtype = 'PRONOMINAL'
+       |         THEN (CASE WHEN norm IN ('they', 'them') THEN 'plural' ELSE 'singular' END)
+       |         WHEN mtype = 'NOMINAL'
+       |         THEN (CASE WHEN norm LIKE '%s' THEN 'plural' ELSE 'singular' END)
+       |         ELSE 'unknown' END AS number,
+       |    CASE WHEN norm IN ('he', 'him') THEN 'male'
+       |         WHEN norm IN ('she', 'her') THEN 'female'
+       |         WHEN mtype = 'PRONOMINAL' THEN 'neutral'
+       |         ELSE 'unknown' END AS gender,
        |    conv_id || '#' || lpad(CAST(turn_idx AS STRING), 6, '0') || lpad(CAST(start AS STRING), 6, '0') AS mention_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, start) - 1 AS INT) AS m_seq,
        |    ${headKeySql("surface")} AS head_key,
        |    (mtype = 'PRONOMINAL') AS closed_class
        |  FROM ment0
+       |)""".stripMargin
+
+  /** All-generators mention extraction — capitalized runs, pronouns,
+    * determiner+nominal, extent dedup, M2 non-maximal filter, per-start id
+    * uniqueness — mirrors graft.pipeline.Mentions.extractAll exactly. */
+  private val mentionsAllSql: String = {
+    val nominalHeads = graft.pipeline.Mentions.NominalHeads.map(h => s"'$h'").mkString(", ")
+    s"""caps AS (
+       |  SELECT conv_id, turn_idx, role, pos, tok,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS grp
+       |  FROM toks
+       |  WHERE regexp_matches(tok, '^[A-Z0-9][A-Za-z0-9#-]*$$')
+       |    AND lower(tok) NOT IN ($pronouns)
+       |    AND (pos > 0 OR regexp_matches(tok, '^(?:[A-Za-z]+[#-])?[0-9]+$$'))
        |),
-       |surfaces AS MATERIALIZED (
+       |capruns AS (
+       |  SELECT conv_id, turn_idx, CAST(min(pos) AS INT) AS start, CAST(max(pos) AS INT) AS "end",
+       |    string_agg(tok, ' ' ORDER BY pos) AS surface, min(role) AS role,
+       |    'PROPER' AS mtype
+       |  FROM caps GROUP BY conv_id, turn_idx, grp
+       |),
+       |prons AS (
+       |  SELECT conv_id, turn_idx, pos AS start, pos AS "end", tok AS surface, role,
+       |    'PRONOMINAL' AS mtype
+       |  FROM toks WHERE lower(tok) IN ($pronouns)
+       |),
+       |nomsrc AS (
+       |  SELECT conv_id, turn_idx, pos, role, tok,
+       |    lag(lower(tok)) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS prev
+       |  FROM toks
+       |),
+       |noms AS (
+       |  SELECT conv_id, turn_idx, CAST(pos - 1 AS INT) AS start, pos AS "end",
+       |    prev || ' ' || tok AS surface, role, 'NOMINAL' AS mtype
+       |  FROM nomsrc
+       |  WHERE lower(tok) IN ($nominalHeads) AND prev IN ('the', 'that', 'this')
+       |),
+       |allm AS (
+       |  SELECT * FROM capruns UNION ALL SELECT * FROM prons UNION ALL SELECT * FROM noms
+       |),
+       |dedupm AS (
+       |  SELECT * FROM allm
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, start, "end" ORDER BY mtype) = 1
+       |),
+       |m2f AS (
+       |  SELECT * FROM dedupm
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, "end" ORDER BY start ASC, mtype) = 1
+       |),
+       |uniqm AS (
+       |  SELECT * FROM m2f
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, start ORDER BY "end" DESC, mtype) = 1
+       |),
+       |mentions AS MATERIALIZED (
+       |  SELECT *, ${headKeySql("string_split(norm, ' ')[len(string_split(norm, ' '))]")} AS head_key,
+       |    CASE WHEN mtype = 'PRONOMINAL'
+       |         THEN (CASE WHEN norm IN ('they', 'them') THEN 'plural' ELSE 'singular' END)
+       |         WHEN mtype = 'NOMINAL'
+       |         THEN (CASE WHEN norm LIKE '%s' THEN 'plural' ELSE 'singular' END)
+       |         ELSE 'unknown' END AS number,
+       |    CASE WHEN norm IN ('he', 'him') THEN 'male'
+       |         WHEN norm IN ('she', 'her') THEN 'female'
+       |         WHEN mtype = 'PRONOMINAL' THEN 'neutral'
+       |         ELSE 'unknown' END AS gender
+       |  FROM (
+       |    SELECT *, lower(trim(surface)) AS norm,
+       |      conv_id || '#' || lpad(CAST(turn_idx AS STRING), 6, '0') || lpad(CAST(start AS STRING), 6, '0') AS mention_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, start, "end") - 1 AS INT) AS m_seq,
+       |      (mtype IN ('PRONOMINAL', 'NOMINAL')) AS closed_class
+       |    FROM uniqm
+       |  )
+       |)""".stripMargin
+  }
+
+  /** Blocking + surface scoring over whatever `mentions` CTE precedes it. */
+  private val blockingSql: String =
+    s"""surfaces AS MATERIALIZED (
        |  SELECT norm, string_split(norm, ' ') AS toks,
        |    ${headKeySql("string_split(norm, ' ')[len(string_split(norm, ' '))]")} AS head_key
        |  FROM (SELECT DISTINCT norm FROM mentions WHERE NOT closed_class)
@@ -108,7 +192,7 @@ object ErOracle {
        |    FROM surfaces)
        |  WHERE acro IS NOT NULL AND length(acro) > 1
        |  UNION ALL
-       |  $bandKeys
+       |  $bandKeysSql
        |),
        |scounts AS (
        |  SELECT norm, CAST(count(*) AS BIGINT) AS n_mentions
@@ -162,17 +246,27 @@ object ErOracle {
        |    JOIN surfaces a ON p.norm_a = a.norm
        |    JOIN surfaces c ON p.norm_b = c.norm
        |  ) p
-       |),
-       |bandp AS (
+       |)""".stripMargin
+
+  /** Band scoring, chains/bridge expansion, decode, clustering, gold. */
+  private val decodeSql: String =
+    s"""bandp AS (
        |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id, 'conv' AS block_key,
        |    a.norm AS norm_a, c.norm AS norm_c, a.head_key AS hk_a, c.head_key AS hk_c,
        |    a.closed_class AS cc_a, c.closed_class AS cc_c,
+       |    a.role AS role_a, c.role AS role_c,
+       |    a.number AS number_a, c.number AS number_c,
+       |    a.gender AS gender_a, c.gender AS gender_c,
        |    c.m_seq - a.m_seq AS dist
        |  FROM mentions a JOIN mentions c ON a.conv_id = c.conv_id
        |    AND c.m_seq > a.m_seq AND c.m_seq - a.m_seq <= $MaxConvDist
        |),
        |bscored AS (
        |  SELECT ant_id, cur_id, block_key,
+       |    f_head_match, f_exact_match, f_containment, f_token_jaccard,
+       |    f_jaro_winkler, f_lev_sim, f_abbrev, f_anaphoric_close,
+       |    f_closed_cur, f_dist_decay, f_same_role, f_number_match,
+       |    f_number_clash, f_gender_match, f_gender_clash,
        |    ${wv("bias")}
        |    + (CASE WHEN open_pair THEN f_head_match ELSE 0.0 END) * ${wv("head_match")}
        |    + (CASE WHEN open_pair THEN f_exact_match ELSE 0.0 END) * ${wv("exact_match")}
@@ -183,7 +277,12 @@ object ErOracle {
        |    + (CASE WHEN open_pair THEN f_abbrev ELSE 0.0 END) * ${wv("abbrev")}
        |    + f_anaphoric_close * ${wv("anaphoric_close")}
        |    + f_closed_cur * ${wv("closed_cur")}
-       |    + f_dist_decay * ${wv("dist_decay")} AS score
+       |    + f_dist_decay * ${wv("dist_decay")}
+       |    + f_same_role * ${wv("same_role")}
+       |    + f_number_match * ${wv("number_match")}
+       |    + f_number_clash * ${wv("number_clash")}
+       |    + f_gender_match * ${wv("gender_match")}
+       |    + f_gender_clash * ${wv("gender_clash")} AS score
        |  FROM (
        |    SELECT ant_id, cur_id, block_key,
        |      CASE WHEN hk_a = hk_c THEN 1.0 ELSE 0.0 END AS f_head_match,
@@ -200,6 +299,15 @@ object ErOracle {
        |      CASE WHEN cc_c AND dist <= 10 AND dist > 0 THEN 1.0 ELSE 0.0 END AS f_anaphoric_close,
        |      CASE WHEN cc_c THEN 1.0 ELSE 0.0 END AS f_closed_cur,
        |      1.0 / (1.0 + CAST(dist AS DOUBLE)) AS f_dist_decay,
+       |      CASE WHEN role_a = role_c THEN 1.0 ELSE 0.0 END AS f_same_role,
+       |      CASE WHEN number_a <> 'unknown' AND number_c <> 'unknown'
+       |            AND number_a = number_c THEN 1.0 ELSE 0.0 END AS f_number_match,
+       |      CASE WHEN number_a <> 'unknown' AND number_c <> 'unknown'
+       |            AND number_a <> number_c THEN 1.0 ELSE 0.0 END AS f_number_clash,
+       |      CASE WHEN gender_a <> 'unknown' AND gender_c <> 'unknown'
+       |            AND gender_a = gender_c THEN 1.0 ELSE 0.0 END AS f_gender_match,
+       |      CASE WHEN gender_a <> 'unknown' AND gender_c <> 'unknown'
+       |            AND gender_a <> gender_c THEN 1.0 ELSE 0.0 END AS f_gender_clash,
        |      (NOT cc_a) AND (NOT cc_c) AS open_pair
        |    FROM bandp
        |  )
@@ -327,8 +435,19 @@ object ErOracle {
        |gold AS MATERIALIZED (
        |  SELECT mention_id, regexp_extract(conv_id, '^c([0-9]+)-', 1) AS entity_id FROM mentions
        |)""".stripMargin
-  }
+
+  /** CTE chain from `transcripts` through `clusters` + `gold`. */
+  val chain: String =
+    s"${Transcripts.cte},\n$toksSql,\n$mentionsIdentSql,\n$blockingSql,\n$decodeSql"
+
+  /** CTE chain for the all-generators path, through `sscored`. */
+  val allChain: String =
+    s"${Transcripts.cte},\n$toksSql,\n$mentionsAllSql,\n$blockingSql"
+
 
   /** Full oracle query: recursive-CTE prefix + body. */
   def q(body: String): String = s"WITH RECURSIVE $chain\n$body"
+
+  /** All-generators oracle query (through surface scoring). */
+  def qAll(body: String): String = s"WITH $allChain\n$body"
 }

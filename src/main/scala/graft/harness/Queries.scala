@@ -27,9 +27,39 @@ object Queries {
     mentionGenerator = "identifier")
 
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
+  private val memoAll =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
   /** Drop memoized per-sfDir results (required between SparkSessions). */
-  def clearCache(): Unit = memo.clear()
+  def clearCache(): Unit = { memo.clear(); memoAll.clear() }
+
+  /** All-generators path (caprun/pronoun/nominal): mentions + surface scores.
+    * Exercises multi-token surfaces through the full JW / token-Jaccard /
+    * abbreviation features — the oracle for these is the generic list-based
+    * SQL, not the single-token band shortcuts. */
+  private def allPath(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    memoAll.getOrElseUpdate(sfDir, {
+      val t = Transcripts.load(spark, sfDir)
+      val par = spark.sparkContext.defaultParallelism
+      val m = Mentions.extractAll(t.repartition(par, col("conv_id"))).cache()
+      val surfaces = Blocking.surfaceTable(m).cache()
+      val sscored = Scoring.scoreSurfacePairs(
+        Blocking.surfacePairs(surfaces, harnessCfg.blocking), surfaces).cache()
+      (m, sscored)
+    })
+
+  def m1bMentionsAll(spark: SparkSession, sfDir: String): DataFrame =
+    allPath(spark, sfDir)._1.select(
+      col("mention_id"), col("conv_id"), col("turn_idx"), col("start"), col("end"),
+      col("surface"), col("mtype"), col("m_seq"), col("head_key"))
+
+  def p2SurfaceScoresAll(spark: SparkSession, sfDir: String): DataFrame =
+    allPath(spark, sfDir)._2.select(
+      col("norm_a"), col("norm_b"), col("block_key"),
+      round(col("f_token_jaccard"), 6).as("f_token_jaccard_r"),
+      round(col("f_jaro_winkler"), 6).as("f_jaro_winkler_r"),
+      round(col("f_lev_sim"), 6).as("f_lev_sim_r"),
+      col("f_abbrev"), round(col("score"), 6).as("score_r"))
 
   def pipeline(spark: SparkSession, sfDir: String): Pipeline.Result =
     memo.getOrElseUpdate(sfDir, {
@@ -94,6 +124,18 @@ object Queries {
     pipeline(spark, sfDir).surfaceScores
       .select(col("norm_a"), col("norm_b"), col("block_key"),
         round(col("score"), 6).as("score_r"))
+
+  /** P5: conversational band pairs with the full feature vector, incl. the
+    * speaker-role / number / gender agreement family (UNKNOWN-safe). */
+  def p5BandFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = pipeline(spark, sfDir).mentions
+    Scoring.scorePairs(Blocking.convBandPairs(m, harnessCfg.blocking), m)
+      .select(col("ant_id"), col("cur_id"),
+        col("f_same_role"), col("f_number_match"), col("f_number_clash"),
+        col("f_gender_match"), col("f_gender_clash"),
+        round(col("f_dist_decay"), 6).as("f_dist_decay_r"),
+        round(col("score"), 6).as("score_r"))
+  }
 
   def scoredQ(spark: SparkSession, sfDir: String): DataFrame =
     pipeline(spark, sfDir).scored

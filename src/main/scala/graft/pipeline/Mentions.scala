@@ -97,12 +97,27 @@ object Mentions {
 
     val all = capRuns.select(prons.columns.map(col): _*)
       .unionByName(prons).unionByName(noms)
-      // A15 dedup: one mention per extent, PROPER wins over closed-class
+      // A15 dedup: one mention per extent (mtype-ascending tie-break)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))
           .orderBy(col("mtype"))))
       .filter(col("rk") === 1).drop("rk")
-    finish(all)
+    // M2 non-maximal filter (`CorefDocAssembler.scala:157-189`): the parse-free
+    // head is the last token (position = end), so per head position keep only
+    // the largest span — nested spans sharing a head never double-emit.
+    val m2 = all
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("conv_id"), col("turn_idx"), col("end"))
+          .orderBy(col("start").asc, col("mtype"))))
+      .filter(col("rk") === 1).drop("rk")
+    // id-safety: mention_id is (turn, start)-derived, so keep one mention per
+    // start (longest span wins) — guarantees id uniqueness across generators
+    val uniq = m2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("conv_id"), col("turn_idx"), col("start"))
+          .orderBy(col("end").desc, col("mtype"))))
+      .filter(col("rk") === 1).drop("rk")
+    finish(uniq)
   }
 
   /** Shared property computation + canonical ids (M3/M5/W1). */
@@ -116,6 +131,22 @@ object Mentions {
       .withColumn("head_key", headKey(col("head_tok")))
       .withColumn("toks", split(col("norm"), " "))
       .withColumn("closed_class", col("mtype").isin("PRONOMINAL", "NOMINAL"))
+      // M5 number/gender (UNKNOWN-safe, `NumberGenderComputer.scala:27-78`,
+      // `Mention.scala:288-305`): pronouns by dictionary, nominals by plural
+      // morphology; PROPER identifiers reveal neither → unknown (agreement
+      // features never fire against unknown, mirroring the reference's
+      // UNKNOWN semantics)
+      .withColumn("number",
+        when(col("mtype") === "PRONOMINAL",
+          when(col("norm").isin("they", "them"), "plural").otherwise("singular"))
+          .when(col("mtype") === "NOMINAL",
+            when(col("norm").endsWith("s"), "plural").otherwise("singular"))
+          .otherwise("unknown"))
+      .withColumn("gender",
+        when(col("norm").isin("he", "him"), "male")
+          .when(col("norm").isin("she", "her"), "female")
+          .when(col("mtype") === "PRONOMINAL", "neutral")
+          .otherwise("unknown"))
       .withColumn("m_seq", (row_number().over(wConv) - 1).cast("int"))
       .withColumn("mention_id",
         mentionId(col("conv_id"), col("turn_idx"), col("start")))

@@ -22,7 +22,8 @@ object Scoring {
   val FeatureNames: Seq[String] = Seq(
     "bias", "head_match", "exact_match", "containment", "token_jaccard",
     "jaro_winkler", "lev_sim", "abbrev", "anaphoric_close", "closed_cur",
-    "dist_decay")
+    "dist_decay", "same_role", "number_match", "number_clash",
+    "gender_match", "gender_clash")
 
   /** Trained/handed weights, aligned with [[FeatureNames]]. The default
     * passes the fixture F1 gate; `Trainer` can re-estimate it. */
@@ -41,7 +42,12 @@ object Scoring {
     /* abbrev          */ 4.5,
     /* anaphoric_close */ 6.0,
     /* closed_cur      */ -1.0,
-    /* dist_decay      */ 1.0))
+    /* dist_decay      */ 1.0,
+    /* same_role       */ 0.3,
+    /* number_match    */ 0.4,
+    /* number_clash    */ -2.5,
+    /* gender_match    */ 0.3,
+    /* gender_clash    */ -2.5))
 
   private def b(c: Column): Column = c.cast("double")
 
@@ -52,7 +58,8 @@ object Scoring {
   def attachAttrs(pairs: DataFrame, mentions: DataFrame): DataFrame = {
     val attrs = mentions.select(
       col("mention_id"), col("conv_id"), col("m_seq"), col("norm"),
-      col("head_key"), col("toks"), col("mtype"), col("closed_class"))
+      col("head_key"), col("toks"), col("mtype"), col("closed_class"),
+      col("role"), col("number"), col("gender"))
     val antA = attrs.toDF(attrs.columns.map(_ + "_a"): _*)
     val curA = attrs.toDF(attrs.columns.map(_ + "_c"): _*)
     pairs
@@ -91,6 +98,25 @@ object Scoring {
       .withColumn("f_closed_cur", b(col("closed_class_c")))
       .withColumn("f_dist_decay",
         when(sameConv, lit(1.0) / (lit(1.0) + b(dist))).otherwise(0.0))
+      // P5 agreement features (`PairwiseIndexingFeaturizerJoint.scala:220-234`):
+      // conversational — speaker/role identity and number/gender agreement
+      // only fire within a conversation and only between known values
+      // (UNKNOWN never matches nor clashes). Written as when/otherwise so the
+      // surface path's null conv/role columns yield exact 0.0, not null.
+      .withColumn("f_same_role",
+        when(sameConv && col("role_a") === col("role_c"), 1.0).otherwise(0.0))
+      .withColumn("f_number_match",
+        when(sameConv && col("number_a") =!= "unknown" && col("number_c") =!= "unknown" &&
+          col("number_a") === col("number_c"), 1.0).otherwise(0.0))
+      .withColumn("f_number_clash",
+        when(sameConv && col("number_a") =!= "unknown" && col("number_c") =!= "unknown" &&
+          col("number_a") =!= col("number_c"), 1.0).otherwise(0.0))
+      .withColumn("f_gender_match",
+        when(sameConv && col("gender_a") =!= "unknown" && col("gender_c") =!= "unknown" &&
+          col("gender_a") === col("gender_c"), 1.0).otherwise(0.0))
+      .withColumn("f_gender_clash",
+        when(sameConv && col("gender_a") =!= "unknown" && col("gender_c") =!= "unknown" &&
+          col("gender_a") =!= col("gender_c"), 1.0).otherwise(0.0))
   }
 
   /** The model's effective (gated) feature vector in [[FeatureNames]] order.
@@ -112,7 +138,12 @@ object Scoring {
       "abbrev" -> gate(col("f_abbrev")),
       "anaphoric_close" -> col("f_anaphoric_close"),
       "closed_cur" -> col("f_closed_cur"),
-      "dist_decay" -> col("f_dist_decay"))
+      "dist_decay" -> col("f_dist_decay"),
+      "same_role" -> col("f_same_role"),
+      "number_match" -> col("f_number_match"),
+      "number_clash" -> col("f_number_clash"),
+      "gender_match" -> col("f_gender_match"),
+      "gender_clash" -> col("f_gender_clash"))
   }
 
   /** Linear score + logistic probability as plan-constant expressions
@@ -145,6 +176,12 @@ object Scoring {
       .withColumn("conv_id_c", lit(null).cast("string"))
       .withColumn("m_seq_a", lit(null).cast("int"))
       .withColumn("m_seq_c", lit(null).cast("int"))
+      .withColumn("role_a", lit(null).cast("string"))
+      .withColumn("role_c", lit(null).cast("string"))
+      .withColumn("number_a", lit("unknown"))
+      .withColumn("number_c", lit("unknown"))
+      .withColumn("gender_a", lit("unknown"))
+      .withColumn("gender_c", lit("unknown"))
     score(featurize(joined), w)
       .select(col("norm_a"), col("norm_b"), col("block_key"),
         col("f_head_match"), col("f_exact_match"), col("f_containment"),
@@ -174,5 +211,7 @@ object Scoring {
         col("f_head_match"), col("f_exact_match"), col("f_containment"),
         col("f_token_jaccard"), col("f_jaro_winkler"), col("f_lev_sim"),
         col("f_abbrev"), col("f_anaphoric_close"), col("f_closed_cur"),
-        col("f_dist_decay"), col("score"), col("prob"))
+        col("f_dist_decay"), col("f_same_role"), col("f_number_match"),
+        col("f_number_clash"), col("f_gender_match"), col("f_gender_clash"),
+        col("score"), col("prob"))
 }

@@ -37,12 +37,14 @@ object Transcripts {
       |    CAST(s.seq % 20 AS INT) AS turn_idx,
       |    CASE WHEN s.event_type IN ('click','view') THEN 'user'
       |         WHEN s.event_type = 'error' THEN 'tool' ELSE 'assistant' END AS role,
-      |    CASE (CASE WHEN s.seq % 20 = 0 THEN CAST((s.event_id % 2) * 3 AS BIGINT) ELSE s.event_id % 5 END)
+      |    CASE (CASE WHEN s.seq % 20 = 0 THEN CAST((s.event_id % 2) * 3 AS BIGINT) ELSE s.event_id % 7 END)
       |      WHEN 0 THEN 'Hello this is ' || c.c_name || ' about an order'
       |      WHEN 1 THEN 'Ticket update for account ' || substr(c.c_name, 10, 9) || ' pending review'
       |      WHEN 2 THEN 'They asked about the refund again'
       |      WHEN 3 THEN 'Case note ' || c.c_name || ' escalated the issue'
-      |      ELSE 'Agent assigned to Cust-' || CAST(s.user_id AS STRING) || ' for follow-up'
+      |      WHEN 4 THEN 'Agent assigned to Cust-' || CAST(s.user_id AS STRING) || ' for follow-up'
+      |      WHEN 5 THEN 'Priority case Acct ' || substr(c.c_name, 10, 9) || ' flagged for audit'
+      |      ELSE 'Note from the client regarding ' || c.c_name || ' today'
       |    END AS text,
       |    CASE WHEN s.event_type = 'error' THEN 'diagnostics'
       |         WHEN s.event_type = 'purchase' THEN 'checkout' ELSE NULL END AS tool,

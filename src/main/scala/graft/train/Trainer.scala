@@ -60,6 +60,67 @@ object Trainer {
     (Scoring.Weights(w), trace.toSeq)
   }
 
+  /** Antecedent-ranking trainer — the reference's actual objective
+    * (`DocumentInferencerBasic.addUnregularizedStochasticGradient`
+    * `:24-50`): per mention, a softmax over its candidate antecedents plus an
+    * implicit zero-score "start new entity" arc; the gradient is
+    * `Σ (p(ant) − p̃(ant))·x(ant)` where `p̃` renormalizes over GOLD
+    * antecedents (gold-marginal likelihood, A3). Unlike independent-pair
+    * logistic loss this learns the *ranking* decode actually uses (e.g.
+    * dist_decay as the nearest-antecedent tie-breaker). One shuffle by
+    * `cur_id` + one aggregation per epoch.
+    */
+  def trainRanking(labeled: DataFrame, epochs: Int = 40, eta: Double = 1.0,
+      lambda: Double = 0.001, init: Option[Array[Double]] = None): (Scoring.Weights, Seq[Epoch]) = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = Scoring.featureVector
+    val dim = feats.size
+    val w = init.getOrElse(Array.fill(dim)(0.0)).clone()
+    val sqGrad = Array.fill(dim)(0.0)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Epoch]
+
+    val cached = labeled.localCheckpoint(true)
+    val nCur = cached.select(col("cur_id")).distinct().count().toDouble
+    val wCur = Window.partitionBy(col("cur_id"))
+    val wCurOrd = Window.partitionBy(col("cur_id")).orderBy(col("ant_id"))
+
+    for (ep <- 0 until epochs) {
+      val linear = feats.zipWithIndex.map { case ((_, c), i) => c * w(i) }.reduce(_ + _)
+      val withP = cached
+        .withColumn("s", linear)
+        .withColumn("mx", greatest(max(col("s")).over(wCur), lit(0.0)))
+        .withColumn("e", exp(col("s") - col("mx")))
+        .withColumn("z", sum(col("e")).over(wCur) + exp(-col("mx")))
+        .withColumn("p", col("e") / col("z"))
+        .withColumn("ge", when(col("label") === 1.0, col("e")).otherwise(0.0))
+        .withColumn("gz", sum(col("ge")).over(wCur))
+        .withColumn("ptilde", when(col("gz") > 0, col("ge") / col("gz")).otherwise(0.0))
+        .withColumn("resid", col("p") - col("ptilde"))
+        // per-mention loss, attached to exactly one row: -log(gold mass/z)
+        // for anaphoric mentions, -log(new-entity mass/z) otherwise
+        .withColumn("rn", row_number().over(wCurOrd))
+        .withColumn("l", when(col("rn") === 1,
+          when(col("gz") > 0, -log(col("gz") / col("z")))
+            .otherwise(-log(exp(-col("mx")) / col("z")))).otherwise(0.0))
+      val aggs = feats.map { case (name, c) => sum(col("resid") * c).as(s"g_$name") } :+
+        sum(col("l")).as("loss")
+      val row = withP.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val grad = (0 until dim).map(i => row.getDouble(i) / nCur).toArray
+      val loss = row.getDouble(dim) / nCur
+      var i = 0
+      while (i < dim) {
+        sqGrad(i) += grad(i) * grad(i)
+        val h = 1.0 + math.sqrt(sqGrad(i))
+        val wi = w(i) - eta * grad(i) / h
+        val shrink = eta * lambda / h
+        w(i) = math.signum(wi) * math.max(0.0, math.abs(wi) - shrink)
+        i += 1
+      }
+      trace += Epoch(ep, loss, w.clone())
+    }
+    (Scoring.Weights(w), trace.toSeq)
+  }
+
   /** Assemble labeled training pairs from a pipeline run + gold labels. */
   def labeledPairs(pairs: DataFrame, mentions: DataFrame, gold: DataFrame): DataFrame = {
     val feat = Scoring.featurize(Scoring.attachAttrs(pairs, mentions))

@@ -20,7 +20,7 @@ class TrainerSpec extends SparkSuite {
       .select(col("mention_id"), col("entity_id").cast("string").as("entity_id")).cache()
 
     val labeled = Trainer.labeledPairs(Blocking.candidatePairs(mentions), mentions, gold)
-    val (learned, trace) = Trainer.train(labeled, epochs = 40, eta = 2.0)
+    val (learned, trace) = Trainer.trainRanking(labeled, epochs = 40, eta = 2.0)
     info(s"loss: first=${trace.head.loss} last=${trace.last.loss}")
     info(s"weights: ${Scoring.FeatureNames.zip(learned.values).mkString(", ")}")
     assert(trace.last.loss < trace.head.loss * 0.5, "loss must decrease substantially")
