@@ -227,6 +227,9 @@ object Bench {
       s""""t_local2_sec":${f"$t2%.3f"},"t_local8_sec":${f"$t8%.3f"},"t_local32_sec":${f"$t32%.3f"},""" +
       s""""pairs_per_sec_local2":${f"$thr2%.1f"},"pairs_per_sec_local8":${f"$thr8%.1f"},""" +
       s""""pairs_per_sec_local32":${f"$thr32%.1f"},""" +
-      s""""efficiency_n_to_4n":${f"$eff2to8%.3f"},"efficiency_8_to_32":${f"$eff8to32%.3f"}}}""")
+      // both N→4N pairs reported under their own names — no pre-selected
+      // "the" N→4N number; BASELINE.md documents why 2→8 is the clean pair
+      // (single-box memory-bandwidth ceiling caps 8→32 even for pure CPU)
+      s""""efficiency_2_to_8":${f"$eff2to8%.3f"},"efficiency_8_to_32":${f"$eff8to32%.3f"}}}""")
   }
 }

@@ -23,6 +23,10 @@ object SparkEntry {
     "p9_scored_pairs" -> (Queries.scoredQ _),
     "p5_band_features" -> (Queries.p5BandFeatures _),
     "a2_backptrs" -> (Queries.backptrsQ _),
+    "a1_marginals" -> (Queries.a1Marginals _),
+    "b2_pruned_pairs" -> (Queries.b2Pruned _),
+    "a9_slices" -> (Queries.a9Slices _),
+    "s5_model" -> (Queries.s5Model _),
     "c1_clusters" -> (Queries.clustersQ _),
     "a8_pairwise_f1" -> (Queries.pairwiseF1Q _),
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
@@ -97,6 +101,42 @@ object SparkEntry {
 
     "a2_backptrs" -> ErOracle.q(
       "SELECT cur_id, ant_id FROM backptrs"),
+
+    "a1_marginals" -> ErOracle.q(
+      """SELECT cur_id, ant_id, round(e / sum(e) OVER (PARTITION BY cur_id), 6) AS marginal_r
+        |FROM (SELECT cur_id, ant_id,
+        |        exp(score - max(score) OVER (PARTITION BY cur_id)) AS e
+        |      FROM scoredall)""".stripMargin),
+
+    "b2_pruned_pairs" -> ErOracle.q(
+      """SELECT ant_id, cur_id, round(score, 6) AS score_r
+        |FROM (SELECT ant_id, cur_id, score,
+        |        max(score) OVER (PARTITION BY cur_id) AS mx
+        |      FROM scoredall)
+        |WHERE score >= mx - 5.0""".stripMargin),
+
+    "a9_slices" -> ErOracle.q(
+      """SELECT m.mtype,
+        |  CAST(count(*) AS BIGINT) AS n_linked,
+        |  CAST(SUM(CASE WHEN ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(CAST(SUM(CASE WHEN ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS acc_r
+        |FROM backptrs b
+        |JOIN gold gc ON b.cur_id = gc.mention_id
+        |JOIN gold ga ON b.ant_id = ga.mention_id
+        |JOIN mentions m ON b.cur_id = m.mention_id
+        |GROUP BY m.mtype""".stripMargin),
+
+    "s5_model" -> {
+      val vals = graft.pipeline.Scoring.FeatureNames.zipWithIndex
+        .map { case (f, i) => (f, i, graft.pipeline.Scoring.DefaultWeights.values(i)) }
+        .filter(_._3 != 0.0).zipWithIndex
+        .map { case ((f, _, w), j) => s"('$f', $j, CAST($w AS DOUBLE))" }
+        .mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $vals
+         |) AS t(feature, "index", weight)""".stripMargin
+    },
 
     "c1_clusters" -> ErOracle.q(
       "SELECT mention_id, cluster_id FROM clusters"),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column-level function library of the engine. Everything here is either a
@@ -132,4 +132,12 @@ package object functions {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** W2 deterministic shuffle: content-derived, seed-stable global order (the
+    * reference shuffles training docs with a fixed-seed RNG,
+    * `/root/reference/.../coref/CorefSystem.scala:128`). A seeded-hash sort
+    * key gives the same pseudo-random order on any cluster size or
+    * partitioning; the id tie-break makes it total. */
+  def deterministicShuffle(df: DataFrame, id: Column, seed: Long = 0L): DataFrame =
+    df.orderBy(xxhash64(lit(seed), id), id)
 }

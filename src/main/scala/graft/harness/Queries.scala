@@ -141,6 +141,39 @@ object Queries {
     pipeline(spark, sfDir).scored
       .select(col("ant_id"), col("cur_id"), round(col("score"), 6).as("score_r"))
 
+  /** A1: per-mention softmax marginals over candidate antecedents. */
+  def a1Marginals(spark: SparkSession, sfDir: String): DataFrame =
+    Decode.marginals(pipeline(spark, sfDir).scored)
+      .select(col("cur_id"), col("ant_id"), round(col("marginal"), 6).as("marginal_r"))
+
+  /** B2: coarse-to-fine pruning — candidates within logThreshold of the
+    * per-mention best. */
+  def b2Pruned(spark: SparkSession, sfDir: String): DataFrame =
+    Decode.prune(pipeline(spark, sfDir).scored)
+      .select(col("ant_id"), col("cur_id"), round(col("score"), 6).as("score_r"))
+
+  /** A9: sliced decode accuracy by current-mention type (the reference's
+    * error-analysis slices, `CorefEvaluator.scala:205-283`): of linked
+    * mentions, the fraction whose chosen antecedent is gold-coreferent. */
+  def a9Slices(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val g = gold(spark, sfDir)
+    r.backptrs
+      .join(g.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(r.mentions.select(col("mention_id").as("cur_id"), col("mtype")), "cur_id")
+      .groupBy(col("mtype"))
+      .agg(count(lit(1)).as("n_linked"),
+        sum(when(col("e_a") === col("e_c"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_r",
+        round(col("n_correct").cast("double") / col("n_linked"), 6))
+  }
+
+  /** S5: the packed model table (zero weights dropped, densely re-indexed). */
+  def s5Model(spark: SparkSession, sfDir: String): DataFrame =
+    graft.train.ModelIO.pack(
+      graft.train.ModelIO.weightsDF(spark, Scoring.DefaultWeights))
+
   def backptrsQ(spark: SparkSession, sfDir: String): DataFrame =
     pipeline(spark, sfDir).backptrs.select("cur_id", "ant_id")
 

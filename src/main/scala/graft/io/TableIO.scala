@@ -50,13 +50,19 @@ class TableIO(rootDir: String) {
     val snap = latestSnapshot(stage).map(_ + 1).getOrElse(0)
     val dataPath = stageDir(stage).resolve(s"snap-$snap").toString
     df.write.mode("overwrite").parquet(dataPath)
-    // per-partition counters from the parquet footers just written
+    // per-partition counters tied to the COMMITTED FILES (not read-time scan
+    // splits, which shift with split sizing): one scan computes both the
+    // per-file counters and the total row count
     val spark = df.sparkSession
-    val counters = spark.read.parquet(dataPath)
-      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+    val stats = spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1)))
+      .sortBy(_._1)
+    val counters = stats
+      .map { case (f, n) => s"""{"file":"$f","rows":$n}""" }
       .mkString("[", ",", "]")
-    val rowCount = spark.read.parquet(dataPath).count()
+    val rowCount = stats.map(_._2).sum
     val m =
       s"""{"stage":"${stage}","snapshot":$snap,"lineage":"${lineage}",
          |"rowCount":$rowCount,"partitionCounters":$counters}""".stripMargin.replace("\n", "")

@@ -100,8 +100,10 @@ object Pipeline {
     val clusters = stage("clusters", tok) {
       val ccCheckpoint: (Int, DataFrame) => DataFrame = io match {
         case Some(t) => (i, df) => {
-          val snap = t.commit(s"cc-iter", df, s"$tok-iter$i")
-          t.readIfCurrent(spark, "cc-iter", s"$tok-iter$i", Some(snap)).get
+          // one stage per iteration: a re-run resumes at its own iteration's
+          // snapshot instead of piling snapshots into a single stage dir
+          val snap = t.commit(s"cc-iter-$i", df, s"$tok-iter$i")
+          t.readIfCurrent(spark, s"cc-iter-$i", s"$tok-iter$i", Some(snap)).get
         }
         case None => (_, df) => df.localCheckpoint(true)
       }

@@ -1,0 +1,61 @@
+package graft.train
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+import graft.pipeline.Scoring
+
+/** Model serde + compaction (S5; SURVEY.md §2.1).
+  *
+  * The reference persists a trained `PairwiseScorer` as a gzip Java-serialized
+  * blob (`GUtil.scala:26-40`) and compacts it by dropping zero-weight features
+  * and re-indexing (`PairwiseScorer.pack:37-47`, `GUtil.scala:463-482`). Here
+  * the model is a *versioned parquet table* `(feature:string, index:int,
+  * weight:double)` committed through [[TableIO]] (atomic snapshot + lineage
+  * manifest) — readable by any engine, no JVM serialization pinning; the
+  * lineage token doubles as the model config record.
+  */
+object ModelIO {
+
+  val Stage = "model"
+
+  /** Dense weight table in [[Scoring.FeatureNames]] order. */
+  def weightsDF(spark: SparkSession, w: Scoring.Weights): DataFrame = {
+    import spark.implicits._
+    Scoring.FeatureNames.zipWithIndex
+      .map { case (f, i) => (f, i, w.values(i)) }
+      .toDF("feature", "index", "weight")
+  }
+
+  /** `pack` (model compaction): drop zero weights, re-index densely in the
+    * original feature order. The window is global but the table is
+    * model-dimension-sized (tens of rows), never data-sized. */
+  def pack(weights: DataFrame): DataFrame =
+    weights.filter(col("weight") =!= 0.0)
+      .withColumn("index",
+        (row_number().over(Window.orderBy(col("index"))) - 1).cast("int"))
+
+  /** Commit a model snapshot; `configToken` becomes the manifest lineage. */
+  def save(spark: SparkSession, io: TableIO, w: Scoring.Weights,
+      configToken: String, packed: Boolean = true): Int = {
+    val df = if (packed) pack(weightsDF(spark, w)) else weightsDF(spark, w)
+    io.commit(Stage, df, configToken)
+  }
+
+  /** Load a model snapshot back into dense [[Scoring.Weights]]: features
+    * absent from the (packed) table are zero; unknown feature names fail
+    * fast (a packed model from a different feature space must not silently
+    * half-apply). */
+  def load(spark: SparkSession, io: TableIO, configToken: String,
+      snap: Option[Int] = None): Scoring.Weights = {
+    val df = io.readIfCurrent(spark, Stage, configToken, snap)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed model snapshot for lineage $configToken"))
+    val byName = df.select("feature", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val unknown = byName.keySet -- Scoring.FeatureNames.toSet
+    require(unknown.isEmpty, s"model has unknown features: $unknown")
+    Scoring.Weights(Scoring.FeatureNames.map(n => byName.getOrElse(n, 0.0)).toArray)
+  }
+}
