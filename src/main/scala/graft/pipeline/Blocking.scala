@@ -180,10 +180,12 @@ object Blocking {
     * already scores them, with a strictly higher score (same features +
     * dist_decay ≥ 0), so connectivity is preserved.
     * Output: `(ant_id, cur_id, norm)` with `ant_id < cur_id`. */
-  def sameSurfaceChainPairs(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
+  def sameSurfaceChainPairs(mentions: DataFrame, cfg: Config = Config(),
+      counts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val src = mentions.filter(!col("closed_class"))
-      .join(mentionCounts(mentions), "norm")
+      .join(counts.getOrElse(mentionCounts(mentions))
+        .select(col("norm"), col("n_mentions")), "norm")
       .filter(col("n_mentions") >= 2)
       .select(col("norm"), col("mention_id"), col("conv_id"), col("m_seq"),
         saltOf(col("n_mentions"), col("mention_id"), cfg).as("salt"))

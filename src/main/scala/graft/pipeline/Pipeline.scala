@@ -88,7 +88,9 @@ object Pipeline {
         .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
       val bridge = Blocking.bridgePairs(linked, mentions, cfg.blocking,
         extraCols = Seq("score"))
-      val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking)
+      // surfaces (cached) already carries n_mentions — share it instead of
+      // re-aggregating the counts inside the chain leg
+      val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking, Some(surfaces))
         .join(Scoring.selfScores(surfaces, cfg.weights).hint("shuffle_hash"), "norm")
         .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       band

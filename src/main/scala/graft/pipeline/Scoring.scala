@@ -67,6 +67,25 @@ object Scoring {
       .join(curA, col("cur_id") === col("mention_id_c")).drop("mention_id_c")
   }
 
+  /** Fill the mention-level attribute columns [[featurize]] expects with
+    * their surface-only neutral values (no conversation, open-class, unknown
+    * agreement) — shared by [[scoreSurfacePairs]] and the scoring-kernel
+    * bench so the two can't drift when the feature set grows. */
+  def withSurfaceOnlyAttrs(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("closed_class_a", lit(false))
+      .withColumn("closed_class_c", lit(false))
+      .withColumn("conv_id_a", lit(null).cast("string"))
+      .withColumn("conv_id_c", lit(null).cast("string"))
+      .withColumn("m_seq_a", lit(null).cast("int"))
+      .withColumn("m_seq_c", lit(null).cast("int"))
+      .withColumn("role_a", lit(null).cast("string"))
+      .withColumn("role_c", lit(null).cast("string"))
+      .withColumn("number_a", lit("unknown"))
+      .withColumn("number_c", lit("unknown"))
+      .withColumn("gender_a", lit("unknown"))
+      .withColumn("gender_c", lit("unknown"))
+
   /** Abbreviation match (F9 analog, `sem/AbbreviationHandler.scala:7-66`):
     * one side equals the concatenated initials of the other's tokens. */
   private def abbrevMatch(normA: Column, toksA: Column, normC: Column, toksC: Column): Column = {
@@ -170,19 +189,7 @@ object Scoring {
       .join(a, "norm_a")
       .join(c.withColumnRenamed("norm_c", "norm_b"), "norm_b")
       .withColumn("norm_c", col("norm_b"))
-      .withColumn("closed_class_a", lit(false))
-      .withColumn("closed_class_c", lit(false))
-      .withColumn("conv_id_a", lit(null).cast("string"))
-      .withColumn("conv_id_c", lit(null).cast("string"))
-      .withColumn("m_seq_a", lit(null).cast("int"))
-      .withColumn("m_seq_c", lit(null).cast("int"))
-      .withColumn("role_a", lit(null).cast("string"))
-      .withColumn("role_c", lit(null).cast("string"))
-      .withColumn("number_a", lit("unknown"))
-      .withColumn("number_c", lit("unknown"))
-      .withColumn("gender_a", lit("unknown"))
-      .withColumn("gender_c", lit("unknown"))
-    score(featurize(joined), w)
+    score(featurize(withSurfaceOnlyAttrs(joined)), w)
       .select(col("norm_a"), col("norm_b"), col("block_key"),
         col("f_head_match"), col("f_exact_match"), col("f_containment"),
         col("f_token_jaccard"), col("f_jaro_winkler"), col("f_lev_sim"),
