@@ -27,6 +27,11 @@ object SparkEntry {
     "b2_pruned_pairs" -> (Queries.b2Pruned _),
     "a9_slices" -> (Queries.a9Slices _),
     "s5_model" -> (Queries.s5Model _),
+    "l2_link_titles" -> (Queries.l2LinkTitles _),
+    "a12_wiki_eval" -> (Queries.a12WikiEval _),
+    "a13_bootstrap" -> ((s: SparkSession, d: String) => Queries.a13Bootstrap(s, d)),
+    "g2_ner_viterbi" -> (Queries.g2NerViterbi _),
+    "a11_ner_f1" -> (Queries.a11NerF1 _),
     "c1_clusters" -> (Queries.clustersQ _),
     "a8_pairwise_f1" -> (Queries.pairwiseF1Q _),
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
@@ -114,6 +119,72 @@ object SparkEntry {
         |        max(score) OVER (PARTITION BY cur_id) AS mx
         |      FROM scoredall)
         |WHERE score >= mx - 5.0""".stripMargin),
+
+    "l2_link_titles" -> ErOracle.q(ErOracle.linkingCtes +
+      "\nSELECT mention_id, title, prio, CAST(cnt AS INT) AS cnt FROM llinks"),
+
+    "a12_wiki_eval" -> ErOracle.q(ErOracle.linkingCtes +
+      """,
+        |lg AS (SELECT g.mention_id, 'Customer_' || g.entity_id AS gold_title FROM gold g)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_gold,
+        |  CAST(SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
+        |  CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END), 6) AS acc_linked_r,
+        |  round(CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS acc_all_r
+        |FROM lg LEFT JOIN llinks l ON lg.mention_id = l.mention_id""".stripMargin),
+
+    "g2_ner_viterbi" -> ErOracle.qAll(ErOracle.nerCtes +
+      "\nSELECT conv_id, turn_idx, pos, tok, label FROM nlabels"),
+
+    "a11_ner_f1" -> ErOracle.qAll(ErOracle.nerCtes +
+      """,
+        |nagg AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nchunks c
+        |     JOIN mentions m ON m.mtype = 'PROPER' AND c.conv_id = m.conv_id
+        |       AND c.turn_idx = m.turn_idx AND c.start = m.start AND c."end" = m."end") AS tp,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nchunks) AS n_pred,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mentions WHERE mtype = 'PROPER') AS n_gold
+        |)
+        |SELECT tp, n_pred, n_gold,
+        |  round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision_r,
+        |  round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall_r,
+        |  round(2.0 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_gold)
+        |    / ((CAST(tp AS DOUBLE) / n_pred) + (CAST(tp AS DOUBLE) / n_gold)), 6) AS f1_r
+        |FROM nagg""".stripMargin),
+
+    "a13_bootstrap" -> ErOracle.q(
+      """,
+        |cstats AS (
+        |  SELECT m.conv_id,
+        |    CAST(SUM(CASE WHEN ca.cluster_id = cc.cluster_id AND ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN ca.cluster_id = cc.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS pred,
+        |    CAST(SUM(CASE WHEN ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS BIGINT) AS gold
+        |  FROM mentions m JOIN mentions m2
+        |    ON m.conv_id = m2.conv_id AND m.m_seq < m2.m_seq
+        |  JOIN clusters ca ON m.mention_id = ca.mention_id
+        |  JOIN clusters cc ON m2.mention_id = cc.mention_id
+        |  JOIN gold ga ON m.mention_id = ga.mention_id
+        |  JOIN gold gc ON m2.mention_id = gc.mention_id
+        |  GROUP BY m.conv_id
+        |),
+        |cidx AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS idx FROM cstats
+        |),
+        |boots AS (SELECT CAST(unnest(range(200)) AS INT) AS b),
+        |draws AS (
+        |  SELECT b.b, (CAST(b.b AS BIGINT) * 1000003 + s.idx) * 2654435761 % 2147483648
+        |    % (SELECT count(*) FROM cidx) AS pick
+        |  FROM boots b CROSS JOIN cidx s
+        |)
+        |SELECT b, round(2.0 * tp / (pred + gold), 6) AS f1_r FROM (
+        |  SELECT d.b, SUM(s.tp) AS tp, SUM(s.pred) AS pred, SUM(s.gold) AS gold
+        |  FROM draws d JOIN cidx s ON d.pick = s.idx
+        |  GROUP BY d.b
+        |)""".stripMargin),
 
     "a9_slices" -> ErOracle.q(
       """SELECT m.mtype,

@@ -133,6 +133,52 @@ package object functions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** F7 definiteness (`PairwiseIndexingFeaturizerJoint.scala:540-549`):
+    * classify a normalized surface by its leading determiner. */
+  def definiteness(norm: Column): Column =
+    when(norm.rlike("^(the|that|this|these|those) "), "definite")
+      .when(norm.rlike("^(a|an) "), "indefinite")
+      .otherwise("bare")
+
+  /** F8 iWi containment (`Mention.scala:228-231`): one mention's extent
+    * nested inside the other's, within the same turn — nested mentions are
+    * (almost) never coreferent. */
+  def iWiContainment(turnA: Column, startA: Column, endA: Column,
+      turnB: Column, startB: Column, endB: Column): Column =
+    turnA === turnB &&
+      ((startA >= startB && endA <= endB) || (startB >= startA && endB <= endA)) &&
+      !(startA === startB && endA === endB)
+
+  /** F10 fancy head containment (`sem/FancyHeadMatcher.scala:127-150`): one
+    * mention's head token appears anywhere in the other's token list. */
+  def fancyHeadContainment(headA: Column, toksB: Column): Column =
+    array_contains(toksB, headA)
+
+  /** F11 semantic class — scoped dictionary heuristic (the reference uses
+    * WordNet synset walks, `sem/SemClass.scala:15-81`; no WordNet exists in
+    * this environment, so the class comes from surface morphology + the
+    * closed dictionaries the engine already carries). */
+  def semClass(tok: Column): Column = {
+    val lc = lower(tok)
+    when(lc.rlike("^[0-9]+$") || lc.rlike("^[a-z]+[#-][0-9]+$"), "IDENT")
+      .when(lc.isin(graft.pipeline.Mentions.Pronouns: _*), "PRON")
+      .when(lc.isin(graft.pipeline.Mentions.NominalHeads: _*), "ORG")
+      .when(lc.rlike("(corp|systems|labs|holdings|partners|group|works|networks|industries|dynamics|solutions|ventures)$"), "ORG")
+      .otherwise("OTHER")
+  }
+
+  /** F5 frequency-backoff token (`PairwiseIndexingFeaturizerJoint.scala:478-486`
+    * backs rare words off to their POS; parse-free analog: rare tokens back
+    * off to their word shape). Relational: join the lexical count table,
+    * keep the token when frequent enough. */
+  def withLexicalBackoff(df: DataFrame, tok: Column, counts: DataFrame,
+      cutoff: Int = 20): DataFrame =
+    df.join(counts.select(col("tok").as("__bk_tok"), col("n").as("__bk_n")),
+        tok === col("__bk_tok"), "left")
+      .withColumn("backed_tok",
+        when(col("__bk_n") >= cutoff, tok).otherwise(wordShape(tok)))
+      .drop("__bk_tok", "__bk_n")
+
   /** W2 deterministic shuffle: content-derived, seed-stable global order (the
     * reference shuffles training docs with a fixed-seed RNG,
     * `/root/reference/.../coref/CorefSystem.scala:128`). A seeded-hash sort

@@ -445,9 +445,133 @@ object ErOracle {
     s"${Transcripts.cte},\n$toksSql,\n$mentionsAllSql,\n$blockingSql"
 
 
+  /** Entity-linking CTEs (L1-L4 + F12), appended to a chain body. Mirrors
+    * graft.linking.Linking + the customer-derived dictionary in
+    * graft.harness.Queries.linkDict. */
+  val linkingCtes: String =
+    s""",
+       |ldict AS (
+       |  SELECT lower(c_name) AS surface, 'Customer_' || CAST(c_custkey AS STRING) AS title, 10 AS cnt FROM customer
+       |  UNION ALL
+       |  SELECT substr(lower(c_name), 10, 9), 'Customer_' || CAST(c_custkey AS STRING), 5 FROM customer
+       |  UNION ALL
+       |  SELECT 'cust-' || CAST(c_custkey AS STRING), 'Cust_' || CAST(c_custkey AS STRING), 3 FROM customer
+       |  UNION ALL
+       |  SELECT CAST(c_custkey AS STRING), 'Customer_' || CAST(c_custkey AS STRING), 1 FROM customer
+       |),
+       |lred AS (
+       |  SELECT 'Cust_' || CAST(c_custkey AS STRING) AS src,
+       |         'Customer_' || CAST(c_custkey AS STRING) AS dst FROM customer
+       |),
+       |lheads AS (
+       |  SELECT mention_id, norm,
+       |    string_split(norm, ' ')[len(string_split(norm, ' '))] AS head_q
+       |  FROM mentions
+       |),
+       |lqueries AS (
+       |  SELECT mention_id, query, min(prio) AS prio FROM (
+       |    SELECT mention_id, norm AS query, 0 AS prio FROM mentions
+       |    UNION ALL
+       |    SELECT mention_id,
+       |      CASE WHEN norm LIKE 'the %' OR norm LIKE 'a %' OR norm LIKE 'an %'
+       |           THEN substr(norm, instr(norm, ' ') + 1) ELSE norm END, 1
+       |    FROM mentions
+       |    UNION ALL
+       |    SELECT mention_id, head_q, 2 FROM lheads
+       |    UNION ALL
+       |    SELECT mention_id,
+       |      CASE WHEN head_q LIKE '%''s' THEN substr(head_q, 1, length(head_q) - 2)
+       |           WHEN head_q LIKE '%s' AND length(head_q) > 3 THEN substr(head_q, 1, length(head_q) - 1)
+       |           ELSE head_q END, 3
+       |    FROM lheads
+       |  ) GROUP BY mention_id, query
+       |),
+       |lhits AS (
+       |  SELECT q.mention_id, q.prio, d.title, d.cnt
+       |  FROM lqueries q JOIN ldict d ON q.query = d.surface
+       |),
+       |lbest AS (
+       |  SELECT mention_id, title AS title0, prio, cnt FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id
+       |      ORDER BY prio ASC, cnt DESC, title ASC) AS rk FROM lhits
+       |  ) WHERE rk = 1
+       |),
+       |llinks AS (
+       |  SELECT b.mention_id, coalesce(r.dst, b.title0) AS title, b.prio, b.cnt
+       |  FROM lbest b LEFT JOIN lred r ON b.title0 = r.src
+       |)""".stripMargin
+
+  /** NER CTEs (G1/G2 emissions + Viterbi + chunks) — generated from the SAME
+    * graft.ner.Ner transition/init constants so the two engines cannot
+    * drift. The recursive CTE carries, per (conv, turn, pos), the best score
+    * and path string per label; tie-breaks prefer O, then B, then I, exactly
+    * like the Scala argmax loop; all score arithmetic is associated
+    * `(prev + trans) + emit` in both engines. */
+  val nerCtes: String = {
+    import graft.ner.Ner
+    val name = Vector("o", "b", "i")
+    def cand(l: Int): Seq[String] =
+      (0 until 3).map(p => s"(v.s_${name(p)} + ${Ner.Trans(p)(l)})")
+    def pick(l: Int, proj: Int => String): String = {
+      val Seq(co, cb, ci) = cand(l)
+      s"CASE WHEN $co >= $cb AND $co >= $ci THEN ${proj(0)} WHEN $cb >= $ci THEN ${proj(1)} ELSE ${proj(2)} END"
+    }
+    val sNew = (0 until 3).map { l =>
+      s"(${pick(l, i => cand(l)(i))}) + e.e_${name(l)} AS s_${name(l)}"
+    }.mkString(",\n       |    ")
+    val pNew = (0 until 3).map { l =>
+      s"(${pick(l, i => s"v.p_${name(i)}")}) || '${Ner.Labels(l)}' AS p_${name(l)}"
+    }.mkString(",\n       |    ")
+    s""",
+       |nemis AS (
+       |  SELECT conv_id, turn_idx, pos, tok,
+       |    0.5 AS e_o,
+       |    -2.0 + 4.0 * (CASE WHEN regexp_matches(tok, '^(?:[A-Za-z]+[#-])?[0-9]+$$') THEN 1.0 ELSE 0.0 END)
+       |        + 3.0 * (CASE WHEN pos > 0 AND regexp_matches(tok, '^[A-Z][A-Za-z0-9#-]*$$') THEN 1.0 ELSE 0.0 END) AS e_b,
+       |    -3.0 + 2.0 * (CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 1.0 ELSE 0.0 END)
+       |        + 3.5 * (CASE WHEN prev IS NOT NULL AND regexp_matches(prev, '^[A-Z][A-Za-z0-9#-]*$$')
+       |                       AND regexp_matches(tok, '^[A-Z0-9][A-Za-z0-9#-]*$$') THEN 1.0 ELSE 0.0 END) AS e_i
+       |  FROM (SELECT conv_id, turn_idx, pos, tok,
+       |          lag(tok) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS prev
+       |        FROM toks)
+       |),
+       |vit AS (
+       |  SELECT conv_id, turn_idx, pos,
+       |    ${Ner.Init(0)} + e_o AS s_o, ${Ner.Init(1)} + e_b AS s_b, ${Ner.Init(2)} + e_i AS s_i,
+       |    'O' AS p_o, 'B' AS p_b, 'I' AS p_i
+       |  FROM nemis WHERE pos = 0
+       |  UNION ALL
+       |  SELECT e.conv_id, e.turn_idx, e.pos,
+       |    $sNew,
+       |    $pNew
+       |  FROM vit v JOIN nemis e
+       |    ON e.conv_id = v.conv_id AND e.turn_idx = v.turn_idx AND e.pos = v.pos + 1
+       |),
+       |nlast AS (SELECT conv_id, turn_idx, max(pos) AS last FROM nemis GROUP BY conv_id, turn_idx),
+       |nbest AS (
+       |  SELECT v.conv_id, v.turn_idx,
+       |    CASE WHEN s_o >= s_b AND s_o >= s_i THEN p_o
+       |         WHEN s_b >= s_i THEN p_b ELSE p_i END AS path
+       |  FROM vit v JOIN nlast l
+       |    ON v.conv_id = l.conv_id AND v.turn_idx = l.turn_idx AND v.pos = l.last
+       |),
+       |nlabels AS (
+       |  SELECT e.conv_id, e.turn_idx, e.pos, e.tok, substr(b.path, e.pos + 1, 1) AS label
+       |  FROM nemis e JOIN nbest b ON e.conv_id = b.conv_id AND e.turn_idx = b.turn_idx
+       |),
+       |nchunks AS (
+       |  SELECT conv_id, turn_idx, CAST(min(pos) AS INT) AS start, CAST(max(pos) AS INT) AS "end"
+       |  FROM (SELECT *, SUM(CASE WHEN label <> 'I' THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS grp
+       |        FROM nlabels)
+       |  WHERE label <> 'O'
+       |  GROUP BY conv_id, turn_idx, grp
+       |)""".stripMargin
+  }
+
   /** Full oracle query: recursive-CTE prefix + body. */
   def q(body: String): String = s"WITH RECURSIVE $chain\n$body"
 
   /** All-generators oracle query (through surface scoring). */
-  def qAll(body: String): String = s"WITH $allChain\n$body"
+  def qAll(body: String): String = s"WITH RECURSIVE $allChain\n$body"
 }

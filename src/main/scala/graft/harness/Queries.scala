@@ -174,6 +174,61 @@ object Queries {
     graft.train.ModelIO.pack(
       graft.train.ModelIO.weightsDF(spark, Scoring.DefaultWeights))
 
+  /** Link dictionary derived deterministically from `customer` (the
+    * title-given-surface DB analog): canonical lowered name, digit alias,
+    * `Cust-k` alias (titled with a redirect source), stripped-digit backoff. */
+  private def linkDict(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    Transcripts.registerBase(spark, sfDir)
+    val c = spark.table("customer")
+      .select(col("c_custkey").cast("string").as("k"), lower(col("c_name")).as("name_lc"))
+    val title = concat(lit("Customer_"), col("k"))
+    val dict = c.select(col("name_lc").as("surface"), title.as("title"), lit(10).as("cnt"))
+      .unionByName(c.select(substring(col("name_lc"), 10, 9).as("surface"),
+        title.as("title"), lit(5).as("cnt")))
+      .unionByName(c.select(concat(lit("cust-"), col("k")).as("surface"),
+        concat(lit("Cust_"), col("k")).as("title"), lit(3).as("cnt")))
+      .unionByName(c.select(col("k").as("surface"), title.as("title"), lit(1).as("cnt")))
+    val redirects = c.select(concat(lit("Cust_"), col("k")).as("src"),
+      concat(lit("Customer_"), col("k")).as("dst"))
+    (dict, redirects)
+  }
+
+  /** L2+L3: per-mention linked titles (NIL mentions absent). */
+  def l2LinkTitles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dict, red) = linkDict(spark, sfDir)
+    graft.linking.Linking.link(pipeline(spark, sfDir).mentions, dict, red)
+      .select(col("mention_id"), col("title"), col("prio"), col("cnt"))
+  }
+
+  /** A12: wikification accuracy vs gold titles. */
+  def a12WikiEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dict, red) = linkDict(spark, sfDir)
+    val links = graft.linking.Linking.link(pipeline(spark, sfDir).mentions, dict, red)
+    val goldTitles = gold(spark, sfDir)
+      .select(col("mention_id"), concat(lit("Customer_"), col("entity_id")).as("gold_title"))
+    graft.linking.Linking.wikiEval(links, goldTitles)
+  }
+
+  /** G2: NER Viterbi labels per token. */
+  def g2NerViterbi(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ner.Ner.viterbi(spark,
+      graft.ner.Ner.emissions(Transcripts.load(spark, sfDir)))
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"), col("label"))
+
+  /** A11: NER chunk P/R/F1 vs the PROPER mention extents of the
+    * all-generators path. */
+  def a11NerF1(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = graft.ner.Ner.chunks(graft.ner.Ner.viterbi(spark,
+      graft.ner.Ner.emissions(Transcripts.load(spark, sfDir))))
+    val gold = allPath(spark, sfDir)._1.filter(col("mtype") === "PROPER")
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("end"))
+    graft.ner.Ner.chunkF1(pred, gold)
+      .select(col("tp"), col("n_pred"), col("n_gold"),
+        round(col("precision"), 6).as("precision_r"),
+        round(col("recall"), 6).as("recall_r"),
+        round(col("f1"), 6).as("f1_r"))
+  }
+
   def backptrsQ(spark: SparkSession, sfDir: String): DataFrame =
     pipeline(spark, sfDir).backptrs.select("cur_id", "ant_id")
 
@@ -210,6 +265,45 @@ object Queries {
       .select(col("mention_id_a").as("ant_id"), col("mention_id_c").as("cur_id"))
     Eval.blockingRecall(candidateUniverse(spark, sfDir), goldPairs)
       .select(col("gold_pairs"), col("recalled"), round(col("recall"), 6).as("recall_r"))
+  }
+
+  /** A13 bootstrap significance (`sig/BootstrapDriver.scala:1-185`):
+    * resample conversations with replacement B times via a deterministic,
+    * engine-portable multiplicative hash (no RNG state), recompute the
+    * within-conversation pairwise-link micro-F1 per sample — the empirical
+    * distribution every quality claim's confidence interval comes from.
+    * Output: one row per bootstrap sample `(b, f1_r)`. */
+  def a13Bootstrap(spark: SparkSession, sfDir: String, nBoot: Int = 200): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val g = gold(spark, sfDir)
+    val m = r.mentions.join(g, "mention_id").join(r.clusters, "mention_id")
+      .select(col("conv_id"), col("m_seq"), col("entity_id"), col("cluster_id"))
+    val a = m.toDF("conv_id", "seq_a", "e_a", "c_a")
+    val c = m.toDF("conv_id", "seq_c", "e_c", "c_c")
+    val convStats = a.join(c, "conv_id").filter(col("seq_a") < col("seq_c"))
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(when(col("c_a") === col("c_c") && col("e_a") === col("e_c"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("c_a") === col("c_c"), 1L).otherwise(0L)).as("pred"),
+        sum(when(col("e_a") === col("e_c"), 1L).otherwise(0L)).as("gold"))
+    // per-conversation stats table is small (one row per conversation with
+    // >=2 mentions) — the global index window is over that table, not data
+    val idxed = convStats.withColumn("idx",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("conv_id")))
+        .cast("long") - 1)
+    val nDf = idxed.agg(count(lit(1)).as("n_conv"))
+    import spark.implicits._
+    val boots = (0 until nBoot).toDF("b")
+    val draws = boots
+      .crossJoin(idxed.select(col("idx").as("k")))
+      .crossJoin(nDf)
+      .withColumn("pick",
+        (col("b").cast("long") * 1000003L + col("k")) * 2654435761L % 2147483648L % col("n_conv"))
+    draws.join(idxed.select(col("idx").as("pick"), col("tp"), col("pred"), col("gold")), "pick")
+      .groupBy(col("b"))
+      .agg(sum(col("tp")).as("tp"), sum(col("pred")).as("pred"), sum(col("gold")).as("gold"))
+      .select(col("b"),
+        round(lit(2.0) * col("tp") / (col("pred") + col("gold")), 6).as("f1_r"))
   }
 
   def mucQ(spark: SparkSession, sfDir: String): DataFrame = {

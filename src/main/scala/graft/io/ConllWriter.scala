@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S4 formatted sink — the CoNLL writer analog
+  * (`/root/reference/.../ConllDocWriter.scala:19-44`): token-per-line text
+  * with tab-separated `conv_id  turn_idx  pos  token  coref_bit`, where the
+  * coref bit is `(<cluster>)` on single-token mentions, `(<cluster>` /
+  * `<cluster>)` on multi-token boundaries, `-` elsewhere — derived by joining
+  * the cluster assignment back to mention extents, exactly the writer's
+  * grafting step. Lines are emitted per conversation partition
+  * (`partitionBy` on the write) so a conversation is never split across
+  * files. [[parse]] inverts the format (round-trip tested). */
+object ConllWriter {
+
+  /** Render `(conv_id, turn_idx, pos, tok, bit)` lines. `mentions` needs
+    * (mention_id, conv_id, turn_idx, start, end); `clusters`
+    * (mention_id, cluster_id). */
+  def formatLines(transcripts: DataFrame, mentions: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val toks = transcripts.select(col("conv_id"), col("turn_idx"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val m = mentions.join(clusters, "mention_id")
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
+        col("cluster_id"))
+    val open = m.select(col("conv_id"), col("turn_idx"), col("start").as("pos"),
+      when(col("start") === col("end"),
+        concat(lit("("), col("cluster_id"), lit(")")))
+        .otherwise(concat(lit("("), col("cluster_id"))).as("bit"))
+    val close = m.filter(col("start") =!= col("end"))
+      .select(col("conv_id"), col("turn_idx"), col("end").as("pos"),
+        concat(col("cluster_id"), lit(")")).as("bit"))
+    val bits = open.unionByName(close)
+      .groupBy(col("conv_id"), col("turn_idx"), col("pos"))
+      .agg(concat_ws("|", collect_list(col("bit"))).as("bit"))
+    toks.join(bits, Seq("conv_id", "turn_idx", "pos"), "left")
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"),
+        coalesce(col("bit"), lit("-")).as("bit"))
+      .withColumn("line", concat_ws("\t",
+        col("conv_id"), col("turn_idx"), col("pos"), col("tok"), col("bit")))
+  }
+
+  /** Write the formatted lines partitioned by conversation bucket. */
+  def write(lines: DataFrame, path: String, buckets: Int = 16): Unit =
+    lines
+      .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(buckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("pos"))
+      .select(col("line"))
+      .write.mode("overwrite").text(path)
+
+  /** Parse written lines back into (conv_id, turn_idx, pos, tok, bit) —
+    * the reader side of the round trip (S1's column split). */
+  def parse(lines: DataFrame): DataFrame =
+    lines.select(split(col("value"), "\t").as("c"))
+      .select(col("c").getItem(0).as("conv_id"),
+        col("c").getItem(1).cast("int").as("turn_idx"),
+        col("c").getItem(2).cast("int").as("pos"),
+        col("c").getItem(3).as("tok"),
+        col("c").getItem(4).as("bit"))
+}

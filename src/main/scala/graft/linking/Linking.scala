@@ -1,0 +1,91 @@
+package graft.linking
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity linking (SURVEY.md §2.9, L1-L4 + F12) — the reference's `wiki/`
+  * subsystem re-expressed relationally:
+  *
+  *  - the `titleGivenSurfaceDB` (`wiki/WikipediaTitleGivenSurfaceDB.scala:16`,
+  *    a `CounterMap[surface, title]`) becomes a **link dictionary table**
+  *    `(surface, title, cnt)`;
+  *  - redirects (`wiki/WikipediaInterface.scala:59-64`) a `(src, dst)` table;
+  *  - query expansion (`wiki/Query.scala:20-110`) generates per-mention query
+  *    strings at descending priority (full norm → de-determinered → head
+  *    token → stemmed head, F12's normalize/stem);
+  *  - linking = broadcast-join the queries against the dictionary, keep the
+  *    best-priority query with any hit, argmax count (ties → lexicographic
+  *    title — deterministic), then resolve one redirect hop;
+  *  - NIL when no query hits (the reference's -NIL- outcome).
+  *
+  * Scale shape: the dictionary is the small side (10^6-10^8 rows) — broadcast
+  * when it fits, else a shuffle-hash join on `surface`; mentions never
+  * self-join. The argmax is a per-(mention) `max_by` aggregation, no window
+  * over the big side.
+  */
+object Linking {
+
+  /** Per-mention link queries `(mention_id, query, prio)`, best prio = 0.
+    * Priorities follow `wiki/Query.scala:20-110`: full normalized surface,
+    * determiner-stripped form, head token, F12-stemmed head (drop `'s`
+    * possessive, then plural `s` on tokens longer than 3). */
+  def expandQueries(mentions: DataFrame): DataFrame = {
+    val norm = col("norm")
+    val noDet = when(
+      norm.startsWith("the ") || norm.startsWith("a ") || norm.startsWith("an "),
+      expr("substring(norm, instr(norm, ' ') + 1)")).otherwise(norm)
+    val head = element_at(split(norm, " "), -1)
+    val stemmed = when(head.endsWith("'s"), expr("substring(head_q, 1, length(head_q) - 2)"))
+      .when(head.endsWith("s") && length(head) > 3,
+        expr("substring(head_q, 1, length(head_q) - 1)"))
+      .otherwise(head)
+    mentions
+      .select(col("mention_id"), norm, noDet.as("nodet_q"), head.as("head_q"))
+      .withColumn("stem_q", stemmed)
+      .select(col("mention_id"),
+        explode(array(
+          struct(col("norm").as("query"), lit(0).as("prio")),
+          struct(col("nodet_q").as("query"), lit(1).as("prio")),
+          struct(col("head_q").as("query"), lit(2).as("prio")),
+          struct(col("stem_q").as("query"), lit(3).as("prio")))).as("q"))
+      .select(col("mention_id"), col("q.query").as("query"), col("q.prio").as("prio"))
+      .groupBy(col("mention_id"), col("query")).agg(min(col("prio")).as("prio"))
+  }
+
+  /** L2+L3: link each mention to its best title, or no row when NIL.
+    * Output `(mention_id, title, prio, cnt)`. */
+  def link(mentions: DataFrame, dict: DataFrame, redirects: DataFrame): DataFrame = {
+    val hits = expandQueries(mentions)
+      .join(dict.select(col("surface").as("query"), col("title"), col("cnt")), "query")
+    // best = lowest prio, then highest count, then lexicographic title
+    val best = hits
+      .groupBy(col("mention_id"))
+      .agg(min_by(
+        struct(col("title"), col("prio"), col("cnt")),
+        struct(col("prio"), negate(col("cnt")), col("title"))).as("b"))
+      .select(col("mention_id"), col("b.title").as("title0"),
+        col("b.prio").as("prio"), col("b.cnt").as("cnt"))
+    // L3: one redirect hop (the reference resolves redirects once)
+    best
+      .join(redirects.select(col("src").as("title0"), col("dst")), Seq("title0"), "left")
+      .select(col("mention_id"),
+        coalesce(col("dst"), col("title0")).as("title"), col("prio"), col("cnt"))
+  }
+
+  /** A12 wikification eval (`wiki/WikificationEvaluator.scala`): accuracy of
+    * linked titles vs gold titles, with NIL handling (unlinked mention with a
+    * gold title = miss; counted separately). */
+  def wikiEval(links: DataFrame, goldTitles: DataFrame): DataFrame = {
+    val joined = goldTitles
+      .join(links.select(col("mention_id"), col("title")), Seq("mention_id"), "left")
+    joined.agg(
+      count(lit(1)).as("n_gold"),
+      sum(when(col("title").isNotNull, 1L).otherwise(0L)).as("n_linked"),
+      sum(when(col("title") === col("gold_title"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_linked_r",
+        round(col("n_correct").cast("double") / col("n_linked"), 6))
+      .withColumn("acc_all_r",
+        round(col("n_correct").cast("double") / col("n_gold"), 6))
+  }
+}

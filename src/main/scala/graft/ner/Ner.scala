@@ -1,0 +1,147 @@
+package graft.ner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scoped NER kernel (SURVEY.md §2.10 G1/G2, §2.6 A11, §2.4 B6) — the
+  * reference's CRF tagger (`ner/NerSystemLabeled.scala:40-128`) reduced to a
+  * 3-label (O/B/I) linear-chain model over transcript tokens:
+  *
+  *  - **emissions** are codegen'd column expressions over surface features
+  *    (identifier shape, mid-sentence capitalization, digit runs, previous
+  *    token class) — the featurizer analog of `ner/NerFeaturizer.scala`;
+  *  - **Viterbi** is per-turn dynamic programming: turns are bounded, so the
+  *    decode runs in `flatMapGroups` per (conv_id, turn_idx) — the sanctioned
+  *    per-group imperative kernel (doc-at-a-time in the reference,
+  *    `NerSystemLabeled.decode`). Tie-breaks prefer O, then B, then I, and
+  *    the score recurrence is associated `(prev + trans) + emit` so the
+  *    DuckDB recursive-CTE oracle reproduces it bit-for-bit;
+  *  - **chunking**: B starts a chunk, following I's extend it (A11 eval =
+  *    chunk P/R/F1, `ner/NEEvaluator.scala:56-140`);
+  *  - **label-domain pruning** (B6, `ner/NerPruner.scala`): per-token allowed
+  *    labels within an emission margin of the best.
+  */
+object Ner {
+
+  // transition weights trans(prev)(next); label order O=0, B=1, I=2
+  val Labels: Vector[String] = Vector("O", "B", "I")
+  val Trans: Array[Array[Double]] = Array(
+    Array(0.0, 0.0, -5.0), // from O
+    Array(0.0, -0.5, 0.5), // from B
+    Array(0.0, -0.5, 0.5)) // from I
+  val Init: Array[Double] = Array(0.0, 0.0, -5.0)
+
+  /** Per-token emission scores (exact-representable weights). */
+  def emissions(transcripts: DataFrame): DataFrame = {
+    val toks = transcripts.select(col("conv_id"), col("turn_idx"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("conv_id"), col("turn_idx")).orderBy(col("pos"))
+    val ident = col("tok").rlike("^(?:[A-Za-z]+[#-])?[0-9]+$").cast("double")
+    val capMid = (col("pos") > 0 && col("tok").rlike("^[A-Z][A-Za-z0-9#-]*$")).cast("double")
+    val digits = col("tok").rlike("^[0-9]+$").cast("double")
+    // continuation feature: the PREVIOUS token is entity-capitalized AND this
+    // token itself is entity-shaped (cap or digit-led) — without the self
+    // condition every lowercase word following an entity would look like I
+    val selfEnt = col("tok").rlike("^[A-Z0-9][A-Za-z0-9#-]*$")
+    toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .withColumn("cont",
+        (coalesce(col("prev").rlike("^[A-Z][A-Za-z0-9#-]*$"), lit(false)) && selfEnt)
+          .cast("double"))
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"),
+        lit(0.5).as("e_o"),
+        (lit(-2.0) + lit(4.0) * ident + lit(3.0) * capMid).as("e_b"),
+        (lit(-3.0) + lit(2.0) * digits + lit(3.5) * col("cont")).as("e_i"))
+  }
+
+  private case class Emis(pos: Int, tok: String, e: Array[Double])
+
+  /** G2 Viterbi decode: `(conv_id, turn_idx, pos, tok, label)`. */
+  def viterbi(spark: SparkSession, emissions: DataFrame): DataFrame = {
+    import spark.implicits._
+    emissions
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"),
+        col("e_o"), col("e_b"), col("e_i"))
+      .as[(String, Int, Int, String, Double, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, String, Double, Double, Double)]) =>
+        val (conv, turn) = key
+        val toks = it.map(r => Emis(r._3, r._4, Array(r._5, r._6, r._7)))
+          .toArray.sortBy(_.pos)
+        val n = toks.length
+        val score = Array.ofDim[Double](n, 3)
+        val back = Array.ofDim[Int](n, 3)
+        var l = 0
+        while (l < 3) { score(0)(l) = Init(l) + toks(0).e(l); l += 1 }
+        var p = 1
+        while (p < n) {
+          var cur = 0
+          while (cur < 3) {
+            // candidates associated (prev + trans), argmax prefers the
+            // lowest label index on ties (O, then B, then I) — mirrors the
+            // oracle's CASE evaluation order
+            var bestL = 0
+            var best = score(p - 1)(0) + Trans(0)(cur)
+            var prev = 1
+            while (prev < 3) {
+              val c = score(p - 1)(prev) + Trans(prev)(cur)
+              if (c > best) { best = c; bestL = prev }
+              prev += 1
+            }
+            score(p)(cur) = best + toks(p).e(cur)
+            back(p)(cur) = bestL
+            cur += 1
+          }
+          p += 1
+        }
+        var endL = 0
+        l = 1
+        while (l < 3) { if (score(n - 1)(l) > score(n - 1)(endL)) endL = l; l += 1 }
+        val labels = new Array[Int](n)
+        labels(n - 1) = endL
+        p = n - 1
+        while (p > 0) { labels(p - 1) = back(p)(labels(p)); p -= 1 }
+        toks.indices.map(i => (conv, turn, toks(i).pos, toks(i).tok, Labels(labels(i))))
+      }
+      .toDF("conv_id", "turn_idx", "pos", "tok", "label")
+  }
+
+  /** Decoded chunks `(conv_id, turn_idx, start, end)` — B opens, I extends. */
+  def chunks(labeled: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"), col("turn_idx")).orderBy(col("pos"))
+    labeled
+      .withColumn("grp",
+        sum(when(col("label") =!= "I", 1).otherwise(0)).over(w))
+      .filter(col("label") =!= "O")
+      .groupBy(col("conv_id"), col("turn_idx"), col("grp"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("end"))
+      .drop("grp")
+  }
+
+  /** A11 chunk P/R/F1 vs gold extents keyed (conv_id, turn_idx, start, end). */
+  def chunkF1(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val key = Seq("conv_id", "turn_idx", "start", "end")
+    val p = pred.select(key.map(col): _*)
+    val g = gold.select(key.map(col): _*)
+    val tp = p.join(g, key, "left_semi").count()
+    val np = p.count(); val ng = g.count()
+    val prec = if (np == 0) 0.0 else tp.toDouble / np
+    val rec = if (ng == 0) 0.0 else tp.toDouble / ng
+    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+    val spark = pred.sparkSession
+    import spark.implicits._
+    Seq((tp, np, ng, prec, rec, f1))
+      .toDF("tp", "n_pred", "n_gold", "precision", "recall", "f1")
+  }
+
+  /** B6 label-domain pruning: per-token labels within `margin` of the best
+    * emission — the factor-graph domain the joint model would search. */
+  def labelDomains(emissions: DataFrame, margin: Double = 3.0): DataFrame = {
+    val best = greatest(col("e_o"), col("e_b"), col("e_i"))
+    emissions.withColumn("domain", filter(array(
+      when(col("e_o") >= best - margin, "O"),
+      when(col("e_b") >= best - margin, "B"),
+      when(col("e_i") >= best - margin, "I")), _.isNotNull))
+  }
+}

@@ -131,6 +131,19 @@ object Eval {
         (col("bcub_precision") + col("bcub_recall")))
   }
 
+  /** C5 oracle predicted clustering (`CorefDoc.scala:41-101`): each
+    * predicted mention inherits the gold entity of its extent-aligned gold
+    * mention; unaligned predictions become singletons (own id as cluster) —
+    * the upper bound a perfect linker could reach on these mentions. */
+  def oraclePredClustering(predMentions: DataFrame, goldMentions: DataFrame): DataFrame = {
+    val key = Seq("conv_id", "turn_idx", "start", "end")
+    predMentions.select((key.map(col) :+ col("mention_id")): _*)
+      .join(goldMentions.select((key.map(col) :+ col("entity_id").cast("string").as("entity_id")): _*),
+        key, "left")
+      .select(col("mention_id"),
+        coalesce(concat(lit("g:"), col("entity_id")), col("mention_id")).as("cluster_id"))
+  }
+
   /** Mention-detection P/R/F1 (A7, `CorefDoc.scala:104-109`): pred vs gold
     * mention extents keyed by (conv_id, turn_idx, start, end). */
   def mentionPRF(predMentions: DataFrame, goldMentions: DataFrame): DataFrame = {

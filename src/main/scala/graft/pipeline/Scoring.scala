@@ -167,9 +167,16 @@ object Scoring {
 
   /** Linear score + logistic probability as plan-constant expressions
     * (P9/P11; the reference's `score = Σ weights(featIdx)`,
-    * `GUtil.scala:443-451`). */
-  def score(featurized: DataFrame, w: Weights = DefaultWeights): DataFrame = {
-    val linear = featureVector.map { case (n, c) => c * w(n) }.reduce(_ + _)
+    * `GUtil.scala:443-451`).
+    *
+    * `aux` is the P7 auxiliary-featurizer seam (ref
+    * `coref/AuxiliaryFeaturizer.scala`): extra `(name, column, weight)`
+    * features appended to the linear sum — a domain plug-in extends the model
+    * without touching the core feature vector. */
+  def score(featurized: DataFrame, w: Weights = DefaultWeights,
+      aux: Seq[(String, Column, Double)] = Nil): DataFrame = {
+    val linear = (featureVector.map { case (n, c) => c * w(n) } ++
+      aux.map { case (_, c, aw) => c * aw }).reduce(_ + _)
     featurized
       .withColumn("score", linear)
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))

@@ -121,6 +121,31 @@ object Trainer {
     (Scoring.Weights(w), trace.toSeq)
   }
 
+  /** B3/T3 k-fold pruning-model training (`CorefPruner.scala:100-153`):
+    * deterministic fold per conversation (hash of the current mention's
+    * conv), one ranking model per fold trained on the OTHER folds — every
+    * mention is then scored by a model that never saw its conversation
+    * (unbiased coarse scores for pruning). */
+  def kFoldModels(labeled: DataFrame, k: Int = 4, epochs: Int = 20,
+      eta: Double = 1.0): Seq[(Int, Scoring.Weights)] = {
+    val withFold = labeled.withColumn("fold",
+      pmod(xxhash64(col("conv_id_c")), lit(k)).cast("int"))
+    (0 until k).map { f =>
+      f -> trainRanking(withFold.filter(col("fold") =!= f), epochs, eta)._1
+    }
+  }
+
+  /** Score every pair with its conversation's out-of-fold model; the union
+    * covers all pairs exactly once. */
+  def scoreOutOfFold(labeled: DataFrame, models: Seq[(Int, Scoring.Weights)]): DataFrame = {
+    val k = models.size
+    val withFold = labeled.withColumn("fold",
+      pmod(xxhash64(col("conv_id_c")), lit(k)).cast("int"))
+    models.map { case (f, w) =>
+      Scoring.score(withFold.filter(col("fold") === f), w)
+    }.reduce(_ unionByName _)
+  }
+
   /** Assemble labeled training pairs from a pipeline run + gold labels. */
   def labeledPairs(pairs: DataFrame, mentions: DataFrame, gold: DataFrame): DataFrame = {
     val feat = Scoring.featurize(Scoring.attachAttrs(pairs, mentions))

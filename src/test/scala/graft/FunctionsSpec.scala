@@ -111,4 +111,49 @@ class FunctionsSpec extends SparkSuite {
     val d = java.lang.Long.bitCount(m("a") ^ m("c"))
     assert(d > 0 && d <= 64)
   }
+
+  test("F7/F8/F10/F11: definiteness, iWi, fancy head, sem class") {
+    val d = Seq("the vendor", "a company", "acme systems", "that firm")
+      .toDF("norm").select(col("norm"), definiteness(col("norm")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("the vendor") === "definite")
+    assert(d("a company") === "indefinite")
+    assert(d("acme systems") === "bare")
+    assert(d("that firm") === "definite")
+
+    val iwi = Seq((1, 2, 5, 1, 3, 4), (1, 2, 5, 1, 2, 5), (1, 2, 5, 2, 3, 4),
+      (1, 3, 4, 1, 2, 5))
+      .toDF("ta", "sa", "ea", "tb", "sb", "eb")
+      .select(iWiContainment(col("ta"), col("sa"), col("ea"),
+        col("tb"), col("sb"), col("eb")).as("x"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(iwi === Seq(true, false, false, true))
+
+    val fh = Seq(("systems", Seq("acme", "data", "systems")), ("acme", Seq("bolt", "labs")))
+      .toDF("h", "toks")
+      .select(fancyHeadContainment(col("h"), col("toks")).as("x"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(fh === Seq(true, false))
+
+    val sc = Seq("000000007", "Cust-7", "they", "vendor", "Systems", "hello")
+      .toDF("t").select(col("t"), semClass(col("t")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sc("000000007") === "IDENT" && sc("Cust-7") === "IDENT")
+    assert(sc("they") === "PRON" && sc("vendor") === "ORG")
+    assert(sc("Systems") === "ORG" && sc("hello") === "OTHER")
+  }
+
+  test("F5: frequency backoff keeps frequent tokens, shapes rare ones") {
+    val counts = Seq(("acme", 25L), ("rare", 3L)).toDF("tok", "n")
+    val df = Seq("acme", "rare", "Unseen7").toDF("t")
+    val out = withLexicalBackoff(df, col("t"), counts)
+      .select(col("t"), col("backed_tok"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("acme") === "acme")
+    assert(out("rare") === wordShapeOf("rare"))
+    assert(out("Unseen7") === wordShapeOf("Unseen7"))
+  }
+
+  private def wordShapeOf(s: String): String =
+    Seq(s).toDF("x").select(wordShape(col("x"))).collect()(0).getString(0)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.linking.Linking
+
+/** L1-L4 + F12: query expansion priorities, count-argmax with deterministic
+  * tie-break, redirect resolution, NIL handling. */
+class LinkingSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val mentions = Seq(
+    ("m1", "the acme systems"), // determiner-strip (prio 1)
+    ("m2", "acme data"),        // ambiguous surface: count argmax
+    ("m3", "widgets"),          // F12 stem backoff (prio 3)
+    ("m4", "oldco"),            // redirect hop
+    ("m5", "nosuch entity zz"), // NIL
+    ("m6", "tiekey")            // count tie: lexicographic title
+  ).toDF("mention_id", "norm")
+
+  lazy val dict = Seq(
+    ("acme systems", "Acme_Systems", 7),
+    ("acme data", "Acme_Data_A", 3),
+    ("acme data", "Acme_Data_B", 9),
+    ("tiekey", "A_Title", 5),
+    ("tiekey", "B_Title", 5),
+    ("widget", "Widget_Co", 2),
+    ("oldco", "OldCo_page", 4)
+  ).toDF("surface", "title", "cnt")
+
+  lazy val redirects = Seq(("OldCo_page", "NewCo")).toDF("src", "dst")
+
+  test("query expansion emits prioritized queries") {
+    val q = Linking.expandQueries(mentions.filter(col("mention_id") === "m1"))
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(q("the acme systems") === 0)
+    assert(q("acme systems") === 1)
+    assert(q("systems") === 2)
+    assert(q("system") === 3)
+  }
+
+  test("link: priorities, argmax, tie-break, redirect, NIL") {
+    val links = Linking.link(mentions, dict, redirects)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(links("m1") === ("Acme_Systems", 1), "determiner-stripped query wins at prio 1")
+    assert(links("m2") === ("Acme_Data_B", 0), "highest-count title wins")
+    assert(links("m3") === ("Widget_Co", 3), "stemmed-head backoff")
+    assert(links("m4") === ("NewCo", 0), "redirect resolved")
+    assert(links("m6")._1 === "A_Title", "count ties break lexicographically")
+    assert(!links.contains("m5"), "no dictionary hit -> NIL (absent)")
+  }
+
+  test("wikiEval: accuracy with NIL accounting") {
+    val gold = Seq(("m1", "Acme_Systems"), ("m2", "Acme_Data_B"), ("m3", "Widget_X"),
+      ("m4", "NewCo"), ("m5", "Some_Title"), ("m6", "A_Title"))
+      .toDF("mention_id", "gold_title")
+    val e = Linking.wikiEval(Linking.link(mentions, dict, redirects), gold).collect()(0)
+    assert(e.getAs[Long]("n_gold") === 6L)
+    assert(e.getAs[Long]("n_linked") === 5L) // m5 NIL
+    assert(e.getAs[Long]("n_correct") === 4L) // m3 linked wrong, m5 unlinked
+    assert(e.getAs[Double]("acc_linked_r") === 0.8)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.ErFixture
+import graft.io.ConllWriter
+import graft.pipeline._
+
+/** S4 formatted sink round-trip, P7 auxiliary featurizer seam, C5 oracle
+  * clustering. */
+class SinksSpec extends SparkSuite {
+  import ErFixture._
+
+  lazy val g = generate(entities = 8, convs = 20, seed = 3L)
+  lazy val transcripts = transcriptsDF(spark, g).cache()
+  lazy val res = Pipeline.run(spark, transcripts, Pipeline.Config(mentionGenerator = "all"))
+
+  test("S4: CoNLL-style writer round-trips through disk") {
+    val lines = ConllWriter.formatLines(transcripts, res.mentions, res.clusters).cache()
+    // every token gets exactly one line
+    val nToks = transcripts.select(explode(split(col("text"), " "))).count()
+    assert(lines.count() === nToks)
+    // multi-token mentions open and close their cluster bit
+    val opens = lines.filter(col("bit").rlike("^\\(.+[^)]$")).count()
+    val closes = lines.filter(col("bit").rlike("^[^(].+\\)$")).count()
+    assert(opens === closes)
+    assert(opens > 0, "fixture must contain multi-token mentions")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-conll").toString
+    ConllWriter.write(lines, dir)
+    val back = ConllWriter.parse(spark.read.text(dir))
+    val orig = lines.select("conv_id", "turn_idx", "pos", "tok", "bit")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("P7: auxiliary featurizer extends the linear model") {
+    val pairs = Scoring.featurize(Scoring.attachAttrs(
+      Blocking.convBandPairs(res.mentions), res.mentions)).cache()
+    val adjacent = (col("m_seq_c") - col("m_seq_a") === 1).cast("double")
+    val joined = Scoring.score(pairs)
+      .select(col("ant_id"), col("cur_id"), col("score").as("base"),
+        (col("m_seq_c") - col("m_seq_a")).as("dist"))
+      .join(Scoring.score(pairs, aux = Seq(("adjacent", adjacent, 2.0)))
+        .select(col("ant_id"), col("cur_id"), col("score").as("boosted")),
+        Seq("ant_id", "cur_id"))
+    assert(joined.filter(col("dist") === 1 &&
+      abs(col("boosted") - col("base") - 2.0) > 1e-9).count() === 0L)
+    assert(joined.filter(col("dist") =!= 1 &&
+      abs(col("boosted") - col("base")) > 1e-9).count() === 0L)
+    assert(joined.filter(col("dist") === 1).count() > 0L)
+  }
+
+  test("C5: oracle clustering inherits gold entities, singletons otherwise") {
+    import spark.implicits._
+    val pred = Seq(("p1", "c0", 0, 1, 1), ("p2", "c0", 1, 2, 2), ("p3", "c0", 2, 0, 0))
+      .toDF("mention_id", "conv_id", "turn_idx", "start", "end")
+    val gold = Seq(("c0", 0, 1, 1, 7), ("c0", 1, 2, 2, 7))
+      .toDF("conv_id", "turn_idx", "start", "end", "entity_id")
+    val oracle = Eval.oraclePredClustering(pred, gold)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(oracle("p1") === "g:7" && oracle("p2") === "g:7")
+    assert(oracle("p3") === "p3", "unaligned mention becomes a singleton")
+  }
+}
