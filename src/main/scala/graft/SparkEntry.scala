@@ -38,6 +38,7 @@ object SparkEntry {
     "a10_muc" -> (Queries.mucQ _),
     "a10_bcub" -> (Queries.bcubQ _),
     "a5_lexcounts" -> (Queries.lexCountsQ _),
+    "a5b_lex_bundle" -> (Queries.a5bLexBundle _),
     "w3_top_heads" -> (Queries.topHeadsQ _),
     "a16_rollup" -> (Queries.rollupQ _),
     // training-data pipeline ops
@@ -297,6 +298,48 @@ object SparkEntry {
       """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM transcripts
         |) GROUP BY tok HAVING count(*) >= 20""".stripMargin),
+
+    "a5b_lex_bundle" -> ErOracle.qAll {
+      val shape = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(raw_head, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g')," +
+        " '[0-9]', 'd', 'g'), 'X{3,}', 'XXe', 'g'), 'x{3,}', 'xxe', 'g'), 'd{3,}', 'dde', 'g')"
+      val cls = """CASE WHEN regexp_matches(raw_head, '^[A-Z][a-z]') THEN 'INITC'
+        | WHEN regexp_matches(raw_head, '^[A-Z]+$') THEN 'CAPS'
+        | WHEN regexp_matches(raw_head, '^[a-z]+$') THEN 'LC'
+        | WHEN regexp_matches(raw_head, '^[0-9]+$') THEN 'NUM'
+        | WHEN regexp_matches(raw_head, '-') THEN 'DASH'
+        | ELSE 'OTHER' END""".stripMargin.replace("\n", "")
+      s""",
+        |mtx AS (
+        |  SELECT conv_id, turn_idx, start, "end",
+        |    string_split(norm, ' ') AS mtoks,
+        |    string_split(norm, ' ')[len(string_split(norm, ' '))] AS head_tok,
+        |    string_split(surface, ' ')[len(string_split(surface, ' '))] AS raw_head
+        |  FROM mentions
+        |),
+        |lt AS (SELECT conv_id, turn_idx, pos, lower(tok) AS tok FROM toks),
+        |a5b AS (
+        |  SELECT 'head' AS tbl, head_tok AS key FROM mtx
+        |  UNION ALL SELECT 'first', mtoks[1] FROM mtx
+        |  UNION ALL SELECT 'last', mtoks[len(mtoks)] FROM mtx
+        |  UNION ALL SELECT 'preceding', t.tok FROM mtx m JOIN lt t
+        |    ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx AND t.pos = m.start - 1
+        |  UNION ALL SELECT 'following', t.tok FROM mtx m JOIN lt t
+        |    ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx AND t.pos = m."end" + 1
+        |  UNION ALL SELECT 'preceding_by2', t.tok FROM mtx m JOIN lt t
+        |    ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx AND t.pos = m.start - 2
+        |  UNION ALL SELECT 'following_by2', t.tok FROM mtx m JOIN lt t
+        |    ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx AND t.pos = m."end" + 2
+        |  UNION ALL SELECT 'head_prefix', substr(head_tok, 1, 3) FROM mtx
+        |  UNION ALL SELECT 'head_suffix', substr(head_tok, greatest(length(head_tok) - 2, 1), 3) FROM mtx
+        |  UNION ALL SELECT 'head_shape', $shape FROM mtx
+        |  UNION ALL SELECT 'head_class', $cls FROM mtx
+        |  UNION ALL SELECT 'all_tokens', unnest(mtoks) FROM mtx
+        |)
+        |SELECT tbl AS "table", key, CAST(count(*) AS BIGINT) AS n
+        |FROM a5b WHERE key IS NOT NULL AND key <> ''
+        |GROUP BY tbl, key HAVING count(*) >= 20""".stripMargin
+    },
 
     "w3_top_heads" -> ErOracle.q(
       """SELECT head_key, CAST(count(*) AS BIGINT) AS n

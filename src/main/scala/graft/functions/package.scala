@@ -73,6 +73,17 @@ package object functions {
     regexp_replace(mapped, "(.)\\1{2,}", "$1$1e")
   }
 
+  /** RE2-portable word shape: like [[wordShape]] but collapses only X/x/d
+    * runs (per-class `{3,}` quantifiers instead of a backreference, which
+    * RE2 — and therefore the DuckDB oracle — cannot express). Identical to
+    * [[wordShape]] on alphanumeric tokens. */
+  def wordShapePortable(s: Column): Column = {
+    val mapped = regexp_replace(regexp_replace(regexp_replace(s,
+      "[A-Z]", "X"), "[a-z]", "x"), "[0-9]", "d")
+    regexp_replace(regexp_replace(regexp_replace(mapped,
+      "X{3,}", "XXe"), "x{3,}", "xxe"), "d{3,}", "dde")
+  }
+
   /** Word class (F3 analog: `ner/NerFeaturizer.scala:189-245`). */
   def wordClass(s: Column): Column =
     when(s.rlike("^[A-Z][a-z]"), "INITC")

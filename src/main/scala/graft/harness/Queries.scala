@@ -330,6 +330,10 @@ object Queries {
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 20)
 
+  /** A5 (full bundle): the 12 parse-free lexical count tables with cutoff. */
+  def a5bLexBundle(spark: SparkSession, sfDir: String): DataFrame =
+    LexicalCounts.bundle(allPath(spark, sfDir)._1, Transcripts.load(spark, sfDir))
+
   /** W3: top-k heaviest entity heads (keepTopNKeys analog) — deterministic
     * tie-break on the key. */
   def topHeadsQ(spark: SparkSession, sfDir: String): DataFrame =

@@ -18,15 +18,19 @@ object Decode {
 
   /** Backpointers `(cur_id, ant_id)`; only linked mentions appear (self-links
     * are implicit — absent rows mean "new entity", like the reference's
-    * absent pruned cells, `DocumentGraph.scala:20,98`). */
+    * absent pruned cells, `DocumentGraph.scala:20,98`).
+    *
+    * Implemented as a hash aggregation (`min_by` on `(-score, ant_id)`), not
+    * a sort-based row_number window: same argmax + tie-break (best score,
+    * ties to the lowest antecedent id) with map-side partial aggregation and
+    * no per-group sort — cheaper at 10^12-pair scale. */
   def backpointers(scored: DataFrame, threshold: Double = 0.0): DataFrame = {
-    val w = Window.partitionBy(col("cur_id"))
-      .orderBy(col("score").desc, col("ant_id").asc)
     scored
       .filter(col("score") > threshold)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("cur_id"), col("ant_id"), col("score"))
+      .groupBy(col("cur_id"))
+      .agg(min_by(struct(col("ant_id"), col("score")),
+        struct(negate(col("score")), col("ant_id"))).as("b"))
+      .select(col("cur_id"), col("b.ant_id").as("ant_id"), col("b.score").as("score"))
   }
 
   /** Per-mention softmax marginals over candidate antecedents (A1,
