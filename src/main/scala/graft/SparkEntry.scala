@@ -49,6 +49,7 @@ object SparkEntry {
     "dd_embedding" -> (Queries.ddEmbeddingQ _),
     "sim_topk_brute" -> (Queries.simTopKQ _),
     "sim_ann_lsh" -> (Queries.simAnnLshQ _),
+    "sim_ann_ivf" -> (Queries.simAnnIvfQ _),
     "ta_langid" -> (Queries.taLangIdQ _),
     "ta_quality" -> (Queries.taQualityQ _),
     "ta_token_counts" -> (Queries.taTokenCountsQ _),
@@ -358,6 +359,7 @@ object SparkEntry {
     "dd_embedding" -> OpsOracle.ddEmbedding(),
     "sim_topk_brute" -> OpsOracle.simTopKBrute(),
     "sim_ann_lsh" -> OpsOracle.simAnnLsh(),
+    "sim_ann_ivf" -> OpsOracle.simAnnIvf(),
     "ta_langid" -> OpsOracle.taLangId,
     "ta_quality" -> OpsOracle.taQuality,
     "ta_token_counts" -> OpsOracle.taTokenCounts,

@@ -213,6 +213,42 @@ object OpsOracle {
        |  FROM cosed
        |) WHERE rank <= $k""".stripMargin
 
+  /** IVF ANN — mirrors graft.ops.Similarity.annIvf (md5-order sampled
+    * centroids, cosine cell assignment with `probes` probes). */
+  def simAnnIvf(k: Int = 5, queryMod: Int = 50, cells: Int = 16,
+      probes: Int = 2): String =
+    s"""WITH $embCorpusCte,
+       |cents AS (
+       |  SELECT vec_id AS cell_id, emb AS c_emb, nrm AS c_nrm
+       |  FROM ecorpus ORDER BY md5(CAST(vec_id AS STRING)) LIMIT $cells
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT v.vec_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (${dotSql("v.emb", "c.c_emb")}) / (v.nrm * c.c_nrm) DESC,
+       |                 c.cell_id ASC) AS rn
+       |    FROM ecorpus v CROSS JOIN cents c
+       |  ) WHERE rn <= $probes
+       |),
+       |cands AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS nb_id
+       |  FROM assigned q JOIN assigned c
+       |    ON q.cell_id = c.cell_id AND q.vec_id % $queryMod = 0 AND q.vec_id <> c.vec_id
+       |  GROUP BY q.vec_id, c.vec_id
+       |),
+       |cosed AS (
+       |  SELECT cd.q_id, cd.nb_id,
+       |    round((${dotSql("q.emb", "c.emb")}) / (q.nrm * c.nrm), 6) AS cos_r
+       |  FROM cands cd
+       |  JOIN ecorpus q ON cd.q_id = q.vec_id
+       |  JOIN ecorpus c ON cd.nb_id = c.vec_id
+       |)
+       |SELECT q_id, nb_id, cos_r, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nb_id ASC) AS INT) AS rank
+       |  FROM cosed
+       |) WHERE rank <= $k""".stripMargin
+
   def ddEmbedding(threshold: Double = 0.99, bits: Int = 8,
       seed: Long = 42L, tables: Int = 4): String =
     s"""WITH $embCorpusCte,

@@ -385,6 +385,10 @@ object Queries {
     graft.ops.Similarity.annLsh(
       graft.ops.Similarity.corpus(embeddings(spark, sfDir)))
 
+  def simAnnIvfQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.annIvf(
+      graft.ops.Similarity.corpus(embeddings(spark, sfDir)))
+
   def taLangIdQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.TextAnalysis.langId(documents(spark, sfDir))
 

@@ -111,6 +111,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** ANN via IVF (inverted-file) with a sampled coarse quantizer: `cells`
+    * centroids are picked deterministically (md5-order sample of the corpus —
+    * the cheap, fully-relational stand-in for k-means; same recall mechanics:
+    * cells partition the space, `probes` nearest cells bound the search).
+    * Every vector indexes into its `probes` closest cells; a query's
+    * candidates are the vectors sharing any probed cell — O(n·cells)
+    * assignment + cell-local search, never all-pairs. */
+  def annIvf(corpus: DataFrame, k: Int = 5, queryMod: Int = 50,
+      cells: Int = 16, probes: Int = 2): DataFrame = {
+    val cents = corpus.orderBy(md5(col("vec_id").cast("string")))
+      .limit(cells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id").asc)
+    val assigned = corpus.select(col("vec_id"), col("emb"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        col("cell_id"), cosPre(col("emb"), col("c_emb"), col("nrm"), col("c_nrm")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("cell_id"))
+    val qIds = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("cell_id"))
+    val candIds = qIds
+      .join(assigned.select(col("vec_id").as("nb_id"), col("cell_id")), Seq("cell_id"))
+      .filter(col("q_id") =!= col("nb_id"))
+      .select("q_id", "nb_id").distinct()
+    val q = corpus.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val c = corpus.select(col("vec_id").as("nb_id"), col("emb").as("nb_emb"),
+      col("nrm").as("nb_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("nb_id").asc)
+    candIds.join(q, "q_id").join(c, "nb_id")
+      .select(col("q_id"), col("nb_id"),
+        round(cosPre(col("q_emb"), col("nb_emb"), col("q_nrm"), col("nb_nrm")), 6).as("cos_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (>= threshold, default 0.99) —
     * bucketed, never all-pairs: candidates come from a multi-table sign-LSH
     * bucket self-join (at cos 0.99 the per-table same-bucket probability is

@@ -56,6 +56,17 @@ object StreamingAssembly {
       .select(col("conv_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_turns"), col("n_chars"))
 
+  /** Streaming exact dedup: first-seen wins per content hash, late
+    * duplicates dropped with watermark-bounded state — the streaming face of
+    * the batch hash-groupBy dedup (graft.ops.Dedup.exact). At scale the
+    * state store is hash-partitioned by the content key and the watermark
+    * bounds it to the dedup horizon. */
+  def streamingExactDedup(stream: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("text_md5", org.apache.spark.sql.functions.md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("text_md5")
+
   case class TurnEvent(conv_id: String, turn_idx: Int, text: String)
   case class SeqState(nextSeq: Int)
   case class SequencedTurn(conv_id: String, turn_idx: Int, m_seq: Int)

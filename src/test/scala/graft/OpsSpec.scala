@@ -108,6 +108,26 @@ class OpsSpec extends SparkSuite {
     assert(b(0) === b(1), "near-identical vectors must hash to the same bucket")
   }
 
+  test("ann-ivf: recall@5 >= 0.9 vs brute force on planted true neighbors") {
+    val queries = embCorpus.filter(col("vec_id") % 50 === 0)
+    val planted = (1 to 5).map { j =>
+      queries.select((col("vec_id") + 7000001L * j).as("vec_id"),
+        concat(array(element_at(col("emb"), 1) + lit(0.15 * j)),
+          slice(col("emb"), 2, Similarity.Dim - 1)).as("emb"))
+    }.reduce(_ unionByName _)
+    val annCorpus = embCorpus.select("vec_id", "emb").unionByName(planted)
+      .withColumn("nrm", sqrt(Similarity.dot64(col("emb"), col("emb"))))
+      .cache()
+    val brute = Similarity.bruteTopK(annCorpus, k = 5)
+      .select(col("q_id"), col("nb_id")).cache()
+    val ivf = Similarity.annIvf(annCorpus, k = 5)
+      .select(col("q_id"), col("nb_id"))
+    val recall = brute.join(ivf, Seq("q_id", "nb_id"), "left_semi").count().toDouble /
+      brute.count()
+    info(s"IVF recall@5 (16 cells, 2 probes): $recall")
+    assert(recall >= 0.9, s"IVF ANN recall gate failed: $recall")
+  }
+
   test("portable simhash matches the engine path's planted-dup detection") {
     val found = Dedup.simhashPortable(docCorpus).cache()
     val exactPlanted = documents.filter(col("doc_id") % 11 === 0)

@@ -60,4 +60,20 @@ class StreamingSpec extends SparkSuite {
       .filter(col("n") =!= col("d") || col("mn") =!= 0 || col("mx") =!= col("n") - 1)
     assert(bad.count() === 0, "m_seq must be dense 0..n-1 per conversation")
   }
+
+  test("streaming exact dedup == batch exact dedup survivor set") {
+    val stream = StreamingAssembly.streamTranscripts(spark, dir)
+    val q = StreamingAssembly.streamingExactDedup(stream)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedHashes = spark.table("stream_dedup")
+      .select("text_md5").distinct().collect().map(_.getString(0)).toSet
+    val batchHashes = spark.read.parquet(dir)
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(streamedHashes === batchHashes,
+      "streaming dedup must keep exactly one row per distinct text")
+    assert(spark.table("stream_dedup").count() === batchHashes.size.toLong)
+  }
 }
