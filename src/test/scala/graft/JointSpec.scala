@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.joint.JointInference
+
+/** G1 joint inference: information must flow BOTH ways through the
+  * cross-task factor — coref edges type untyped mentions (type flows from
+  * the antecedent), and type agreement re-ranks tied antecedents. */
+class JointSpec extends SparkSuite {
+  import spark.implicits._
+
+  // m0: strongly ORG; m1: strongly IDENT; m2: untyped (flat prior), strongly
+  // linked to m0; m3: IDENT-typed, pair scores TIED between m0 and m1.
+  val priors = Seq(
+    ("c", "m0", Seq(0.1, 0.8, 0.1)),
+    ("c", "m1", Seq(0.8, 0.1, 0.1)),
+    ("c", "m2", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)),
+    ("c", "m3", Seq(0.8, 0.1, 0.1))
+  ).toDF("conv_id", "mention_id", "prior")
+
+  val scored = Seq(
+    ("m0", "m2", 3.0), // m2 -> m0, strong
+    ("m0", "m3", 1.0), // m3: tied between m0 (ORG) ...
+    ("m1", "m3", 1.0)  //     ... and m1 (IDENT)
+  ).toDF("ant_id", "cur_id", "score")
+
+  lazy val out = JointInference.infer(spark, priors, scored, coupling = 1.5)
+    .collect().map(r => r.getString(0) ->
+      (Option(r.getString(1)), r.getString(3), r.getDouble(4))).toMap
+
+  test("type flows along a coref edge to an untyped mention") {
+    val (ant, tpe, p) = out("m2")
+    assert(ant === Some("m0"))
+    assert(tpe === "ORG", s"m2 must inherit its antecedent's type, got $tpe")
+    assert(p > 0.4, s"posterior must move off the flat prior: $p")
+  }
+
+  test("type agreement breaks antecedent ties") {
+    val (ant, tpe, _) = out("m3")
+    assert(tpe === "IDENT")
+    assert(ant === Some("m1"),
+      "with equal pair scores the type-compatible antecedent must win")
+  }
+
+  test("without coupling the tie falls back to the id tie-break") {
+    val flat = JointInference.infer(spark, priors, scored, coupling = 0.0)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(flat("m3") === Some("m0"), "coupling 0 => pure score, ties to lowest id")
+  }
+
+  test("typePriors derive from surface sem-class") {
+    val m = Seq(("x", "c", "Customer#000000007"), ("y", "c", "the vendor"))
+      .toDF("mention_id", "conv_id", "surface")
+    val p = JointInference.typePriors(m).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    assert(p("x")(0) === 0.8) // IDENT
+    assert(p("y")(1) === 0.8) // ORG (nominal head)
+  }
+}
