@@ -73,6 +73,15 @@ object Linking {
         coalesce(col("dst"), col("title0")).as("title"), col("prio"), col("cnt"))
   }
 
+  /** W5: top-k titles per surface from the dictionary (the reference's
+    * per-surface candidate shortlist, `WikipediaTitleGivenSurfaceDB:34-60`)
+    * — count-descending, name tie-break. */
+  def topTitlesPerSurface(dict: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("surface"))
+      .orderBy(col("cnt").desc, col("title").asc)
+    dict.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** A12 wikification eval (`wiki/WikificationEvaluator.scala`): accuracy of
     * linked titles vs gold titles, with NIL handling (unlinked mention with a
     * gold title = miss; counted separately). */

@@ -43,6 +43,23 @@ object ModelIO {
     io.commit(Stage, df, configToken)
   }
 
+  /** A14 top-weights report (`CorefEvaluator` weight dumps /
+    * `keepTopNKeys`): the k heaviest features by |weight|, deterministic
+    * tie-break on the feature name. */
+  def topWeights(weights: DataFrame, k: Int = 10): DataFrame =
+    weights.orderBy(abs(col("weight")).desc, col("feature").asc).limit(k)
+
+  /** T2 training-cadence table: the per-epoch trace as a relation
+    * `(epoch, loss, feature, weight)` — the reference prints this per
+    * iteration (`CorefFeaturizerTrainer.scala:156-193`); as a table it joins
+    * against eval slices for learning-curve analysis. */
+  def traceDF(spark: SparkSession, trace: Seq[graft.train.Trainer.Epoch]): DataFrame = {
+    import spark.implicits._
+    trace.flatMap(e => Scoring.FeatureNames.zipWithIndex.map { case (f, i) =>
+      (e.epoch, e.loss, f, e.weights(i))
+    }).toDF("epoch", "loss", "feature", "weight")
+  }
+
   /** Load a model snapshot back into dense [[Scoring.Weights]]: features
     * absent from the (packed) table are zero; unknown feature names fail
     * fast (a packed model from a different feature space must not silently

@@ -59,4 +59,11 @@ class LinkingSpec extends SparkSuite {
     assert(e.getAs[Long]("n_correct") === 4L) // m3 linked wrong, m5 unlinked
     assert(e.getAs[Double]("acc_linked_r") === 0.8)
   }
+
+  test("W5: top-k titles per surface") {
+    val top = Linking.topTitlesPerSurface(dict, k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top("acme data") === "Acme_Data_B") // highest count
+    assert(top("tiekey") === "A_Title")        // tie -> lexicographic
+  }
 }

@@ -48,4 +48,17 @@ class ModelSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSeq
     assert(a !== c, "different seeds give different orders")
   }
+
+  test("A14 top-weights + T2 cadence table") {
+    val w = ModelIO.weightsDF(spark, Scoring.DefaultWeights)
+    val top = ModelIO.topWeights(w, 3).collect().map(_.getString(0)).toSeq
+    assert(top.head === "anaphoric_close") // |6.0| is the heaviest default
+    assert(top.size === 3)
+    val trace = Seq(
+      graft.train.Trainer.Epoch(0, 0.7, Scoring.DefaultWeights.values),
+      graft.train.Trainer.Epoch(1, 0.5, Scoring.DefaultWeights.values))
+    val t = ModelIO.traceDF(spark, trace)
+    assert(t.count() === 2L * Scoring.FeatureNames.size)
+    assert(t.filter(col("epoch") === 1 && col("loss") =!= 0.5).count() === 0L)
+  }
 }
