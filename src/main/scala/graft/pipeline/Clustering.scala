@@ -129,11 +129,47 @@ object Clustering {
       .select(col("src_root").as("src"), col("dst_root").as("dst"))
 
     val rootNodes = local.select(col("local_root").as("id")).distinct()
-    val rootClusters = connectedComponents(rootNodes, crossRoots, checkpoint = checkpoint)
+
+    // hybrid: after union-find contraction the cross-conversation graph is
+    // usually orders of magnitude smaller than the mention set. Below the
+    // threshold, solve it driver-side with union-by-min (identical result to
+    // the hash-to-min loop: cluster id = component min) and skip the
+    // iterative rounds entirely; above it, run the distributed
+    // checkpointed loop. At 10^12 turns the contracted graph can still be
+    // huge — the threshold keeps the driver path safe, not assumed.
+    val nCross = crossRoots.limit(maxDriverEdges + 1).count()
+    val rootClusters =
+      if (nCross <= maxDriverEdges) {
+        val edges = crossRoots.select(col("src"), col("dst")).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = parent.getOrElseUpdate(x, x)
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val lookup = parent.keysIterator.map(k => (k, find(k))).toSeq
+        val sparkSes = spark
+        import sparkSes.implicits._
+        val mapped = lookup.toDF("id", "cluster_id")
+        rootNodes.join(broadcast(mapped), Seq("id"), "left")
+          .select(col("id").as("mention_id"),
+            coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      } else connectedComponents(rootNodes, crossRoots, checkpoint = checkpoint)
 
     local.join(rootClusters.withColumnRenamed("mention_id", "local_root"), "local_root")
       .select(col("id").as("mention_id"), col("cluster_id"))
   }
+
+  /** Edge-count threshold under which the contracted cross-conversation
+    * graph is solved driver-side instead of by the distributed loop. */
+  val maxDriverEdges: Int = 2000000
 
   /** C3: drop singleton clusters (CoNLL postprocessing,
     * `OrderedClusteringBound.scala:8-11`). */
