@@ -206,9 +206,15 @@ object Bench {
         (runChild(2, sfDir, denom), runChild(8, sfDir, denom), runChild(32, sfDir, denom))
       else ((0L, 0.0), (0L, 0.0), (0L, 0.0))
 
-    // primary measurement at the driver-provided parallelism
+    // primary measurement at the driver-provided parallelism. Two full
+    // passes, per-stage min — single-pass stage timings on this shared VM
+    // are ±30%+ noisy (the round-2 artifact recorded a contended pass);
+    // min-of-two is the same discipline the scaling children already use.
     val spark = session(cpus)
-    val ((stages, pairsScored), tTotal) = time(benchPipeline(spark, sfDir))
+    val ((stages1, pairsScored), tTotal1) = time(benchPipeline(spark, sfDir))
+    val ((stages2, _), tTotal2) = time(benchPipeline(spark, sfDir))
+    val stages = stages1.map { case (k, v) => k -> math.min(v, stages2(k)) }
+    val tTotal = math.min(tTotal1, tTotal2)
     val ops = benchOps(spark, sfDir)
     spark.stop()
     graft.harness.Queries.clearCache()

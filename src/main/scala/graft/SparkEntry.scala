@@ -22,6 +22,8 @@ object SparkEntry {
     "p_surface_pairs" -> (Queries.surfacePairsQ _),
     "p9_scored_pairs" -> (Queries.scoredQ _),
     "p5_band_features" -> (Queries.p5BandFeatures _),
+    "a6_feature_dict" -> (Queries.a6FeatureDict _),
+    "p10_sparse_scores" -> (Queries.p10SparseScores _),
     "a2_backptrs" -> (Queries.backptrsQ _),
     "a1_marginals" -> (Queries.a1Marginals _),
     "b2_pruned_pairs" -> (Queries.b2Pruned _),
@@ -109,6 +111,12 @@ object SparkEntry {
     "a2_backptrs" -> ErOracle.q(
       "SELECT cur_id, ant_id FROM backptrs"),
 
+    "a6_feature_dict" -> ErOracle.q(ErOracle.sparseCtes +
+      "\nSELECT f, feature_id FROM sdict"),
+
+    "p10_sparse_scores" -> ErOracle.q(ErOracle.sparseCtes +
+      "\nSELECT ant_id, cur_id, n_feats, score_r FROM sscores"),
+
     "a1_marginals" -> ErOracle.q(
       """SELECT cur_id, ant_id, round(e / sum(e) OVER (PARTITION BY cur_id), 6) AS marginal_r
         |FROM (SELECT cur_id, ant_id,
@@ -173,19 +181,33 @@ object SparkEntry {
         |  JOIN gold gc ON m2.mention_id = gc.mention_id
         |  GROUP BY m.conv_id
         |),
-        |cidx AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS idx FROM cstats
-        |),
-        |boots AS (SELECT CAST(unnest(range(200)) AS INT) AS b),
         |draws AS (
-        |  SELECT b.b, (CAST(b.b AS BIGINT) * 1000003 + s.idx) * 2654435761 % 2147483648
-        |    % (SELECT count(*) FROM cidx) AS pick
-        |  FROM boots b CROSS JOIN cidx s
+        |  SELECT b.b, s.tp, s.pred, s.gold,
+        |    md5(CAST(b.b AS VARCHAR) || ':' || s.conv_id) AS h
+        |  FROM (SELECT CAST(unnest(range(200)) AS INT) AS b) b CROSS JOIN cstats s
+        |),
+        |counted AS (
+        |  SELECT b, tp, pred, gold,
+        |    CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+        |         WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+        |         WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5
+        |         WHEN u < 0.999916758 THEN 6 ELSE 7 END AS cnt
+        |  FROM (
+        |    SELECT b, tp, pred, gold,
+        |      CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |         + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |         + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |         + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |         + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |         + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |         + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef', substr(h, 8, 1)) - 1)
+        |        AS DOUBLE) / 4294967296.0 AS u
+        |    FROM draws)
         |)
         |SELECT b, round(2.0 * tp / (pred + gold), 6) AS f1_r FROM (
-        |  SELECT d.b, SUM(s.tp) AS tp, SUM(s.pred) AS pred, SUM(s.gold) AS gold
-        |  FROM draws d JOIN cidx s ON d.pick = s.idx
-        |  GROUP BY d.b
+        |  SELECT b, SUM(cnt * tp) AS tp, SUM(cnt * pred) AS pred, SUM(cnt * gold) AS gold
+        |  FROM counted GROUP BY b
         |)""".stripMargin),
 
     "a9_slices" -> ErOracle.q(
@@ -237,7 +259,10 @@ object SparkEntry {
         |)""".stripMargin),
 
     "b7_blocking_recall" -> ErOracle.q(
-      s"""SELECT gold_pairs, recalled, round(CAST(recalled AS DOUBLE) / gold_pairs, 6) AS recall_r
+      s"""SELECT gold_pairs, recalled, round(CAST(recalled AS DOUBLE) / gold_pairs, 6) AS recall_r,
+         | (SELECT CAST(count(*) AS BIGINT) FROM (
+         |    SELECT norm FROM mentions WHERE NOT closed_class
+         |    GROUP BY norm HAVING count(*) > ${ErOracle.MaxSelfMentions})) AS n_capped_surfaces
          |FROM (
          | SELECT CAST(count(*) AS BIGINT) AS gold_pairs,
          |  CAST(SUM(CASE WHEN EXISTS(SELECT 1 FROM cpairs p

@@ -124,6 +124,32 @@ package object functions {
       array_min(transform(shingles, sh => md5(concat(lit(s"$seed:"), sh))))
     }: _*)
 
+  /** One minhash slot (seeded min over shingle hashes), engine ("xxhash64")
+    * or oracle-portable ("md5") implementation. Slot `seed` here equals
+    * signature element `seed+1` of [[minhashSignature]]/[[minhashSignatureMd5]]. */
+  def minhashOne(shingles: Column, seed: Int, impl: String): Column =
+    if (impl == "md5")
+      array_min(transform(shingles, sh => md5(concat(lit(s"$seed:"), sh))))
+    else array_min(transform(shingles, sh => xxhash64(lit(seed), sh)))
+
+  /** LSH band keys computed DIRECTLY from the shingle column — one minhash
+    * evaluation per signature slot (`bands*rowsPerBand` total), bypassing the
+    * intermediate signature array. Value-identical to
+    * `lshBandKeys(minhashSignature*(shingles, n), bands, rowsPerBand)`, but
+    * immune to the projection-collapse blowup: when the signature array is a
+    * projected column consumed by `element_at` references, Catalyst's
+    * CollapseProject can inline the whole array expression into EVERY
+    * reference — `bands*rowsPerBand` copies of an `n`-minhash computation
+    * (observed 8x wall-clock on the dedup band stage). Here every minhash
+    * subexpression appears exactly once, so there is nothing to duplicate. */
+  def lshBandKeysDirect(shingles: Column, bands: Int, rowsPerBand: Int,
+      impl: String): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => minhashOne(shingles, b * rowsPerBand + r, impl))
+      concat_ws(":", lit(s"b$b") +: parts.map(_.cast("string")): _*)
+    }: _*)
+
   /** SimHash (64-bit) from a pre-materialized array of 64-bit token hashes:
     * for each bit b, sign-sum over tokens > 0 sets the bit. Callers MUST pass
     * a *column reference* to materialized hashes (not an inline expression) —

@@ -501,6 +501,80 @@ object ErOracle {
        |  FROM lbest b LEFT JOIN lred r ON b.title0 = r.src
        |)""".stripMargin
 
+  /** Sparse lexicalized feature CTEs (P1/A6/F5/P8/P9 sparse path) — mirrors
+    * graft.pipeline.SparseFeatures over the conversation-band pair universe:
+    * feature-string explode (with the &t= mention-type conjunction scheme),
+    * dense dictionary ids by feature sort order, count-based log-odds
+    * weights (integer-scaled so per-pair sums are order-independent), sparse
+    * dot-product scores. Appended to a chain body. */
+  val sparseCtes: String = {
+    def shape(x: String): String =
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace(regexp_replace($x, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g')," +
+        " '[0-9]', 'd', 'g'), 'X{3,}', 'XXe', 'g'), 'x{3,}', 'xxe', 'g'), 'd{3,}', 'dde', 'g')"
+    val cutoff = graft.pipeline.SparseFeatures.Cutoff
+    val scale = graft.pipeline.SparseFeatures.WeightScale
+    s""",
+       |spn AS (SELECT norm, CAST(count(*) AS BIGINT) AS n_norm FROM mentions GROUP BY norm),
+       |spb AS (
+       |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id, c.mtype AS mtype_c,
+       |    a.head_key AS hk_a, c.head_key AS hk_c,
+       |    CASE WHEN na.n_norm >= $cutoff THEN a.norm ELSE ${shape("a.norm")} END AS back_a,
+       |    CASE WHEN nc.n_norm >= $cutoff THEN c.norm ELSE ${shape("c.norm")} END AS back_c,
+       |    CASE WHEN a.head_key = c.head_key THEN '1' ELSE '0' END AS hm,
+       |    CASE WHEN a.norm = c.norm THEN '1' ELSE '0' END AS em,
+       |    CAST(least(c.m_seq - a.m_seq, 10) AS STRING) AS db,
+       |    CASE WHEN (contains(a.norm, c.norm) OR contains(c.norm, a.norm))
+       |          AND a.norm <> c.norm THEN '1' ELSE '0' END AS cn,
+       |    CASE WHEN a.norm = array_to_string(list_transform(string_split(c.norm, ' '), t -> substr(t, 1, 1)), '')
+       |           OR c.norm = array_to_string(list_transform(string_split(a.norm, ' '), t -> substr(t, 1, 1)), '')
+       |         THEN '1' ELSE '0' END AS ab,
+       |    CAST(CAST(floor(jaro_winkler_similarity(a.norm, c.norm) * 10) AS INT) AS STRING) AS jwb,
+       |    CAST(CAST(floor((1.0 - CAST(levenshtein(a.norm, c.norm) AS DOUBLE)
+       |      / CAST(greatest(length(a.norm), length(c.norm)) AS DOUBLE)) * 10) AS INT) AS STRING) AS lvb
+       |  FROM mentions a JOIN mentions c ON a.conv_id = c.conv_id
+       |    AND c.m_seq > a.m_seq AND c.m_seq - a.m_seq <= $MaxConvDist
+       |  JOIN spn na ON a.norm = na.norm JOIN spn nc ON c.norm = nc.norm
+       |),
+       |spf0 AS (
+       |  SELECT ant_id, cur_id, mtype_c,
+       |    unnest(['bias', 'hm=' || hm, 'em=' || em, 'cur=' || back_c,
+       |            'ant=' || back_a, 'cp=' || back_a || '|' || back_c,
+       |            'db=' || db, 'sc=1',
+       |            'hc=' || hk_c, 'ha=' || hk_a, 'hp=' || hk_a || '|' || hk_c,
+       |            'cn=' || cn, 'ab=' || ab,
+       |            'jwb=' || jwb, 'lvb=' || lvb]) AS f
+       |  FROM spb
+       |),
+       |spf AS MATERIALIZED (
+       |  SELECT ant_id, cur_id, f FROM spf0
+       |  UNION ALL
+       |  SELECT ant_id, cur_id, f || '&t=' || mtype_c FROM spf0
+       |),
+       |sdict AS MATERIALIZED (
+       |  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f) - 1 AS BIGINT) AS feature_id
+       |  FROM (SELECT DISTINCT f FROM spf)
+       |),
+       |slab AS (
+       |  SELECT b.ant_id, b.cur_id,
+       |    CASE WHEN ga.entity_id = gc.entity_id THEN 1.0 ELSE 0.0 END AS label
+       |  FROM spb b JOIN gold ga ON b.ant_id = ga.mention_id
+       |  JOIN gold gc ON b.cur_id = gc.mention_id
+       |),
+       |sw AS (
+       |  SELECT f.f,
+       |    CAST(round(ln((SUM(l.label) + 1.0) / (SUM(1.0 - l.label) + 1.0)) * $scale, 0) AS BIGINT) AS w_i
+       |  FROM spf f JOIN slab l ON f.ant_id = l.ant_id AND f.cur_id = l.cur_id
+       |  GROUP BY f.f
+       |),
+       |sscores AS (
+       |  SELECT f.ant_id, f.cur_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    round(CAST(SUM(w.w_i) AS DOUBLE) / $scale.0, 6) AS score_r
+       |  FROM spf f JOIN sdict d ON f.f = d.f JOIN sw w ON f.f = w.f
+       |  GROUP BY f.ant_id, f.cur_id
+       |)""".stripMargin
+  }
+
   /** NER CTEs (G1/G2 emissions + Viterbi + chunks) — generated from the SAME
     * graft.ner.Ner transition/init constants so the two engines cannot
     * drift. The recursive CTE carries, per (conv, turn, pos), the best score

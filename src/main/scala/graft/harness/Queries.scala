@@ -29,9 +29,11 @@ object Queries {
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
   private val memoAll =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private val memoSparse =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
 
   /** Drop memoized per-sfDir results (required between SparkSessions). */
-  def clearCache(): Unit = { memo.clear(); memoAll.clear() }
+  def clearCache(): Unit = { memo.clear(); memoAll.clear(); memoSparse.clear() }
 
   /** All-generators path (caprun/pronoun/nominal): mentions + surface scores.
     * Exercises multi-token surfaces through the full JW / token-Jaccard /
@@ -263,15 +265,30 @@ object Queries {
             col("m_seq_c") - col("m_seq_a") > 0 &&
             col("m_seq_c") - col("m_seq_a") <= harnessCfg.blocking.maxConvDist)))
       .select(col("mention_id_a").as("ant_id"), col("mention_id_c").as("cur_id"))
+    // explicit audit of the eval-universe cap (maxSelfMentions): surfaces
+    // whose same-surface clique was dropped. 0 in healthy runs — a non-zero
+    // count means the recall below is computed on a shrunken universe.
+    val capped = Blocking.selfSurfaceOversize(r.mentions, harnessCfg.blocking)
+      .agg(count(lit(1)).as("n_capped_surfaces"))
     Eval.blockingRecall(candidateUniverse(spark, sfDir), goldPairs)
       .select(col("gold_pairs"), col("recalled"), round(col("recall"), 6).as("recall_r"))
+      .crossJoin(capped)
   }
 
   /** A13 bootstrap significance (`sig/BootstrapDriver.scala:1-185`):
-    * resample conversations with replacement B times via a deterministic,
-    * engine-portable multiplicative hash (no RNG state), recompute the
+    * resample conversations with replacement B times, recompute the
     * within-conversation pairwise-link micro-F1 per sample — the empirical
     * distribution every quality claim's confidence interval comes from.
+    *
+    * Scale-safe Poisson bootstrap: per (sample, conversation) the resample
+    * multiplicity is a deterministic Poisson(1) draw (inverse CDF of a
+    * uniform derived from `md5(b:conv_id)` — engine-portable, no RNG state).
+    * No global index window (the classic with-replacement pick needs a
+    * dense conversation index = one-task row_number) and no crossJoin: the
+    * B-sample grid is an `explode(sequence(...))` fan-out, linear per row,
+    * shuffling only on the final `groupBy(b)`. Multiplicities weight the
+    * per-conversation stats directly (`Σ cnt·tp` etc.), so the plan stays
+    * integer-exact until the one final division.
     * Output: one row per bootstrap sample `(b, f1_r)`. */
   def a13Bootstrap(spark: SparkSession, sfDir: String, nBoot: Int = 200): DataFrame = {
     val r = pipeline(spark, sfDir)
@@ -286,24 +303,66 @@ object Queries {
         sum(when(col("c_a") === col("c_c") && col("e_a") === col("e_c"), 1L).otherwise(0L)).as("tp"),
         sum(when(col("c_a") === col("c_c"), 1L).otherwise(0L)).as("pred"),
         sum(when(col("e_a") === col("e_c"), 1L).otherwise(0L)).as("gold"))
-    // per-conversation stats table is small (one row per conversation with
-    // >=2 mentions) — the global index window is over that table, not data
-    val idxed = convStats.withColumn("idx",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("conv_id")))
-        .cast("long") - 1)
-    val nDf = idxed.agg(count(lit(1)).as("n_conv"))
-    import spark.implicits._
-    val boots = (0 until nBoot).toDF("b")
-    val draws = boots
-      .crossJoin(idxed.select(col("idx").as("k")))
-      .crossJoin(nDf)
-      .withColumn("pick",
-        (col("b").cast("long") * 1000003L + col("k")) * 2654435761L % 2147483648L % col("n_conv"))
-    draws.join(idxed.select(col("idx").as("pick"), col("tp"), col("pred"), col("gold")), "pick")
+    val draws = convStats
+      .select(col("conv_id"), col("tp"), col("pred"), col("gold"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .withColumn("h",
+        md5(concat(col("b").cast("string"), lit(":"), col("conv_id")).cast("binary")))
+    // uniform in [0,1) from the first 8 md5 nibbles (exact integer build-up,
+    // one float division — bit-identical in Spark and DuckDB)
+    val u32 = (1 to 8).map { i =>
+      (call_function("instr", lit("0123456789abcdef"),
+        substring(col("h"), i, 1)) - 1).cast("long") * lit(1L << (4 * (8 - i)))
+    }.reduce(_ + _)
+    val u = u32.cast("double") / lit(4294967296.0)
+    // Poisson(1) inverse CDF, capped at 7 (P(X>7) < 1e-5)
+    val cuts = Seq(0.367879441, 0.735758882, 0.919698603, 0.981011843,
+      0.996340153, 0.999405815, 0.999916758)
+    val cnt = cuts.zipWithIndex
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) { case (acc, (cut, i)) =>
+        Some(acc.fold(when(u < cut, i))(_.when(u < cut, i)))
+      }.get.otherwise(7).cast("long")
+    draws.withColumn("cnt", cnt)
       .groupBy(col("b"))
-      .agg(sum(col("tp")).as("tp"), sum(col("pred")).as("pred"), sum(col("gold")).as("gold"))
+      .agg(sum(col("cnt") * col("tp")).as("tp"),
+        sum(col("cnt") * col("pred")).as("pred"),
+        sum(col("cnt") * col("gold")).as("gold"))
       .select(col("b"),
         round(lit(2.0) * col("tp") / (col("pred") + col("gold")), 6).as("f1_r"))
+  }
+
+  /** Sparse lexicalized path (P1/A6/F5/P8/P9): feature explode over the
+    * conversation-band pairs, dense dictionary, count-based log-odds
+    * weights. Shared by `a6_feature_dict` and `p10_sparse_scores`. */
+  private def sparsePath(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    memoSparse.getOrElseUpdate(sfDir, {
+      val r = pipeline(spark, sfDir)
+      val pairsAttr = Scoring.attachAttrs(
+        Blocking.convBandPairs(r.mentions, harnessCfg.blocking), r.mentions)
+      val feats = SparseFeatures.featureStrings(pairsAttr,
+        SparseFeatures.normCounts(r.mentions)).cache()
+      val g = gold(spark, sfDir)
+      val labels = pairsAttr.select(col("ant_id"), col("cur_id"))
+        .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+        .join(g.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+        .select(col("ant_id"), col("cur_id"),
+          (col("e_a") === col("e_c")).cast("double").as("label"))
+      val dict = SparseFeatures.dictionary(feats).cache()
+      val weights = SparseFeatures.logOddsWeights(feats, labels).cache()
+      (feats, dict, weights)
+    })
+
+  /** A6: the sparse feature dictionary — dense ids in feature sort order. */
+  def a6FeatureDict(spark: SparkSession, sfDir: String): DataFrame =
+    sparsePath(spark, sfDir)._2.select(col("f"), col("feature_id"))
+
+  /** P10: sparse lexicalized scores over the band pairs (integer-exact
+    * weight sums — see [[SparseFeatures]]). */
+  def p10SparseScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val (feats, dict, weights) = sparsePath(spark, sfDir)
+    SparseFeatures.scoreSparse(feats, dict, weights)
+      .select(col("ant_id"), col("cur_id"), col("n_feats"),
+        round(col("score"), 6).as("score_r"))
   }
 
   def mucQ(spark: SparkSession, sfDir: String): DataFrame = {

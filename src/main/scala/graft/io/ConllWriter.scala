@@ -33,7 +33,10 @@ object ConllWriter {
         concat(col("cluster_id"), lit(")")).as("bit"))
     val bits = open.unionByName(close)
       .groupBy(col("conv_id"), col("turn_idx"), col("pos"))
-      .agg(concat_ws("|", collect_list(col("bit"))).as("bit"))
+      // collect_list order is nondeterministic — sort before joining so the
+      // written bytes are stable when multiple mentions open/close on one
+      // token ("(1|(2" vs "(2|(1" across runs)
+      .agg(concat_ws("|", array_sort(collect_list(col("bit")))).as("bit"))
     toks.join(bits, Seq("conv_id", "turn_idx", "pos"), "left")
       .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"),
         coalesce(col("bit"), lit("-")).as("bit"))

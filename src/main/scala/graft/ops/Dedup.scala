@@ -50,14 +50,13 @@ object Dedup {
   def minhashLsh(corpus: DataFrame, threshold: Double = 0.7,
       minhashes: Int = 12, bands: Int = 6, impl: String = "xxhash64"): DataFrame = {
     val withSh = corpus.select(col("doc_id"), wordShingles(col("text")).as("sh"))
-    val sig = if (impl == "md5") minhashSignatureMd5(col("sh"), minhashes)
-      else minhashSignature(col("sh"), minhashes)
-    // materialize the signature as a column before banding: lshBandKeys
-    // references its input once per band entry, and an inline sig expression
-    // would be duplicated 12x (each copy re-shingling the text)
+    // band keys straight from the shingle column (lshBandKeysDirect): a
+    // projected sig array consumed by element_at gets inlined by
+    // CollapseProject into every reference — bands*rows full-signature
+    // recomputations per doc (the round-2 bench regression)
     val keyed = withSh
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, minhashes / bands)).as("bk"))
+      .select(col("doc_id"), explode(lshBandKeysDirect(col("sh"), bands,
+        minhashes / bands, impl)).as("bk"))
     // candidate ids first (dedup across bands), fetch shingles once per pair
     // — at 10^12 scale the band join must not carry the shingle payload
     val cands = keyed.select(col("bk"), col("doc_id").as("doc_a"))
@@ -89,12 +88,9 @@ object Dedup {
       minhashes: Int = 12, bands: Int = 6, impl: String = "xxhash64"): DataFrame = {
     val withSh = corpus.select(col("doc_id"),
       wordShingles(col("text")).as("sh"), length(col("text")).as("len"))
-    val sig = if (impl == "md5") minhashSignatureMd5(col("sh"), minhashes)
-      else minhashSignature(col("sh"), minhashes)
     val keyed = withSh
-      .select(col("doc_id"), sig.as("sig"), col("len"))
       .select(col("doc_id"), col("len"),
-        explode(lshBandKeys(col("sig"), bands, minhashes / bands)).as("bk"))
+        explode(lshBandKeysDirect(col("sh"), bands, minhashes / bands, impl)).as("bk"))
       .select(col("doc_id"),
         explode(array(floor(col("len") / 16), floor(col("len") / 16) + 1)).as("bucket"),
         col("bk"))

@@ -43,8 +43,9 @@ object Blocking {
       /** Salt fan-out S for heavy-surface mention expansion / chaining. */
       expansionSalt: Int = 8,
       /** Surfaces with more mentions than this get salted into S deterministic
-        * buckets (`m_seq % S` — portable, no hash needed) wherever their
-        * mention set is joined or windowed. */
+        * buckets (first md5 nibble of the mention id — see [[saltOf]]; a
+        * positional salt would degenerate on fixed-position surfaces)
+        * wherever their mention set is joined or windowed. */
       saltThreshold: Int = 64,
       /** Eval-universe cap: surfaces above this mention count do not emit
         * their same-surface clique into the candidate universe (audited —
@@ -95,14 +96,12 @@ object Blocking {
     val exact = headKeyed.unionByName(snk).unionByName(firstTok).unionByName(acronym)
     if (!cfg.enableLsh) exact
     else {
-      val mh =
-        if (cfg.minhashImpl == "md5")
-          minhashSignatureMd5(charShingles(col("norm"), cfg.shingleK), cfg.minhashes)
-        else
-          minhashSignature(charShingles(col("norm"), cfg.shingleK), cfg.minhashes)
+      // band keys straight from the shingles (no intermediate sig array —
+      // CollapseProject would inline the full signature into every
+      // element_at reference, re-minhashing bands*rows times per surface)
       val lsh = base
-        .withColumn("sig", mh)
-        .select(explode(lshBandKeys(col("sig"), cfg.bands, cfg.minhashes / cfg.bands))
+        .select(explode(lshBandKeysDirect(charShingles(col("norm"), cfg.shingleK),
+          cfg.bands, cfg.minhashes / cfg.bands, cfg.minhashImpl))
           .as("block_key"), col("norm"))
         .withColumn("block_key", concat(lit("l:"), col("block_key")))
       exact.unionByName(lsh)
@@ -173,8 +172,8 @@ object Blocking {
     * entities can never merge across conversations). For transitive
     * clustering a spanning tree suffices, so this emits `n-1` *chain* edges
     * per surface (consecutive mentions in mention_id order), not the `n²/2`
-    * clique: linear in mentions, no skew. Heavy surfaces are bucketed
-    * (`m_seq % S`) and chained two-level — within each bucket, plus a chain
+    * clique: linear in mentions, no skew. Heavy surfaces are bucketed on the
+    * md5-nibble salt ([[saltOf]]) and chained two-level — within each bucket, plus a chain
     * over the bucket minima — so no single task ever sorts more than ~n/S
     * rows of one surface. In-band pairs are excluded: the conversation band
     * already scores them, with a strictly higher score (same features +
@@ -282,13 +281,21 @@ object Blocking {
   }
 
   /** Same-surface self pairs for the eval universe: every surface repeated
-    * 2..maxSelfMentions times contributes its clique (capped + implicitly
-    * audited via [[mentionCounts]]). */
+    * 2..maxSelfMentions times contributes its clique. Surfaces above the cap
+    * are EXCLUDED from the universe — consumers of a recall computed on it
+    * (B7) must check [[selfSurfaceOversize]] and surface the dropped mass,
+    * or the recall silently reads as complete on a shrunken universe. */
   def selfSurfacePairs(mentions: DataFrame, cfg: Config = Config()): DataFrame =
     mentionCounts(mentions)
       .filter(col("n_mentions") >= 2 && col("n_mentions") <= cfg.maxSelfMentions)
       .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
         lit("x:self").as("block_key"))
+
+  /** Audit of the [[selfSurfacePairs]] cap: surfaces whose same-surface
+    * clique was dropped from the eval universe, with their mention mass.
+    * Empty in healthy runs; the B7 harness query reports its count. */
+  def selfSurfaceOversize(mentions: DataFrame, cfg: Config = Config()): DataFrame =
+    mentionCounts(mentions).filter(col("n_mentions") > cfg.maxSelfMentions)
 
   /** Full candidate mention-pair universe (band ∪ expanded surface blocks ∪
     * same-surface cliques) — the evaluation/B7 universe; the execution path

@@ -123,10 +123,16 @@ object Clustering {
     val cross = edges.filter(
       graft.functions.convOfMentionId(col("src")) =!=
         graft.functions.convOfMentionId(col("dst")))
+    // materialize the contracted edge set ONCE: the size probe, the driver
+    // collect, and the distributed loop's first iteration all consume it —
+    // without the checkpoint each recomputes the two root joins (measured
+    // ~2x clustering wall-clock at sf0.1). The contracted graph is orders of
+    // magnitude smaller than the mention set, so this is cheap by design.
     val crossRoots = cross
       .join(local.withColumnRenamed("id", "src").withColumnRenamed("local_root", "src_root"), "src")
       .join(local.withColumnRenamed("id", "dst").withColumnRenamed("local_root", "dst_root"), "dst")
       .select(col("src_root").as("src"), col("dst_root").as("dst"))
+      .localCheckpoint(true)
 
     val rootNodes = local.select(col("local_root").as("id")).distinct()
 
@@ -168,8 +174,11 @@ object Clustering {
   }
 
   /** Edge-count threshold under which the contracted cross-conversation
-    * graph is solved driver-side instead of by the distributed loop. */
-  val maxDriverEdges: Int = 2000000
+    * graph is solved driver-side instead of by the distributed loop. 500k
+    * string-id edges is ≤ ~150 MB of driver heap (bounded, with the
+    * distributed loop as the over-threshold fallback); the previous 2M was
+    * a 0.5-1 GB envelope for no measured win. */
+  val maxDriverEdges: Int = 500000
 
   /** C3: drop singleton clusters (CoNLL postprocessing,
     * `OrderedClusteringBound.scala:8-11`). */
@@ -187,10 +196,17 @@ object Clustering {
   def denseRelabel(clusters: DataFrame): DataFrame = {
     val distinctIds = clusters.select(col("cluster_id")).distinct()
       .repartitionByRange(col("cluster_id"))
+    // pin ONE materialization of the range-partitioned ids: `offsets` and
+    // `indexed` both branch off it, and correctness needs both branches to
+    // see the SAME partitioning — without the checkpoint that holds only via
+    // Spark's exchange reuse (RangePartitioner sampling is RDD-id-seeded, so
+    // a recomputed exchange could draw different bounds and misalign offsets
+    // with local indices). The distinct id set is small.
     val withLocal = distinctIds
       .withColumn("part", spark_partition_id())
       .withColumn("local_idx",
         row_number().over(Window.partitionBy(col("part")).orderBy(col("cluster_id"))).cast("long") - 1)
+      .localCheckpoint(true)
     val offsets = withLocal.groupBy(col("part")).agg(count(lit(1)).as("n"))
       .withColumn("offset",
         coalesce(sum(col("n")).over(

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexicalized feature space (P1/A6/F5/P8 — the reference's actual
+  * model family: millions of string-named features indexed into a dense int
+  * space, `coref/PairwiseIndexingFeaturizerJoint.scala:69-129` conjunction
+  * scheme, `:50-57` Indexer; lexical cutoff backoff `:478-486`).
+  *
+  * Relational shape, end to end:
+  *  - feature EXTRACTION is an `explode` of deterministic feature-name
+  *    strings per candidate pair — linear fan-out, no shuffle;
+  *  - the DICTIONARY (A6) is `distinct` + dense-id assignment via two-pass
+  *    range-partitioned numbering (local row_number + per-partition offsets —
+  *    no global-order window, so no one-task funnel at 10^9 features);
+  *  - WEIGHTS live in a table keyed by feature id (broadcast when they fit,
+  *    shuffle-hash join on id otherwise); scoring (P9 sparse) is
+  *    join + `groupBy(pair).sum(weight)` with map-side partial aggregation.
+  *
+  * Weights here are integer-scaled (`round(1e5 * w)` as BIGINT) so the
+  * per-pair sum is EXACT integer arithmetic — addition order cannot perturb
+  * the score, which keeps the DuckDB oracle bit-identical (a float Σ over an
+  * unordered feature set would differ in the last ulp between engines).
+  *
+  * The weight ESTIMATOR provided is the closed-form count-based log-odds
+  * (`ln((pos_f+1)/(neg_f+1))` from gold-labeled pairs) — one `groupBy(f)`
+  * pass, fully relational and oracle-checkable. The Adagrad sparse trainer in
+  * [[graft.train.Trainer]] covers the iterative path for the dense model;
+  * SparseSpec gates this estimator's fixture F1 against the dense model's.
+  */
+object SparseFeatures {
+
+  /** F5 lexical cutoff (`Driver.java:198-199` default 20): surfaces seen
+    * fewer times back off to their word shape. */
+  val Cutoff = 20
+
+  /** Fixed-point scale for integer-exact weight sums. */
+  val WeightScale = 100000L
+
+  /** Per-norm mention counts (over ALL mentions, closed-class included) —
+    * the backoff statistic. */
+  def normCounts(mentions: DataFrame): DataFrame =
+    mentions.groupBy(col("norm")).agg(count(lit(1)).as("n_norm"))
+
+  private def backoff(norm: Column, n: Column): Column =
+    when(n >= Cutoff, norm).otherwise(graft.functions.wordShapePortable(norm))
+
+  private def b01(c: Column): Column = when(c, "1").otherwise("0")
+
+  /** Exploded feature strings `(ant_id, cur_id, f)` for candidate pairs with
+    * attached attributes ([[Scoring.attachAttrs]] output). The P1 conjunction
+    * scheme: every base feature fires both bare and conjoined with the
+    * current mention's type (`&t=<mtype>`), mirroring the reference's
+    * Canonical/+MentionType conjunction axis. */
+  def featureStrings(pairsAttr: DataFrame, counts: DataFrame): DataFrame = {
+    val withN = pairsAttr
+      .join(counts.select(col("norm").as("norm_a"), col("n_norm").as("n_a")), Seq("norm_a"))
+      .join(counts.select(col("norm").as("norm_c"), col("n_norm").as("n_c")), Seq("norm_c"))
+    val backA = backoff(col("norm_a"), col("n_a"))
+    val backC = backoff(col("norm_c"), col("n_c"))
+    val sameConv = col("conv_id_a") === col("conv_id_c")
+    def initials(t: Column) = array_join(transform(t, x => substring(x, 1, 1)), "")
+    // graded similarities enter the sparse space as DISCRETIZED buckets —
+    // the indicator-feature analog of the dense model's real-valued JW/Lev
+    // columns (the reference likewise thresholds its string-similarity
+    // features into firing indicators)
+    val jwb = floor(graft.functions.jaro_winkler(col("norm_a"), col("norm_c")) * 10)
+      .cast("int").cast("string")
+    val lv = lit(1.0) - levenshtein(col("norm_a"), col("norm_c")).cast("double") /
+      greatest(length(col("norm_a")), length(col("norm_c"))).cast("double")
+    val lvb = floor(lv * 10).cast("int").cast("string")
+    val base: Seq[Column] = Seq(
+      lit("bias"),
+      concat(lit("hm="), b01(col("head_key_a") === col("head_key_c"))),
+      concat(lit("em="), b01(col("norm_a") === col("norm_c"))),
+      concat(lit("cur="), backC),
+      concat(lit("ant="), backA),
+      concat(lit("cp="), backA, lit("|"), backC),
+      // distance bucket only meaningful within a conversation; cross-conv
+      // pairs fire the distinct 'x' bucket (the reference's distance
+      // features are likewise document-internal)
+      concat(lit("db="), when(sameConv,
+        least(col("m_seq_c") - col("m_seq_a"), lit(10)).cast("string"))
+        .otherwise("x")),
+      concat(lit("sc="), b01(sameConv)),
+      // head-granularity lexical anchors (the reference's primary lexical
+      // templates — heads are sharper than full surfaces and not subject to
+      // the F5 cutoff; the pair conjunction lets training assign negative
+      // weight to specific spurious head pairs, e.g. acronym collisions)
+      concat(lit("hc="), col("head_key_c")),
+      concat(lit("ha="), col("head_key_a")),
+      concat(lit("hp="), col("head_key_a"), lit("|"), col("head_key_c")),
+      concat(lit("cn="), b01(
+        (col("norm_a").contains(col("norm_c")) || col("norm_c").contains(col("norm_a"))) &&
+          col("norm_a") =!= col("norm_c"))),
+      concat(lit("ab="), b01(
+        col("norm_a") === initials(col("toks_c")) ||
+          col("norm_c") === initials(col("toks_a")))),
+      concat(lit("jwb="), jwb),
+      concat(lit("lvb="), lvb))
+    val conj = base.map(f => concat(f, lit("&t="), col("mtype_c")))
+    withN.select(col("ant_id"), col("cur_id"),
+      explode(array((base ++ conj): _*)).as("f"))
+  }
+
+  /** A6 feature dictionary: dense ids 0..n-1 in feature-string sort order.
+    * Two-pass range-partitioned numbering (the same scale-safe shape as
+    * [[Clustering.denseRelabel]]): local row_number per range partition +
+    * exclusive per-partition offsets — equivalent to a global
+    * `row_number() OVER (ORDER BY f)` without the single-task window. The
+    * range-partitioned ids are pinned (localCheckpoint) so `offsets` and the
+    * id assignment see the same partition bounds. */
+  def dictionary(feats: DataFrame): DataFrame = {
+    val d = feats.select(col("f")).distinct()
+      .repartitionByRange(col("f"))
+      .withColumn("part", spark_partition_id())
+      .withColumn("li",
+        row_number().over(Window.partitionBy(col("part")).orderBy(col("f"))).cast("long") - 1)
+      .localCheckpoint(true)
+    val off = d.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("part"), col("offset"))
+    d.join(broadcast(off), "part")
+      .select(col("f"), (col("offset") + col("li")).as("feature_id"))
+  }
+
+  /** Count-based log-odds weights from gold-labeled pairs:
+    * `w(f) = round(1e5 · ln((pos_f+1)/(neg_f+1)))` as BIGINT. One
+    * `groupBy(f)` with map-side combine. `labels` = (ant_id, cur_id, label). */
+  def logOddsWeights(feats: DataFrame, labels: DataFrame): DataFrame =
+    feats.join(labels, Seq("ant_id", "cur_id"))
+      .groupBy(col("f"))
+      .agg(sum(col("label")).as("pos"), sum(lit(1.0) - col("label")).as("neg"))
+      .select(col("f"),
+        round(log((col("pos") + 1.0) / (col("neg") + 1.0)) * WeightScale, 0)
+          .cast("long").as("w_i"))
+
+  /** P9 sparse scoring: features → dictionary ids → weight lookup →
+    * integer-exact per-pair sum. Output `(ant_id, cur_id, n_feats, score)`
+    * with `score = Σ w_i / 1e5`. */
+  def scoreSparse(feats: DataFrame, dict: DataFrame, weights: DataFrame): DataFrame =
+    feats
+      .join(dict, "f")
+      .join(weights.join(dict, "f").select(col("feature_id"), col("w_i")), "feature_id")
+      .groupBy(col("ant_id"), col("cur_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_i")).as("wsum"))
+      .select(col("ant_id"), col("cur_id"), col("n_feats"),
+        (col("wsum").cast("double") / WeightScale.toDouble).as("score"))
+}

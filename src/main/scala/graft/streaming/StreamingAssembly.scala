@@ -65,7 +65,12 @@ object StreamingAssembly {
     stream
       .withColumn("text_md5", org.apache.spark.sql.functions.md5(col("text").cast("binary")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("text_md5")
+      // dropDuplicatesWithinWatermark (not dropDuplicates): with the plain
+      // variant the event-time column is absent from the key set, so the
+      // watermark is ignored for state cleanup and the store grows without
+      // bound; the WithinWatermark variant keeps first-seen-wins semantics
+      // while actually evicting state past the watermark horizon.
+      .dropDuplicatesWithinWatermark("text_md5")
 
   case class TurnEvent(conv_id: String, turn_idx: Int, text: String)
   case class SeqState(nextSeq: Int)

