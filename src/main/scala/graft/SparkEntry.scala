@@ -33,6 +33,7 @@ object SparkEntry {
     "a12_wiki_eval" -> (Queries.a12WikiEval _),
     "a13_bootstrap" -> ((s: SparkSession, d: String) => Queries.a13Bootstrap(s, d)),
     "g2_ner_viterbi" -> (Queries.g2NerViterbi _),
+    "g3_ner_marginals" -> (Queries.g3NerMarginals _),
     "a11_ner_f1" -> (Queries.a11NerF1 _),
     "c1_clusters" -> (Queries.clustersQ _),
     "a8_pairwise_f1" -> (Queries.pairwiseF1Q _),
@@ -148,6 +149,9 @@ object SparkEntry {
 
     "g2_ner_viterbi" -> ErOracle.qAll(ErOracle.nerCtes +
       "\nSELECT conv_id, turn_idx, pos, tok, label FROM nlabels"),
+
+    "g3_ner_marginals" -> ErOracle.qAll(ErOracle.nerCtes + ErOracle.nerFbCtes +
+      "\nSELECT conv_id, turn_idx, pos, tok, m_o_r, m_b_r, m_i_r FROM nmarg"),
 
     "a11_ner_f1" -> ErOracle.qAll(ErOracle.nerCtes +
       """,

@@ -643,6 +643,74 @@ object ErOracle {
        |)""".stripMargin
   }
 
+  /** G2 forward-backward CTEs (appended after [[nerCtes]]): log-space
+    * sum-product over the same `nemis` emissions, recurrences and the
+    * three-way log-sum-exp associated EXACTLY like graft.ner.Ner's kernel
+    * (`(LSE…) + emit`, `ln(exp(x0-m)+exp(x1-m)+exp(x2-m)) + m`). */
+  val nerFbCtes: String = {
+    import graft.ner.Ner
+    val name = Vector("o", "b", "i")
+    def lse(x0: String, x1: String, x2: String): String = {
+      val m = s"greatest($x0, $x1, $x2)"
+      s"(ln(exp(($x0) - $m) + exp(($x1) - $m) + exp(($x2) - $m)) + $m)"
+    }
+    def fwdStep(l: Int): String = {
+      val xs = (0 until 3).map(p => s"v.a_${name(p)} + ${Ner.Trans(p)(l)}")
+      s"${lse(xs(0), xs(1), xs(2))} + e.e_${name(l)} AS a_${name(l)}"
+    }
+    def bwdStep(l: Int): String = {
+      val xs = (0 until 3).map(nx => s"${Ner.Trans(l)(nx)} + e.e_${name(nx)} + v.b_${name(nx)}")
+      s"${lse(xs(0), xs(1), xs(2))} AS b_${name(l)}"
+    }
+    s""",
+       |fwd AS (
+       |  -- CAST: nemis emissions are DECIMAL in DuckDB (exact for Viterbi's
+       |  -- add/compare); a DECIMAL anchor would coerce the recursive LSE
+       |  -- results back to fixed scale and round them
+       |  SELECT conv_id, turn_idx, pos,
+       |    CAST(${Ner.Init(0)} + e_o AS DOUBLE) AS a_o,
+       |    CAST(${Ner.Init(1)} + e_b AS DOUBLE) AS a_b,
+       |    CAST(${Ner.Init(2)} + e_i AS DOUBLE) AS a_i
+       |  FROM nemis WHERE pos = 0
+       |  UNION ALL
+       |  SELECT e.conv_id, e.turn_idx, e.pos,
+       |    ${fwdStep(0)},
+       |    ${fwdStep(1)},
+       |    ${fwdStep(2)}
+       |  FROM fwd v JOIN nemis e
+       |    ON e.conv_id = v.conv_id AND e.turn_idx = v.turn_idx AND e.pos = v.pos + 1
+       |),
+       |bwd AS (
+       |  -- CAST: a bare 0.0 anchor literal is DECIMAL(2,1) in DuckDB and the
+       |  -- recursive union would coerce every beta to one decimal place
+       |  SELECT conv_id, turn_idx, last AS pos, CAST(0.0 AS DOUBLE) AS b_o,
+       |    CAST(0.0 AS DOUBLE) AS b_b, CAST(0.0 AS DOUBLE) AS b_i FROM nlast
+       |  UNION ALL
+       |  SELECT v.conv_id, v.turn_idx, v.pos - 1,
+       |    ${bwdStep(0)},
+       |    ${bwdStep(1)},
+       |    ${bwdStep(2)}
+       |  FROM bwd v JOIN nemis e
+       |    ON e.conv_id = v.conv_id AND e.turn_idx = v.turn_idx AND e.pos = v.pos
+       |  WHERE v.pos > 0
+       |),
+       |nz AS (
+       |  SELECT f.conv_id, f.turn_idx, ${lse("f.a_o", "f.a_b", "f.a_i")} AS z
+       |  FROM fwd f JOIN nlast l
+       |    ON f.conv_id = l.conv_id AND f.turn_idx = l.turn_idx AND f.pos = l.last
+       |),
+       |nmarg AS (
+       |  SELECT f.conv_id, f.turn_idx, f.pos, e.tok,
+       |    round(exp((f.a_o + b.b_o) - z.z), 6) AS m_o_r,
+       |    round(exp((f.a_b + b.b_b) - z.z), 6) AS m_b_r,
+       |    round(exp((f.a_i + b.b_i) - z.z), 6) AS m_i_r
+       |  FROM fwd f
+       |  JOIN bwd b ON f.conv_id = b.conv_id AND f.turn_idx = b.turn_idx AND f.pos = b.pos
+       |  JOIN nz z ON f.conv_id = z.conv_id AND f.turn_idx = z.turn_idx
+       |  JOIN nemis e ON f.conv_id = e.conv_id AND f.turn_idx = e.turn_idx AND f.pos = e.pos
+       |)""".stripMargin
+  }
+
   /** Full oracle query: recursive-CTE prefix + body. */
   def q(body: String): String = s"WITH RECURSIVE $chain\n$body"
 

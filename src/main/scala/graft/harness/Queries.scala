@@ -217,6 +217,16 @@ object Queries {
       graft.ner.Ner.emissions(Transcripts.load(spark, sfDir)))
       .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"), col("label"))
 
+  /** G2 (sum-product): per-token forward-backward label marginals — the
+    * posteriors B6's marginal-threshold pruning consumes. */
+  def g3NerMarginals(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ner.Ner.forwardBackward(spark,
+      graft.ner.Ner.emissions(Transcripts.load(spark, sfDir)))
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"),
+        round(col("m_o"), 6).as("m_o_r"),
+        round(col("m_b"), 6).as("m_b_r"),
+        round(col("m_i"), 6).as("m_i_r"))
+
   /** A11: NER chunk P/R/F1 vs the PROPER mention extents of the
     * all-generators path. */
   def a11NerF1(spark: SparkSession, sfDir: String): DataFrame = {

@@ -107,6 +107,84 @@ object Ner {
       .toDF("conv_id", "turn_idx", "pos", "tok", "label")
   }
 
+  /** Three-way log-sum-exp, associated EXACTLY like the DuckDB oracle's
+    * expression (`ln(exp(x0-m)+exp(x1-m)+exp(x2-m)) + m`, left-assoc sum,
+    * `m = greatest`) so the two engines agree bit-for-bit. */
+  private def lse3(x0: Double, x1: Double, x2: Double): Double = {
+    val m = math.max(math.max(x0, x1), x2)
+    math.log(math.exp(x0 - m) + math.exp(x1 - m) + math.exp(x2 - m)) + m
+  }
+
+  /** G2 forward-backward: per-token posterior marginals over labels
+    * (`NerSystemLabeled.scala:52-128`'s sum-product pass). Log-space; the
+    * recurrences are associated `(LSE…) + emit` to mirror the recursive-CTE
+    * oracle. Output: `(conv_id, turn_idx, pos, tok, m_o, m_b, m_i)`. */
+  def forwardBackward(spark: SparkSession, emissions: DataFrame): DataFrame = {
+    import spark.implicits._
+    emissions
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"),
+        col("e_o"), col("e_b"), col("e_i"))
+      .as[(String, Int, Int, String, Double, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, String, Double, Double, Double)]) =>
+        val (conv, turn) = key
+        val toks = it.map(r => Emis(r._3, r._4, Array(r._5, r._6, r._7)))
+          .toArray.sortBy(_.pos)
+        val n = toks.length
+        val a = Array.ofDim[Double](n, 3)
+        val b = Array.ofDim[Double](n, 3)
+        var l = 0
+        while (l < 3) { a(0)(l) = Init(l) + toks(0).e(l); l += 1 }
+        var p = 1
+        while (p < n) {
+          l = 0
+          while (l < 3) {
+            a(p)(l) = lse3(
+              a(p - 1)(0) + Trans(0)(l),
+              a(p - 1)(1) + Trans(1)(l),
+              a(p - 1)(2) + Trans(2)(l)) + toks(p).e(l)
+            l += 1
+          }
+          p += 1
+        }
+        // b(n-1)(l) = 0 by Array init
+        p = n - 2
+        while (p >= 0) {
+          l = 0
+          while (l < 3) {
+            b(p)(l) = lse3(
+              Trans(l)(0) + toks(p + 1).e(0) + b(p + 1)(0),
+              Trans(l)(1) + toks(p + 1).e(1) + b(p + 1)(1),
+              Trans(l)(2) + toks(p + 1).e(2) + b(p + 1)(2))
+            l += 1
+          }
+          p -= 1
+        }
+        val z = lse3(a(n - 1)(0), a(n - 1)(1), a(n - 1)(2))
+        toks.indices.map { i =>
+          (conv, turn, toks(i).pos, toks(i).tok,
+            math.exp((a(i)(0) + b(i)(0)) - z),
+            math.exp((a(i)(1) + b(i)(1)) - z),
+            math.exp((a(i)(2) + b(i)(2)) - z))
+        }
+      }
+      .toDF("conv_id", "turn_idx", "pos", "tok", "m_o", "m_b", "m_i")
+  }
+
+  /** B6 marginal-threshold pruning (`ner/NerPruner.scala:1-98`, default −9):
+    * per-token label domain = labels whose LOG posterior is within
+    * `logThreshold` of the best label's — the domain the joint factor graph
+    * searches. Supersedes the emission-margin heuristic of [[labelDomains]]
+    * (kept as the cheap no-inference variant). */
+  def marginalDomains(fb: DataFrame, logThreshold: Double = -9.0): DataFrame = {
+    val best = greatest(col("m_o"), col("m_b"), col("m_i"))
+    val cut = best * math.exp(logThreshold)
+    fb.withColumn("domain", filter(array(
+      when(col("m_o") >= cut, "O"),
+      when(col("m_b") >= cut, "B"),
+      when(col("m_i") >= cut, "I")), _.isNotNull))
+  }
+
   /** Decoded chunks `(conv_id, turn_idx, start, end)` — B opens, I extends. */
   def chunks(labeled: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id"), col("turn_idx")).orderBy(col("pos"))
