@@ -31,6 +31,8 @@ object SparkEntry {
     "s5_model" -> (Queries.s5Model _),
     "l2_link_titles" -> (Queries.l2LinkTitles _),
     "a12_wiki_eval" -> (Queries.a12WikiEval _),
+    "l5_query_denotation" -> (Queries.l5QueryDenotation _),
+    "a12b_wiki_eval_l5" -> (Queries.a12bWikiEvalL5 _),
     "a13_bootstrap" -> ((s: SparkSession, d: String) => Queries.a13Bootstrap(s, d)),
     "g2_ner_viterbi" -> (Queries.g2NerViterbi _),
     "g3_ner_marginals" -> (Queries.g3NerMarginals _),
@@ -146,6 +148,22 @@ object SparkEntry {
         |  round(CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS acc_all_r
         |FROM lg LEFT JOIN llinks l ON lg.mention_id = l.mention_id""".stripMargin),
+
+    "l5_query_denotation" -> ErOracle.q(ErOracle.linkingCtes + ErOracle.linkingL5Ctes +
+      "\nSELECT mention_id, title, round(dscore, 6) AS score_r FROM l5links"),
+
+    "a12b_wiki_eval_l5" -> ErOracle.q(ErOracle.linkingCtes + ErOracle.linkingL5Ctes +
+      """,
+        |lg5 AS (SELECT g.mention_id, 'Customer_' || g.entity_id AS gold_title FROM gold g)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_gold,
+        |  CAST(SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
+        |  CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END), 6) AS acc_linked_r,
+        |  round(CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS acc_all_r
+        |FROM lg5 LEFT JOIN l5links l ON lg5.mention_id = l.mention_id""".stripMargin),
 
     "g2_ner_viterbi" -> ErOracle.qAll(ErOracle.nerCtes +
       "\nSELECT conv_id, turn_idx, pos, tok, label FROM nlabels"),

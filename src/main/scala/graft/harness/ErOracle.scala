@@ -501,6 +501,45 @@ object ErOracle {
        |  FROM lbest b LEFT JOIN lred r ON b.title0 = r.src
        |)""".stripMargin
 
+  /** L4/L5 CTEs (appended after [[linkingCtes]]): poisoned dictionary +
+    * aux-purge set + latent query/denotation chooser grid — mirrors
+    * graft.linking.Linking.queryDenotationChoose over
+    * graft.harness.Queries.linkDictPoisoned. */
+  val linkingL5Ctes: String =
+    s""",
+       |ljunk AS (
+       |  SELECT lower(c_name) AS surface, 'Disambig_' || CAST(c_custkey AS STRING) AS title, 99 AS cnt
+       |  FROM customer WHERE c_custkey % 3 = 0
+       |),
+       |laux AS (
+       |  SELECT 'Disambig_' || CAST(c_custkey AS STRING) AS title
+       |  FROM customer WHERE c_custkey % 3 = 0
+       |),
+       |l5hits AS (
+       |  SELECT q.mention_id, q.prio, d.title, d.cnt
+       |  FROM lqueries q
+       |  JOIN (SELECT * FROM ldict UNION ALL SELECT * FROM ljunk) d ON q.query = d.surface
+       |),
+       |l5purged AS (
+       |  SELECT h.* FROM l5hits h
+       |  WHERE NOT EXISTS (SELECT 1 FROM laux a WHERE a.title = h.title)
+       |),
+       |l5scored AS (
+       |  SELECT mention_id, title,
+       |    CAST(3 - prio AS DOUBLE) * 1.0 + ln(CAST(cnt AS DOUBLE)) * 0.5 AS dscore
+       |  FROM l5purged
+       |),
+       |l5choice AS (
+       |  SELECT mention_id, title AS title0, dscore FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id
+       |      ORDER BY dscore DESC, title ASC) AS rk
+       |    FROM l5scored) WHERE rk = 1
+       |),
+       |l5links AS (
+       |  SELECT c.mention_id, coalesce(r.dst, c.title0) AS title, c.dscore
+       |  FROM l5choice c LEFT JOIN lred r ON c.title0 = r.src
+       |)""".stripMargin
+
   /** Sparse lexicalized feature CTEs (P1/A6/F5/P8/P9 sparse path) — mirrors
     * graft.pipeline.SparseFeatures over the conversation-band pair universe:
     * feature-string explode (with the &t= mention-type conjunction scheme),

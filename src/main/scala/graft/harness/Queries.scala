@@ -211,6 +211,41 @@ object Queries {
     graft.linking.Linking.wikiEval(links, goldTitles)
   }
 
+  /** Poisoned dictionary + aux purge set for the L4/L5 path: every third
+    * customer gains a high-count "Disambig_<k>" entry on its canonical
+    * surface — without the aux purge the count evidence makes it win (the
+    * disambiguation-page failure mode the reference's AuxDB exists for). */
+  private def linkDictPoisoned(spark: SparkSession, sfDir: String)
+    : (DataFrame, DataFrame, DataFrame) = {
+    val (dict, red) = linkDict(spark, sfDir)
+    val c3 = spark.table("customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast("string").as("k"), lower(col("c_name")).as("name_lc"))
+    val junk = c3.select(col("name_lc").as("surface"),
+      concat(lit("Disambig_"), col("k")).as("title"), lit(99).as("cnt"))
+    val aux = c3.select(concat(lit("Disambig_"), col("k")).as("title"))
+    (dict.unionByName(junk), red, aux)
+  }
+
+  /** L5+L4: latent query/denotation chooser over the aux-purged candidate
+    * grid of the poisoned dictionary. */
+  def l5QueryDenotation(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dict, red, aux) = linkDictPoisoned(spark, sfDir)
+    graft.linking.Linking.queryDenotationChoose(
+      pipeline(spark, sfDir).mentions, dict, red, aux)
+      .select(col("mention_id"), col("title"), round(col("dscore"), 6).as("score_r"))
+  }
+
+  /** A12 on the L5+L4 path (poisoned dict): the purge must restore the
+    * accuracy the junk entries would otherwise destroy. */
+  def a12bWikiEvalL5(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dict, red, aux) = linkDictPoisoned(spark, sfDir)
+    val links = graft.linking.Linking.queryDenotationChoose(
+      pipeline(spark, sfDir).mentions, dict, red, aux)
+    val goldTitles = gold(spark, sfDir)
+      .select(col("mention_id"), concat(lit("Customer_"), col("entity_id")).as("gold_title"))
+    graft.linking.Linking.wikiEval(links, goldTitles)
+  }
+
   /** G2: NER Viterbi labels per token. */
   def g2NerViterbi(spark: SparkSession, sfDir: String): DataFrame =
     graft.ner.Ner.viterbi(spark,

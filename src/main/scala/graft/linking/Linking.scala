@@ -73,6 +73,46 @@ object Linking {
         coalesce(col("dst"), col("title0")).as("title"), col("prio"), col("cnt"))
   }
 
+  /** L4: purge auxiliary "disambiguation page" titles from a candidate set
+    * (`wiki/WikipediaAuxDB.scala:1-73` `removeDisambiguationPages`): a
+    * left-anti join against the aux title table. At scale the aux set is the
+    * small side — broadcast anti-join, no shuffle of the candidate grid. */
+  def purgeAux(candidates: DataFrame, auxTitles: DataFrame): DataFrame =
+    candidates.join(broadcast(auxTitles.select(col("title")).distinct()),
+      Seq("title"), "left_anti")
+
+  /** L5: query/denotation chooser (`wiki/QueryChooser.scala`,
+    * `JointQueryDenotationChooser.scala:1-240`): instead of the hard
+    * best-priority-then-count cascade of [[link]], score the full
+    * query × denotation grid with a linear model — query-priority features
+    * traded against the (log) count evidence — and take the per-mention
+    * argmax. The reference learns these weights latently (the query is a
+    * latent variable, supervision is the gold denotation); the grid scoring
+    * and argmax below is that model's inference step, with the aux purge
+    * (L4) applied to the grid first.
+    *
+    * Output `(mention_id, title, dscore)` after one redirect hop; NIL
+    * mentions absent. Tie-break: higher score, then lexicographic title. */
+  def queryDenotationChoose(mentions: DataFrame, dict: DataFrame,
+      redirects: DataFrame, auxTitles: DataFrame,
+      wPrio: Double = 1.0, wCnt: Double = 0.5): DataFrame = {
+    val hits = expandQueries(mentions)
+      .join(dict.select(col("surface").as("query"), col("title"), col("cnt")), "query")
+    val purged = purgeAux(hits, auxTitles)
+    val scored = purged.withColumn("dscore",
+      (lit(3) - col("prio")).cast("double") * wPrio +
+        log(col("cnt").cast("double")) * wCnt)
+    val best = scored
+      .groupBy(col("mention_id"))
+      .agg(min_by(struct(col("title"), col("dscore")),
+        struct(negate(col("dscore")), col("title"))).as("b"))
+      .select(col("mention_id"), col("b.title").as("title0"), col("b.dscore").as("dscore"))
+    best
+      .join(redirects.select(col("src").as("title0"), col("dst")), Seq("title0"), "left")
+      .select(col("mention_id"),
+        coalesce(col("dst"), col("title0")).as("title"), col("dscore"))
+  }
+
   /** W5: top-k titles per surface from the dictionary (the reference's
     * per-surface candidate shortlist, `WikipediaTitleGivenSurfaceDB:34-60`)
     * — count-descending, name tie-break. */

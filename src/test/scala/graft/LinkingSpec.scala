@@ -66,4 +66,41 @@ class LinkingSpec extends SparkSuite {
     assert(top("acme data") === "Acme_Data_B") // highest count
     assert(top("tiekey") === "A_Title")        // tie -> lexicographic
   }
+
+  test("L4+L5: aux purge restores the accuracy junk entries destroy; " +
+      "chooser trades priority against count evidence") {
+    // poison: a huge-count disambiguation page on m1's surfaces
+    val junk = Seq(("the acme systems", "Acme_disambiguation", 99),
+      ("acme data", "Acme_disambiguation", 99)).toDF("surface", "title", "cnt")
+    val poisoned = dict.unionByName(junk)
+    val aux = Seq("Acme_disambiguation").toDF("title")
+    val gold = Seq(("m1", "Acme_Systems"), ("m2", "Acme_Data_B"), ("m4", "NewCo"))
+      .toDF("mention_id", "gold_title")
+
+    def acc(links: org.apache.spark.sql.DataFrame): Long =
+      Linking.wikiEval(links, gold).collect()(0).getAs[Long]("n_correct")
+
+    val noPurge = Linking.queryDenotationChoose(mentions, poisoned, redirects,
+      Seq.empty[String].toDF("title"))
+    val purged = Linking.queryDenotationChoose(mentions, poisoned, redirects, aux)
+    val accNo = acc(noPurge); val accYes = acc(purged)
+    info(s"n_correct without purge=$accNo with purge=$accYes")
+    assert(accNo < accYes, "junk disambiguation titles must hurt without the purge")
+    assert(accYes === 3L, "purge restores all gold links")
+
+    // chooser semantics: count evidence can overturn a one-step priority
+    // advantage (prio term 1.0 vs 0.5*ln(cnt) gap) — distinct from link()'s
+    // hard priority cascade
+    val m = Seq(("mx", "the popular co")).toDF("mention_id", "norm")
+    val d = Seq(("the popular co", "Rare_Exact", 1), ("popular co", "Popular_Co", 1000))
+      .toDF("surface", "title", "cnt")
+    val noAux = Seq.empty[String].toDF("title")
+    val cascade = Linking.link(m, d, redirects).collect()(0).getString(1)
+    val chooser = Linking.queryDenotationChoose(m, d, redirects, noAux)
+      .collect()(0).getString(1)
+    info(s"cascade=$cascade chooser=$chooser")
+    assert(cascade === "Rare_Exact", "the hard cascade keeps the prio-0 hit")
+    assert(chooser === "Popular_Co",
+      "the latent chooser lets strong count evidence win over one priority step")
+  }
 }
