@@ -44,21 +44,47 @@ object JointInference {
         .as("prior"))
   }
 
-  private case class MRow(id: String, prior: Array[Double])
+  private case class MRow(id: String, prior: Array[Double],
+      pEnt: Double, newBias: Double)
   private case class PRow(ant: String, cur: String, score: Double)
 
   /** @param mentionPriors (mention_id, conv_id, prior: array<double> over Types)
     * @param scored within-conversation scored pairs (ant_id, cur_id, score)
     * @param coupling log-strength of the type-agreement factor
+    * @param evidence optional `(mention_id, p_entity, new_bias)` — the two
+    *                 further factor families of
+    *                 `JointDocFactorGraphOnto.scala:62-99`:
+    *                 **NER agreement**: a unary log-linear potential
+    *                 `exp(nerCoupling · p_entity · [T ≠ OTHER])` tying the
+    *                 mention's type to the NER chain's entity posterior
+    *                 (feed `p_entity = m_b + m_i` from
+    *                 [[graft.ner.Ner.forwardBackward]] aggregated over the
+    *                 span); **anaphoricity**: the "new entity" arc's weight
+    *                 becomes `exp(new_bias)` instead of 1 — negative bias on
+    *                 discourse-anaphoric mentions (pronouns) pushes them to
+    *                 link, the unary the reference puts on the anaphoricity
+    *                 node.
+    * @param nerCoupling log-strength of the NER-agreement factor
     * @return (mention_id, ant_id nullable, p_ant, type, p_type) */
   def infer(spark: SparkSession, mentionPriors: DataFrame, scored: DataFrame,
-      coupling: Double = 1.0, iters: Int = 10): DataFrame = {
+      coupling: Double = 1.0, iters: Int = 10,
+      evidence: Option[DataFrame] = None, nerCoupling: Double = 0.0): DataFrame = {
     import spark.implicits._
     val k = Types.size
-    val ments = mentionPriors
-      .select(col("conv_id"), col("mention_id"), col("prior"))
-      .as[(String, String, Seq[Double])]
-      .map { case (c, m, p) => (c, m, p.toArray) }
+    val withEv = evidence match {
+      case Some(ev) => mentionPriors
+        .join(ev.select(col("mention_id"), col("p_entity"), col("new_bias")),
+          Seq("mention_id"), "left")
+        .withColumn("p_entity", coalesce(col("p_entity"), lit(0.0)))
+        .withColumn("new_bias", coalesce(col("new_bias"), lit(0.0)))
+      case None => mentionPriors
+        .withColumn("p_entity", lit(0.0)).withColumn("new_bias", lit(0.0))
+    }
+    val ments = withEv
+      .select(col("conv_id"), col("mention_id"), col("prior"),
+        col("p_entity"), col("new_bias"))
+      .as[(String, String, Seq[Double], Double, Double)]
+      .map { case (c, m, p, pe, nb) => (c, m, p.toArray, pe, nb) }
     val pairs = scored
       .join(mentionPriors.select(col("mention_id").as("cur_id"), col("conv_id")), "cur_id")
       .select(col("conv_id"), col("ant_id"), col("cur_id"), col("score"))
@@ -66,7 +92,7 @@ object JointInference {
 
     val grouped = ments.groupByKey(_._1).cogroup(pairs.groupByKey(_._1)) {
       (conv, ms, ps) =>
-        val mentions = ms.map(t => MRow(t._2, t._3)).toArray.sortBy(_.id)
+        val mentions = ms.map(t => MRow(t._2, t._3, t._4, t._5)).toArray.sortBy(_.id)
         val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
         val cands: Map[Int, Array[(Int, Double)]] = ps
           .collect { case (_, a, c, s) if idx.contains(a) && idx.contains(c) =>
@@ -74,30 +100,40 @@ object JointInference {
           .toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sortBy(_._1) }
         val n = mentions.length
         val expC = math.exp(coupling)
+        // NER-agreement unary folded into an effective prior:
+        // eff(t) = prior(t) · exp(nerCoupling · p_entity · [t ≠ OTHER])
+        val otherIdx = Types.indexOf("OTHER")
+        def effPrior(i: Int): Array[Double] = Array.tabulate(k) { t =>
+          val boost = if (t == otherIdx) 1.0
+            else math.exp(nerCoupling * mentions(i).pEnt)
+          mentions(i).prior(t) * boost
+        }
 
         // beliefs
         val qType = Array.tabulate(n) { i =>
-          val p = mentions(i).prior; val z = p.sum; p.map(_ / z)
+          val p = effPrior(i); val z = p.sum; p.map(_ / z)
         }
         val pAnt = scala.collection.mutable.Map.empty[Int, Array[Double]]
 
         var it = 0
         while (it < iters) {
           // A_c update: p(a) ∝ exp(score) · E_{T_c,T_a}[exp(coupling·[=])]
-          //            = exp(score) · (1 + (expC-1)·(q_c · q_a))
+          //            = exp(score) · (1 + (expC-1)·(q_c · q_a));
+          // the "new entity" arc weighs exp(new_bias) (anaphoricity unary)
           cands.foreach { case (c, as) =>
             val w = as.map { case (a, s) =>
               val dot = (0 until k).map(t => qType(c)(t) * qType(a)(t)).sum
               math.exp(s) * (1.0 + (expC - 1.0) * dot)
             }
-            val z = w.sum + 1.0 // the "new entity" arc at score 0, no factor
+            val z = w.sum + math.exp(mentions(c).newBias)
             pAnt(c) = w.map(_ / z)
           }
           // T_m update: prior × messages from every factor touching T_m
           // μ(t) = Σ_a p(a)·(1 + (expC-1)·q_a(t)) + p(new)  (as cur)
           //      × Π over (c with a=m): same with roles swapped (as ant)
           val next = Array.tabulate(n) { m =>
-            val logq = Array.tabulate(k)(t => math.log(math.max(mentions(m).prior(t), 1e-12)))
+            val eff = effPrior(m)
+            val logq = Array.tabulate(k)(t => math.log(math.max(eff(t), 1e-12)))
             cands.get(m).foreach { as =>
               val pa = pAnt(m)
               var t = 0

@@ -197,21 +197,10 @@ object Ner {
       .drop("grp")
   }
 
-  /** A11 chunk P/R/F1 vs gold extents keyed (conv_id, turn_idx, start, end). */
-  def chunkF1(pred: DataFrame, gold: DataFrame): DataFrame = {
-    val key = Seq("conv_id", "turn_idx", "start", "end")
-    val p = pred.select(key.map(col): _*)
-    val g = gold.select(key.map(col): _*)
-    val tp = p.join(g, key, "left_semi").count()
-    val np = p.count(); val ng = g.count()
-    val prec = if (np == 0) 0.0 else tp.toDouble / np
-    val rec = if (ng == 0) 0.0 else tp.toDouble / ng
-    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
-    val spark = pred.sparkSession
-    import spark.implicits._
-    Seq((tp, np, ng, prec, rec, f1))
-      .toDF("tp", "n_pred", "n_gold", "precision", "recall", "f1")
-  }
+  /** A11 chunk P/R/F1 vs gold extents keyed (conv_id, turn_idx, start, end)
+    * — one aggregation, no driver-side counts (shared with A7). */
+  def chunkF1(pred: DataFrame, gold: DataFrame): DataFrame =
+    graft.pipeline.Eval.extentPRF(pred, gold)
 
   /** B6 label-domain pruning: per-token labels within `margin` of the best
     * emission — the factor-graph domain the joint model would search. */

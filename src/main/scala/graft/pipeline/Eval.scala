@@ -146,16 +146,32 @@ object Eval {
 
   /** Mention-detection P/R/F1 (A7, `CorefDoc.scala:104-109`): pred vs gold
     * mention extents keyed by (conv_id, turn_idx, start, end). */
-  def mentionPRF(predMentions: DataFrame, goldMentions: DataFrame): DataFrame = {
+  def mentionPRF(predMentions: DataFrame, goldMentions: DataFrame): DataFrame =
+    extentPRF(predMentions, goldMentions)
+
+  /** Shared extent-set P/R/F1 as ONE aggregation (no separate count()
+    * actions): full-outer join the two extent sets with membership flags,
+    * then a single agg computing tp / n_pred / n_gold, with P/R/F1 derived
+    * as columns. Extents are unique on the key in both inputs (mention
+    * dedup / chunk grouping guarantee it), so the join is 1:1. */
+  private[graft] def extentPRF(pred: DataFrame, gold: DataFrame): DataFrame = {
     val key = Seq("conv_id", "turn_idx", "start", "end")
-    val inter = predMentions.select(key.map(col): _*)
-      .join(goldMentions.select(key.map(col): _*), key, "left_semi").count()
-    val np = predMentions.count(); val ng = goldMentions.count()
-    val p = if (np == 0) 0.0 else inter.toDouble / np
-    val r = if (ng == 0) 0.0 else inter.toDouble / ng
-    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
-    val spark = predMentions.sparkSession
-    import spark.implicits._
-    Seq((inter, np, ng, p, r, f1)).toDF("tp", "n_pred", "n_gold", "precision", "recall", "f1")
+    val p = pred.select(key.map(col): _*).withColumn("in_p", lit(1L))
+    val g = gold.select(key.map(col): _*).withColumn("in_g", lit(1L))
+    p.join(g, key, "full_outer")
+      .agg(
+        coalesce(sum(col("in_p") * col("in_g")), lit(0L)).as("tp"),
+        coalesce(sum(col("in_p")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("in_g")), lit(0L)).as("n_gold"))
+      .withColumn("precision",
+        when(col("n_pred") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_pred")))
+      .withColumn("recall",
+        when(col("n_gold") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_gold")))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
   }
 }

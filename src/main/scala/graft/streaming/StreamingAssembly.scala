@@ -72,6 +72,65 @@ object StreamingAssembly {
       // while actually evicting state past the watermark horizon.
       .dropDuplicatesWithinWatermark("text_md5")
 
+  case class BandDoc(bk: String, doc_id: Long, sh: Seq[String], ts: java.sql.Timestamp)
+  case class BucketState(docs: List[(Long, Seq[String])])
+  case class NearDupHit(doc_a: Long, doc_b: Long, jacc_r: Double)
+
+  /** Streaming MinHash-LSH near-dup — the streaming face of
+    * [[graft.ops.Dedup.minhashLsh]]: shingle → band keys (same
+    * `lshBandKeysDirect` expressions as batch) → per-band-bucket keyed state
+    * (`flatMapGroupsWithState`) holding the bucket's recent docs; each
+    * arriving doc is exact-Jaccard-verified against the bucket state and
+    * emits `(doc_a, doc_b, jacc_r)` for hits above the threshold. A pair
+    * colliding in several bands emits once per band — consumers `distinct`
+    * (the batch operator dedups candidates the same way, just pre-verify).
+    *
+    * State is bounded: buckets are keyed by content-derived band keys
+    * (hash-partitioned across executors) and evicted by EVENT-TIME TIMEOUT
+    * one horizon past the watermark — the streaming analog of the batch
+    * operator's corpus scope. */
+  def streamingMinhashNearDup(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.7, minhashes: Int = 12, bands: Int = 6,
+      watermark: String = "10 minutes", horizonMs: Long = 600000L) = {
+    import spark.implicits._
+    val keyed = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        graft.ops.Dedup.wordShingles(col("text")).as("sh"))
+      .select(explode(graft.functions.lshBandKeysDirect(col("sh"), bands,
+        minhashes / bands, "xxhash64")).as("bk"),
+        col("doc_id"), col("sh"), col("ts"))
+      .as[BandDoc]
+    keyed.groupByKey(_.bk)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[BandDoc], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty[NearDupHit] }
+          else {
+            var cur = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (!cur.exists(_._1 == d.doc_id)) {
+                val shD = d.sh.toSet
+                cur.foreach { case (id, sh0) =>
+                  val s0 = sh0.toSet
+                  val inter = s0.intersect(shD).size
+                  val uni = s0.size + shD.size - inter
+                  val j = if (uni == 0) 0.0 else inter.toDouble / uni
+                  if (j >= threshold)
+                    out += NearDupHit(math.min(id, d.doc_id), math.max(id, d.doc_id),
+                      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                }
+                cur = (d.doc_id, d.sh) :: cur
+              }
+            }
+            state.update(BucketState(cur))
+            if (state.getCurrentWatermarkMs() > 0)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizonMs)
+            out.iterator
+          }
+        })
+  }
+
   case class TurnEvent(conv_id: String, turn_idx: Int, text: String)
   case class SeqState(nextSeq: Int)
   case class SequencedTurn(conv_id: String, turn_idx: Int, m_seq: Int)

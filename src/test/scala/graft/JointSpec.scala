@@ -48,6 +48,42 @@ class JointSpec extends SparkSuite {
     assert(flat("m3") === Some("m0"), "coupling 0 => pure score, ties to lowest id")
   }
 
+  test("neutral evidence reproduces the factor-pair model exactly") {
+    val ev = Seq(("m0", 0.0, 0.0), ("m1", 0.0, 0.0), ("m2", 0.0, 0.0), ("m3", 0.0, 0.0))
+      .toDF("mention_id", "p_entity", "new_bias")
+    val withEv = JointInference.infer(spark, priors, scored, coupling = 1.5,
+      evidence = Some(ev), nerCoupling = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getString(3), r.getDouble(4))).toMap
+    assert(withEv === out, "p_entity=0, new_bias=0 must be a no-op")
+  }
+
+  test("NER-agreement factor types an untyped mention off OTHER") {
+    val p = Seq(("c", "m0", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)))
+      .toDF("conv_id", "mention_id", "prior")
+    val noPairs = Seq.empty[(String, String, Double)].toDF("ant_id", "cur_id", "score")
+    val ev = Seq(("m0", 0.9, 0.0)).toDF("mention_id", "p_entity", "new_bias")
+    val r = JointInference.infer(spark, p, noPairs, coupling = 1.0,
+      evidence = Some(ev), nerCoupling = 2.0).collect()(0)
+    assert(r.getString(3) !== "OTHER",
+      "strong NER entity evidence must pull the type off OTHER")
+    assert(r.getDouble(4) > 0.4)
+  }
+
+  test("anaphoricity bias flips a weak link from new-entity to anaphoric") {
+    val p = Seq(("c", "a0", Seq(0.1, 0.8, 0.1)), ("c", "a1", Seq(0.1, 0.8, 0.1)))
+      .toDF("conv_id", "mention_id", "prior")
+    val weak = Seq(("a0", "a1", -0.5)).toDF("ant_id", "cur_id", "score")
+    def antOf(ev: Option[org.apache.spark.sql.DataFrame]) =
+      JointInference.infer(spark, p, weak, coupling = 0.0, evidence = ev)
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap.apply("a1")
+    assert(antOf(None) === None,
+      "exp(-0.5) < 1: without bias the new-entity arc wins")
+    val ev = Seq(("a1", 0.0, -2.0)).toDF("mention_id", "p_entity", "new_bias")
+    assert(antOf(Some(ev)) === Some("a0"),
+      "an anaphoric mention (new_bias=-2) must link to the weak antecedent")
+  }
+
   test("typePriors derive from surface sem-class") {
     val m = Seq(("x", "c", "Customer#000000007"), ("y", "c", "the vendor"))
       .toDF("mention_id", "conv_id", "surface")

@@ -32,6 +32,28 @@ class SinksSpec extends SparkSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("S7: wiki standoff annotations round-trip through disk") {
+    import spark.implicits._
+    val dict = Seq(("acme data systems", "Acme_Data_Systems", 5))
+      .toDF("surface", "title", "cnt")
+    val red = Seq.empty[(String, String)].toDF("src", "dst")
+    val links = graft.linking.Linking.link(res.mentions, dict, red).cache()
+    val lines = graft.io.WikiStandoff.formatLines(res.mentions, links).cache()
+    assert(lines.count() === links.count(), "one standoff line per linked mention")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-standoff").toString
+    graft.io.WikiStandoff.write(lines, dir)
+    val back = graft.io.WikiStandoff.parse(spark.read.text(dir))
+    val orig = lines.select("conv_id", "turn_idx", "start", "end", "title")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "standoff read must invert the write")
+    // re-joining the annotations to mentions reproduces the links
+    val rejoined = back.join(res.mentions, Seq("conv_id", "turn_idx", "start", "end"))
+      .select(col("mention_id"), col("title"))
+    val origLinks = links.select(col("mention_id"), col("title"))
+    assert(rejoined.exceptAll(origLinks).isEmpty && origLinks.exceptAll(rejoined).isEmpty)
+  }
+
   test("P7: auxiliary featurizer extends the linear model") {
     val pairs = Scoring.featurize(Scoring.attachAttrs(
       Blocking.convBandPairs(res.mentions), res.mentions)).cache()

@@ -61,6 +61,33 @@ class StreamingSpec extends SparkSuite {
     assert(bad.count() === 0, "m_seq must be dense 0..n-1 per conversation")
   }
 
+  test("streaming minhash near-dup == batch minhashLsh pair set") {
+    // corpus with planted near/exact dups (same generator as the batch op)
+    val corpus = graft.ops.Dedup.corpus(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000))
+      .select("doc_id", "text", "ts")
+    val d = Files.createTempDirectory("graft-neardup").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(d)
+    val q = StreamingAssembly.streamingMinhashNearDup(spark, stream)
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("stream_neardup")
+      .select("doc_a", "doc_b", "jacc_r").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Dedup.minhashLsh(
+      graft.ops.Dedup.corpus(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed.keySet === batch.keySet,
+      s"streamed pair set must equal batch (streamed ${streamed.size}, batch ${batch.size})")
+    assert(batch.nonEmpty)
+    streamed.foreach { case (k, j) =>
+      assert(math.abs(j - batch(k)) < 1e-9, s"jaccard mismatch on $k") }
+  }
+
   test("streaming exact dedup == batch exact dedup survivor set") {
     val stream = StreamingAssembly.streamTranscripts(spark, dir)
     val q = StreamingAssembly.streamingExactDedup(stream)
