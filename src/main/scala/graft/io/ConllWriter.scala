@@ -62,4 +62,41 @@ object ConllWriter {
         col("c").getItem(2).cast("int").as("pos"),
         col("c").getItem(3).as("tok"),
         col("c").getItem(4).as("bit"))
+
+  /** M6 reader side: reconstruct mention extents + cluster assignment from
+    * the coref bits (the reference's gold-standard ingestion path,
+    * `ConllDocReader` corefChunks — open/close bracket matching, LIFO per
+    * cluster id for nested same-cluster extents). Turns are bounded, so the
+    * bracket matching runs per (conv, turn) group.
+    * Input: [[parse]] output. Output: (conv_id, turn_idx, start, end,
+    * cluster_id). */
+  def parseClusters(spark: org.apache.spark.sql.SparkSession,
+      parsed: DataFrame): DataFrame = {
+    import spark.implicits._
+    parsed.select(col("conv_id"), col("turn_idx"), col("pos"), col("bit"))
+      .as[(String, Int, Int, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, String)]) =>
+        val (conv, turn) = key
+        val open = scala.collection.mutable.HashMap
+          .empty[String, List[Int]].withDefaultValue(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, String)]
+        it.toArray.sortBy(_._3).foreach { case (_, _, pos, bit) =>
+          if (bit != "-") bit.split("\\|").foreach { part =>
+            val opens = part.startsWith("(")
+            val closes = part.endsWith(")")
+            val id = part.stripPrefix("(").stripSuffix(")")
+            if (opens && closes) out += ((conv, turn, pos, pos, id))
+            else if (opens) open(id) = pos :: open(id)
+            else {
+              val start :: rest = open(id): @unchecked
+              open(id) = rest
+              out += ((conv, turn, start, pos, id))
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("conv_id", "turn_idx", "start", "end", "cluster_id")
+  }
 }

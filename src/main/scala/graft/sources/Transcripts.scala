@@ -65,6 +65,17 @@ object Transcripts {
     spark.sql(withCte("SELECT * FROM transcripts"))
   }
 
+  /** W6: size-capped read — a deterministic hash sample of `num`/`denom`
+    * conversations (the reference's `-trainSize`/`-testSize` caps,
+    * `Driver.java:84-90`, re-expressed scale-safely: a content-derived
+    * conversation filter pushes into the scan, unlike `limit` which is a
+    * global single-task barrier and row-order-dependent). */
+  def loadCapped(spark: SparkSession, sfDir: String, num: Int, denom: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(num >= 0 && num <= denom && denom > 0)
+    load(spark, sfDir).filter(pmod(xxhash64(col("conv_id")), lit(denom)) < num)
+  }
+
   /** Register every driver parquet table that the harness queries use. */
   def registerBase(spark: SparkSession, sfDir: String): Unit = {
     Seq("events", "customer", "documents", "embeddings", "lineitem", "orders").foreach { t =>

@@ -32,6 +32,36 @@ class SinksSpec extends SparkSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("M6: cluster assignments reconstruct from the CoNLL bits") {
+    val lines = ConllWriter.formatLines(transcripts, res.mentions, res.clusters)
+    val back = ConllWriter.parseClusters(spark,
+      lines.select("conv_id", "turn_idx", "pos", "tok", "bit"))
+    val orig = res.mentions.join(res.clusters, "mention_id")
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
+        col("cluster_id"))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "bracket matching must invert the coref-bit grafting exactly")
+    assert(back.count() === orig.count())
+  }
+
+  test("W6: size-capped read is a deterministic conversation sample") {
+    val full = graft.sources.Transcripts.load(spark, "/root/testdata/sf0.001")
+    val half = graft.sources.Transcripts.loadCapped(spark, "/root/testdata/sf0.001", 1, 2)
+    val nFull = full.select("conv_id").distinct().count()
+    val nHalf = half.select("conv_id").distinct().count()
+    assert(nHalf > 0 && nHalf < nFull, s"sample must be a strict subset: $nHalf of $nFull")
+    // deterministic: same sample on re-read; conversations stay whole
+    assert(graft.sources.Transcripts.loadCapped(spark, "/root/testdata/sf0.001", 1, 2)
+      .exceptAll(half).isEmpty)
+    // conversations stay whole: every sampled conversation carries exactly
+    // its full-read turn count (the base data has partial tail convs)
+    val split = half.groupBy("conv_id").count()
+      .join(full.groupBy("conv_id").count().withColumnRenamed("count", "full_count"),
+        "conv_id")
+      .filter(col("count") =!= col("full_count"))
+    assert(split.count() === 0, "capping must never split a conversation")
+  }
+
   test("S7: wiki standoff annotations round-trip through disk") {
     import spark.implicits._
     val dict = Seq(("acme data systems", "Acme_Data_Systems", 5))
