@@ -42,6 +42,12 @@ object SparkEntry {
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
     "a10_muc" -> (Queries.mucQ _),
     "a10_bcub" -> (Queries.bcubQ _),
+    "a14_top_weights" -> (Queries.a14TopWeights _),
+    "c3_nonsingletons" -> (Queries.c3NonSingletons _),
+    "c4_dense_relabel" -> (Queries.c4DenseRelabel _),
+    "c5_oracle_clusters" -> (Queries.c5OracleClusters _),
+    "w2_det_order" -> (Queries.w2DetOrder _),
+    "f7_f11_properties" -> (Queries.f7f11Properties _),
     "a5_lexcounts" -> (Queries.lexCountsQ _),
     "a5b_lex_bundle" -> (Queries.a5bLexBundle _),
     "w3_top_heads" -> (Queries.topHeadsQ _),
@@ -257,6 +263,64 @@ object SparkEntry {
 
     "c1_clusters" -> ErOracle.q(
       "SELECT mention_id, cluster_id FROM clusters"),
+
+    "a14_top_weights" -> {
+      val vals = graft.pipeline.Scoring.FeatureNames.zipWithIndex
+        .map { case (f, i) =>
+          s"('$f', CAST($i AS INT), CAST(${graft.pipeline.Scoring.DefaultWeights.values(i)} AS DOUBLE))" }
+        .mkString(",\n  ")
+      s"""SELECT feature, "index", weight FROM (VALUES
+         |  $vals
+         |) AS t(feature, "index", weight)
+         |ORDER BY abs(weight) DESC, feature ASC LIMIT 10""".stripMargin
+    },
+
+    "c3_nonsingletons" -> ErOracle.q(
+      """SELECT mention_id, cluster_id FROM (
+        |  SELECT mention_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS sz
+        |  FROM clusters) WHERE sz > 1""".stripMargin),
+
+    "c4_dense_relabel" -> ErOracle.q(
+      """,
+        |cidx2 AS (
+        |  SELECT cluster_id, CAST(ROW_NUMBER() OVER (ORDER BY cluster_id) - 1 AS BIGINT) AS cluster_idx
+        |  FROM (SELECT DISTINCT cluster_id FROM clusters)
+        |)
+        |SELECT c.mention_id, c.cluster_id, i.cluster_idx
+        |FROM clusters c JOIN cidx2 i ON c.cluster_id = i.cluster_id""".stripMargin),
+
+    "c5_oracle_clusters" -> ErOracle.q(
+      """SELECT mention_id,
+        |  'g:' || regexp_extract(conv_id, '^c([0-9]+)-', 1) AS cluster_id
+        |FROM mentions""".stripMargin),
+
+    "w2_det_order" -> ErOracle.q(
+      """SELECT mention_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(mention_id)) - 1 AS BIGINT) AS shuffle_rank
+        |FROM mentions""".stripMargin),
+
+    "f7_f11_properties" -> ErOracle.qAll {
+      val pronouns = graft.pipeline.Mentions.Pronouns.map(p => s"'$p'").mkString(", ")
+      val noms = graft.pipeline.Mentions.NominalHeads.map(h => s"'$h'").mkString(", ")
+      """,
+        |fprops AS (
+        |  SELECT mention_id,
+        |    CASE WHEN regexp_matches(norm, '^(the|that|this|these|those) ') THEN 'definite'
+        |         WHEN regexp_matches(norm, '^(a|an) ') THEN 'indefinite'
+        |         ELSE 'bare' END AS definiteness,
+        |    CASE WHEN regexp_matches(lasttok, '^[0-9]+$') OR regexp_matches(lasttok, '^[a-z]+[#-][0-9]+$') THEN 'IDENT'
+        |""".stripMargin +
+      s"""         WHEN lasttok IN ($pronouns) THEN 'PRON'
+        |         WHEN lasttok IN ($noms) THEN 'ORG'
+        |""".stripMargin +
+      """         WHEN regexp_matches(lasttok, '(corp|systems|labs|holdings|partners|group|works|networks|industries|dynamics|solutions|ventures)$') THEN 'ORG'
+        |         ELSE 'OTHER' END AS sem_class
+        |  FROM (SELECT mention_id, norm,
+        |          string_split(norm, ' ')[len(string_split(norm, ' '))] AS lasttok
+        |        FROM mentions)
+        |)
+        |SELECT mention_id, definiteness, sem_class FROM fprops""".stripMargin
+    },
 
     "a8_pairwise_f1" -> ErOracle.q(
       """SELECT tp, pred_pairs, gold_pairs,

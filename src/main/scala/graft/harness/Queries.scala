@@ -447,6 +447,51 @@ object Queries {
       .orderBy(col("n").desc, col("head_key").asc)
       .limit(20)
 
+  /** A14: top-k heaviest model features by |weight|. */
+  def a14TopWeights(spark: SparkSession, sfDir: String): DataFrame =
+    graft.train.ModelIO.topWeights(
+      graft.train.ModelIO.weightsDF(spark, Scoring.DefaultWeights), 10)
+
+  /** C3: clusters with singletons dropped (CoNLL postprocessing). */
+  def c3NonSingletons(spark: SparkSession, sfDir: String): DataFrame =
+    Clustering.dropSingletons(pipeline(spark, sfDir).clusters)
+      .select("mention_id", "cluster_id")
+
+  /** C4: dense relabel — ids 0..n-1 in cluster-id sort order via the
+    * two-pass range numbering (no global window). */
+  def c4DenseRelabel(spark: SparkSession, sfDir: String): DataFrame =
+    Clustering.denseRelabel(pipeline(spark, sfDir).clusters)
+      .select(col("mention_id"), col("cluster_id"), col("cluster_idx"))
+
+  /** C5: oracle predicted clustering — every prediction inherits its
+    * extent-aligned gold entity (upper bound of a perfect linker). */
+  def c5OracleClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = pipeline(spark, sfDir).mentions
+    val g = m.select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
+      regexp_extract(col("conv_id"), "^c([0-9]+)-", 1).as("entity_id"))
+    Eval.oraclePredClustering(m, g).select("mention_id", "cluster_id")
+  }
+
+  /** W2: deterministic content-derived global order — md5 sort key (the
+    * engine path uses xxhash64; md5 is the DuckDB-reproducible face), ranks
+    * assigned with the scale-safe two-pass numbering. */
+  def w2DetOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = pipeline(spark, sfDir).mentions
+      .select(col("mention_id"), md5(col("mention_id").cast("binary")).as("sk"))
+    keyed.join(
+      SparseFeatures.denseIdsByKey(keyed.select(col("sk")), "sk", "shuffle_rank"), "sk")
+      .select(col("mention_id"), col("shuffle_rank"))
+  }
+
+  /** F7+F11: per-mention definiteness + semantic class (all-generators path
+    * so nominals exercise the determiner branch). */
+  def f7f11Properties(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = allPath(spark, sfDir)._1
+    m.select(col("mention_id"),
+      graft.functions.definiteness(col("norm")).as("definiteness"),
+      graft.functions.semClass(element_at(split(col("norm"), " "), -1)).as("sem_class"))
+  }
+
   /** A16: rollup / grouping-sets analog (the reference's hand-rolled
     * property-prefix subdivision counters, `CorefEvaluator.scala:333-339`). */
   def rollupQ(spark: SparkSession, sfDir: String): DataFrame =

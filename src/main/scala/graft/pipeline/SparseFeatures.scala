@@ -112,12 +112,19 @@ object SparseFeatures {
     * `row_number() OVER (ORDER BY f)` without the single-task window. The
     * range-partitioned ids are pinned (localCheckpoint) so `offsets` and the
     * id assignment see the same partition bounds. */
-  def dictionary(feats: DataFrame): DataFrame = {
-    val d = feats.select(col("f")).distinct()
-      .repartitionByRange(col("f"))
+  def dictionary(feats: DataFrame): DataFrame =
+    denseIdsByKey(feats.select(col("f")), "f", "feature_id")
+
+  /** Generic scale-safe dense-id assignment: distinct keys → `(key, id)`
+    * with ids 0..n-1 in key sort order — equivalent to a global
+    * `row_number() OVER (ORDER BY key)` without the one-task window (also
+    * backs W2's deterministic-order ranks and C4's relabel shape). */
+  def denseIdsByKey(keys: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val d = keys.select(col(keyCol)).distinct()
+      .repartitionByRange(col(keyCol))
       .withColumn("part", spark_partition_id())
       .withColumn("li",
-        row_number().over(Window.partitionBy(col("part")).orderBy(col("f"))).cast("long") - 1)
+        row_number().over(Window.partitionBy(col("part")).orderBy(col(keyCol))).cast("long") - 1)
       .localCheckpoint(true)
     val off = d.groupBy(col("part")).agg(count(lit(1)).as("n"))
       .withColumn("offset",
@@ -125,7 +132,7 @@ object SparseFeatures {
           Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("part"), col("offset"))
     d.join(broadcast(off), "part")
-      .select(col("f"), (col("offset") + col("li")).as("feature_id"))
+      .select(col(keyCol), (col("offset") + col("li")).as(idCol))
   }
 
   /** Count-based log-odds weights from gold-labeled pairs:
