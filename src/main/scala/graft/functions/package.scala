@@ -170,6 +170,33 @@ package object functions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** F6 pronoun canonicalization (`PronounDictionary.scala:4-21`
+    * `canonicalize`): map case/inflection variants to one canonical pronoun
+    * per (person, number, gender) cell. */
+  def pronounCanonical(norm: Column): Column =
+    when(norm.isin("they", "them", "their", "theirs"), "they")
+      .when(norm.isin("he", "him", "his"), "he")
+      .when(norm.isin("she", "her", "hers"), "she")
+      .when(norm.isin("it", "its"), "it")
+      .when(norm.isin("i", "me", "my", "mine"), "i")
+      .when(norm.isin("we", "us", "our", "ours"), "we")
+      .when(norm.isin("you", "your", "yours"), "you")
+      .otherwise(norm)
+
+  /** F6 person sets (`PronounDictionary` first/second/third partitions):
+    * grammatical person of a pronoun, "unknown" for non-pronouns. The
+    * engine's anaphoric closed class is third-person-only by design (deictic
+    * I/we/you are speaker-feature territory, see
+    * [[graft.pipeline.Mentions.Pronouns]]), so pairwise person-clash
+    * features are degenerate here — the sets exist for the speaker-feature
+    * seam and any caller that widens the closed class. */
+  def pronounPerson(norm: Column): Column =
+    when(norm.isin("i", "me", "my", "mine", "we", "us", "our", "ours"), "first")
+      .when(norm.isin("you", "your", "yours"), "second")
+      .when(norm.isin("they", "them", "their", "theirs", "he", "him", "his",
+        "she", "her", "hers", "it", "its"), "third")
+      .otherwise("unknown")
+
   /** F7 definiteness (`PairwiseIndexingFeaturizerJoint.scala:540-549`):
     * classify a normalized surface by its leading determiner. */
   def definiteness(norm: Column): Column =

@@ -147,6 +147,11 @@ object Mentions {
           .when(col("norm").isin("she", "her"), "female")
           .when(col("mtype") === "PRONOMINAL", "neutral")
           .otherwise("unknown"))
+      // F6 person sets — always "third" for this engine's anaphoric closed
+      // class (deictic 1st/2nd person are excluded by design, see Pronouns)
+      .withColumn("person",
+        when(col("mtype") === "PRONOMINAL",
+          graft.functions.pronounPerson(col("norm"))).otherwise("unknown"))
       .withColumn("m_seq", (row_number().over(wConv) - 1).cast("int"))
       .withColumn("mention_id",
         mentionId(col("conv_id"), col("turn_idx"), col("start")))

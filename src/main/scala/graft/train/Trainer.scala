@@ -252,11 +252,12 @@ object Trainer {
     * mention is then scored by a model that never saw its conversation
     * (unbiased coarse scores for pruning). */
   def kFoldModels(labeled: DataFrame, k: Int = 4, epochs: Int = 20,
-      eta: Double = 1.0): Seq[(Int, Scoring.Weights)] = {
+      eta: Double = 1.0, lossFn: LossFn = LossFn.Zero): Seq[(Int, Scoring.Weights)] = {
     val withFold = labeled.withColumn("fold",
       pmod(xxhash64(col("conv_id_c")), lit(k)).cast("int"))
     (0 until k).map { f =>
-      f -> trainRanking(withFold.filter(col("fold") =!= f), epochs, eta)._1
+      f -> trainRanking(withFold.filter(col("fold") =!= f), epochs, eta,
+        lossFn = lossFn)._1
     }
   }
 

@@ -1,4 +1,5 @@
 package graft
+// (F6 person/canonicalization tests appended at the bottom of the suite)
 
 import org.apache.spark.sql.functions._
 import graft.functions._
@@ -156,4 +157,30 @@ class FunctionsSpec extends SparkSuite {
 
   private def wordShapeOf(s: String): String =
     Seq(s).toDF("x").select(wordShape(col("x"))).collect()(0).getString(0)
+
+  test("F6: pronoun canonicalization + person sets") {
+    val rows = Seq("them", "him", "hers", "its", "me", "us", "your", "acme")
+      .toDF("p")
+      .select(col("p"), pronounCanonical(col("p")).as("c"), pronounPerson(col("p")).as("per"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("them") === ("they", "third"))
+    assert(rows("him") === ("he", "third"))
+    assert(rows("hers") === ("she", "third"))
+    assert(rows("its") === ("it", "third"))
+    assert(rows("me") === ("i", "first"))
+    assert(rows("us") === ("we", "first"))
+    assert(rows("your") === ("you", "second"))
+    assert(rows("acme") === ("acme", "unknown"), "non-pronouns pass through / unknown")
+  }
+
+  test("F6: mention rows carry the person attribute") {
+    val t = Seq(("c0", 0, "user", "They asked about Customer#000000007 today",
+      null: String, new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val m = graft.pipeline.Mentions.extractIdentifier(t)
+      .select(col("norm"), col("person"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("they") === "third")
+    assert(m("customer#000000007") === "unknown")
+  }
 }
