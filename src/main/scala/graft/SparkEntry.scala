@@ -55,6 +55,7 @@ object SparkEntry {
     // training-data pipeline ops
     "dd_exact" -> (Queries.ddExactQ _),
     "dd_minhash_lsh" -> (Queries.ddMinhashLshQ _),
+    "dd_canonical" -> (Queries.ddCanonicalQ _),
     "dd_ngram_jaccard" -> (Queries.ddNgramJaccardQ _),
     "dd_simhash" -> (Queries.ddSimhashQ _),
     "dd_embedding" -> (Queries.ddEmbeddingQ _),
@@ -465,6 +466,7 @@ object SparkEntry {
     // training-data pipeline ops
     "dd_exact" -> OpsOracle.ddExact,
     "dd_minhash_lsh" -> OpsOracle.ddMinhashLsh(),
+    "dd_canonical" -> OpsOracle.ddCanonical(),
     "dd_ngram_jaccard" -> OpsOracle.ddNgramJaccard(),
     "dd_simhash" -> OpsOracle.ddSimhash(),
     "dd_embedding" -> OpsOracle.ddEmbedding(),

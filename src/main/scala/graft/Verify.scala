@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom expressions must be registered before ANY query runs — map
+    // iteration order is hash-based, so relying on a pipeline query having
+    // registered them first is a latent ordering bug
+    graft.functions.register(spark)
     new java.io.File(outDir).mkdirs()
     // optional subset (comma-separated names) — used for the sf0.1-scale
     // spot compares documented in BASELINE.md

@@ -68,6 +68,49 @@ object OpsOracle {
        |) WHERE jacc >= $threshold""".stripMargin
   }
 
+  /** Near-dup canonicalization: the minhash pair pipeline feeding a general
+    * connected-components closure (recursive reach-min over symmetric
+    * edges) — mirrors graft.ops.Dedup.canonicalize over minhashLsh pairs. */
+  def ddCanonical(threshold: Double = 0.7, minhashes: Int = 12, bands: Int = 6): String = {
+    val rpb = minhashes / bands
+    val sigCols = (0 until minhashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS h$i").mkString(",\n    ")
+    val bandKeys = (0 until bands).map { b =>
+      val hs = (0 until rpb).map(r => s"h${b * rpb + r}")
+      s"SELECT ${(s"'b$b'" +: hs).mkString(" || ':' || ")} AS bk, doc_id FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE $docCorpusCte,
+       |$wordShinglesCte,
+       |sigs AS (SELECT doc_id, $sigCols FROM wsh),
+       |keyed AS (
+       |  $bandKeys
+       |),
+       |cands AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM keyed l JOIN keyed r ON l.bk = r.bk AND l.doc_id < r.doc_id
+       |  GROUP BY l.doc_id, r.doc_id
+       |),
+       |dpairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $jaccExpr AS jacc
+       |    FROM cands c
+       |    JOIN (SELECT doc_id, sh AS sh_a FROM wsh) l ON c.doc_a = l.doc_id
+       |    JOIN (SELECT doc_id, sh AS sh_b FROM wsh) r ON c.doc_b = r.doc_id
+       |  ) WHERE jacc >= $threshold
+       |),
+       |dedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dpairs
+       |  UNION SELECT doc_b, doc_a FROM dpairs
+       |),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM dedges
+       |  UNION
+       |  SELECT rc.id, e.dst AS r FROM reach rc JOIN dedges e ON e.src = rc.r
+       |)
+       |SELECT id AS doc_id, least(min(r), id) AS canonical_id
+       |FROM reach GROUP BY id""".stripMargin
+  }
+
   def ddNgramJaccard(threshold: Double = 0.7, minhashes: Int = 12,
       bands: Int = 6): String = {
     val rpb = minhashes / bands

@@ -515,6 +515,13 @@ object Queries {
     graft.ops.Dedup.minhashLsh(graft.ops.Dedup.corpus(documents(spark, sfDir)),
       impl = "md5")
 
+  /** Near-dup canonical mapping: CC over the verified minhash pairs; the
+    * drop-list is rows with doc_id != canonical_id. */
+  def ddCanonicalQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.canonicalize(
+      graft.ops.Dedup.minhashLsh(graft.ops.Dedup.corpus(documents(spark, sfDir)),
+        impl = "md5").select(col("doc_a"), col("doc_b")))
+
   def ddNgramJaccardQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Dedup.ngramJaccard(graft.ops.Dedup.corpus(documents(spark, sfDir)),
       impl = "md5")

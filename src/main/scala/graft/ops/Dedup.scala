@@ -103,6 +103,22 @@ object Dedup {
     verifyJaccard(cands, withSh, threshold)
   }
 
+  /** Near-dup canonicalization — the step a production dedup actually ships:
+    * connected components over the verified near-dup pairs, canonical doc =
+    * component minimum, output `(doc_id, canonical_id)` for every doc that
+    * belongs to a non-trivial component (drop-list = rows with
+    * `doc_id != canonical_id`). Reuses the pipeline's hash-to-min CC loop
+    * ([[graft.pipeline.Clustering.connectedComponents]]) — near-dup
+    * components are shallow (diameter ~2-3), so the loop converges in a few
+    * rounds; ids stay longs end to end. */
+  def canonicalize(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.pipeline.Clustering.connectedComponents(nodes, edges)
+      .select(col("mention_id").as("doc_id"), col("cluster_id").as("canonical_id"))
+  }
+
   /** SimHash near-dup: 64-bit simhash over word shingles, 4x16-bit band keys
     * (two docs within Hamming distance 3 share >=1 exact 16-bit band), verify
     * by Hamming <= maxHamming. xxhash64-based (engine path; no SQL oracle). */

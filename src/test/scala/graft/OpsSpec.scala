@@ -126,6 +126,26 @@ class OpsSpec extends SparkSuite {
       brute.count()
     info(s"IVF recall@5 (16 cells, 2 probes): $recall")
     assert(recall >= 0.9, s"IVF ANN recall gate failed: $recall")
+
+    // Lloyd-refined quantizer: recall holds, and the quantization objective
+    // (mean best-centroid cosine) must not degrade vs the sampled seed
+    def qObj(cents: org.apache.spark.sql.DataFrame): Double =
+      annCorpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (Similarity.dot64(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("sim"))
+        .groupBy("vec_id").agg(max("sim").as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+    val qSampled = qObj(Similarity.sampledCentroids(annCorpus, 16))
+    val qKmeans = qObj(Similarity.kmeansCentroids(annCorpus, 16, 3))
+    info(s"quantization objective: sampled=$qSampled kmeans=$qKmeans")
+    assert(qKmeans >= qSampled - 1e-9,
+      "Lloyd refinement must not degrade the quantizer")
+    val ivfK = Similarity.annIvfKmeans(annCorpus, k = 5)
+      .select(col("q_id"), col("nb_id"))
+    val recallK = brute.join(ivfK, Seq("q_id", "nb_id"), "left_semi").count().toDouble /
+      brute.count()
+    info(s"IVF-kmeans recall@5: $recallK")
+    assert(recallK >= 0.9, s"IVF-kmeans recall gate failed: $recallK")
   }
 
   test("portable simhash matches the engine path's planted-dup detection") {
