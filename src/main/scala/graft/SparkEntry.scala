@@ -300,28 +300,19 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY md5(mention_id)) - 1 AS BIGINT) AS shuffle_rank
         |FROM mentions""".stripMargin),
 
-    "f7_f11_properties" -> ErOracle.qAll {
-      val pronouns = graft.pipeline.Mentions.Pronouns.map(p => s"'$p'").mkString(", ")
-      val noms = graft.pipeline.Mentions.NominalHeads.map(h => s"'$h'").mkString(", ")
-      """,
+    "f7_f11_properties" -> ErOracle.qAll(
+      s""",
         |fprops AS (
         |  SELECT mention_id,
         |    CASE WHEN regexp_matches(norm, '^(the|that|this|these|those) ') THEN 'definite'
         |         WHEN regexp_matches(norm, '^(a|an) ') THEN 'indefinite'
         |         ELSE 'bare' END AS definiteness,
-        |    CASE WHEN regexp_matches(lasttok, '^[0-9]+$') OR regexp_matches(lasttok, '^[a-z]+[#-][0-9]+$') THEN 'IDENT'
-        |""".stripMargin +
-      s"""         WHEN lasttok IN ($pronouns) THEN 'PRON'
-        |         WHEN lasttok IN ($noms) THEN 'ORG'
-        |""".stripMargin +
-      """         WHEN regexp_matches(lasttok, '(corp|systems|labs|holdings|partners|group|works|networks|industries|dynamics|solutions|ventures)$') THEN 'ORG'
-        |         ELSE 'OTHER' END AS sem_class
+        |    ${ErOracle.semClassSql("lasttok")} AS sem_class
         |  FROM (SELECT mention_id, norm,
         |          string_split(norm, ' ')[len(string_split(norm, ' '))] AS lasttok
         |        FROM mentions)
         |)
-        |SELECT mention_id, definiteness, sem_class FROM fprops""".stripMargin
-    },
+        |SELECT mention_id, definiteness, sem_class FROM fprops""".stripMargin),
 
     "a8_pairwise_f1" -> ErOracle.q(
       """SELECT tp, pred_pairs, gold_pairs,

@@ -32,6 +32,18 @@ object ErOracle {
   val SaltThreshold = 64
   val MaxSelfMentions = 100000
 
+  /** F11 semantic class of a lowercased token — mirrors
+    * graft.functions.semClass (shared by `f7_f11_properties` and the sparse
+    * feature CTEs). */
+  def semClassSql(tok: String): String = {
+    val noms = graft.pipeline.Mentions.NominalHeads.map(h => s"'$h'").mkString(", ")
+    s"""CASE WHEN regexp_matches($tok, '^[0-9]+$$') OR regexp_matches($tok, '^[a-z]+[#-][0-9]+$$') THEN 'IDENT'
+       | WHEN $tok IN ($pronouns) THEN 'PRON'
+       | WHEN $tok IN ($noms) THEN 'ORG'
+       | WHEN regexp_matches($tok, '(corp|systems|labs|holdings|partners|group|works|networks|industries|dynamics|solutions|ventures)$$') THEN 'ORG'
+       | ELSE 'OTHER' END""".stripMargin.replace("\n", "")
+  }
+
   private def headKeySql(col: String): String = {
     val digits = s"regexp_extract($col, '([0-9]+)', 1)"
     val stripped = s"regexp_replace($digits, '^0+', '')"
@@ -558,6 +570,8 @@ object ErOracle {
        |spb AS (
        |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id, c.mtype AS mtype_c,
        |    a.head_key AS hk_a, c.head_key AS hk_c,
+       |    ${semClassSql("string_split(a.norm, ' ')[len(string_split(a.norm, ' '))]")} AS sc_a,
+       |    ${semClassSql("string_split(c.norm, ' ')[len(string_split(c.norm, ' '))]")} AS sc_c,
        |    CASE WHEN na.n_norm >= $cutoff THEN a.norm ELSE ${shape("a.norm")} END AS back_a,
        |    CASE WHEN nc.n_norm >= $cutoff THEN c.norm ELSE ${shape("c.norm")} END AS back_c,
        |    CASE WHEN a.head_key = c.head_key THEN '1' ELSE '0' END AS hm,
@@ -582,7 +596,8 @@ object ErOracle {
        |            'db=' || db, 'sc=1',
        |            'hc=' || hk_c, 'ha=' || hk_a, 'hp=' || hk_a || '|' || hk_c,
        |            'cn=' || cn, 'ab=' || ab,
-       |            'jwb=' || jwb, 'lvb=' || lvb]) AS f
+       |            'jwb=' || jwb, 'lvb=' || lvb,
+       |            'scm=' || sc_a || '|' || sc_c]) AS f
        |  FROM spb
        |),
        |spf AS MATERIALIZED (

@@ -99,7 +99,13 @@ object SparseFeatures {
         col("norm_a") === initials(col("toks_c")) ||
           col("norm_c") === initials(col("toks_a")))),
       concat(lit("jwb="), jwb),
-      concat(lit("lvb="), lvb))
+      concat(lit("lvb="), lvb),
+      // P6-family semantic-class pair (the scoped stand-in for the
+      // reference's WordNet features — see graft.functions.semClass): lets
+      // training weight e.g. IDENT|IDENT vs ORG|IDENT pairs differently
+      concat(lit("scm="),
+        graft.functions.semClass(element_at(col("toks_a"), -1)), lit("|"),
+        graft.functions.semClass(element_at(col("toks_c"), -1))))
     val conj = base.map(f => concat(f, lit("&t="), col("mtype_c")))
     withN.select(col("ant_id"), col("cur_id"),
       explode(array((base ++ conj): _*)).as("f"))
