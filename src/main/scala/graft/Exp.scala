@@ -46,7 +46,7 @@ object Exp {
       .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
       .localCheckpoint(true)
     val dict = SparseFeatures.dictionary(feats)
-    val nbScored = SparseFeatures.scoreSparse(feats, dict,
+    val nbScored = SparseFeatures.scoreSparse(feats,
       SparseFeatures.logOddsWeights(feats, labels))
     println(s"sparse NB    : ${f1Row(Clustering.cluster(spark, mentions,
       Decode.backpointers(nbScored, 0.0)))}  nFeats=${dict.count()}")

@@ -112,7 +112,8 @@ object Profile {
       .join(local.withColumnRenamed("id", "src").withColumnRenamed("local_root", "src_root"), "src")
       .join(local.withColumnRenamed("id", "dst").withColumnRenamed("local_root", "dst_root"), "dst")
       .select(col("src_root").as("src"), col("dst_root").as("dst"))
-    t("crossRoots limit-count")(crossRoots.limit(2000001).count())
+    t("crossRoots limit-count")(
+      crossRoots.limit(graft.pipeline.Clustering.maxDriverEdges + 1).count())
     t("crossRoots collect")(crossRoots.collect().length)
     t("cluster full 1")(graft.pipeline.Clustering.cluster(spark, mentions, backptrs).count())
     t("cluster full 2")(graft.pipeline.Clustering.cluster(spark, mentions, backptrs).count())

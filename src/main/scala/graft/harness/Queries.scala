@@ -404,8 +404,8 @@ object Queries {
   /** P10: sparse lexicalized scores over the band pairs (integer-exact
     * weight sums — see [[SparseFeatures]]). */
   def p10SparseScores(spark: SparkSession, sfDir: String): DataFrame = {
-    val (feats, dict, weights) = sparsePath(spark, sfDir)
-    SparseFeatures.scoreSparse(feats, dict, weights)
+    val (feats, _, weights) = sparsePath(spark, sfDir)
+    SparseFeatures.scoreSparse(feats, weights)
       .select(col("ant_id"), col("cur_id"), col("n_feats"),
         round(col("score"), 6).as("score_r"))
   }

@@ -35,8 +35,15 @@ object ConllWriter {
       .groupBy(col("conv_id"), col("turn_idx"), col("pos"))
       // collect_list order is nondeterministic — sort before joining so the
       // written bytes are stable when multiple mentions open/close on one
-      // token ("(1|(2" vs "(2|(1" across runs)
-      .agg(concat_ws("|", array_sort(collect_list(col("bit")))).as("bit"))
+      // token. Sort key puts CLOSES before opens: when extents of the SAME
+      // cluster meet at a boundary token ("C)" + "(C"), the reader's LIFO
+      // bracket matching must pop the finished extent before the new one
+      // pushes, or it would pair the brackets across the two mentions.
+      .agg(concat_ws("|", transform(
+        array_sort(collect_list(struct(
+          when(col("bit").startsWith("("), "1").otherwise("0").as("k"),
+          col("bit")))),
+        s => s.getField("bit"))).as("bit"))
     toks.join(bits, Seq("conv_id", "turn_idx", "pos"), "left")
       .select(col("conv_id"), col("turn_idx"), col("pos"), col("tok"),
         coalesce(col("bit"), lit("-")).as("bit"))
@@ -88,13 +95,18 @@ object ConllWriter {
             val id = part.stripPrefix("(").stripSuffix(")")
             if (opens && closes) out += ((conv, turn, pos, pos, id))
             else if (opens) open(id) = pos :: open(id)
-            else {
-              val start :: rest = open(id): @unchecked
-              open(id) = rest
-              out += ((conv, turn, start, pos, id))
+            else open(id) match {
+              case start :: rest =>
+                open(id) = rest
+                out += ((conv, turn, start, pos, id))
+              case Nil => throw new IllegalStateException(
+                s"unmatched close bracket for cluster $id at ($conv, $turn, $pos)")
             }
           }
         }
+        val leftover = open.collect { case (id, ps) if ps.nonEmpty => id }
+        if (leftover.nonEmpty) throw new IllegalStateException(
+          s"unclosed mention brackets for clusters $leftover in ($conv, $turn)")
         out.iterator
       }
       .toDF("conv_id", "turn_idx", "start", "end", "cluster_id")

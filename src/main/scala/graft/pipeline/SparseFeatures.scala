@@ -152,13 +152,18 @@ object SparseFeatures {
         round(log((col("pos") + 1.0) / (col("neg") + 1.0)) * WeightScale, 0)
           .cast("long").as("w_i"))
 
-  /** P9 sparse scoring: features → dictionary ids → weight lookup →
+  /** P9 sparse scoring: one weight-lookup join on the feature string +
     * integer-exact per-pair sum. Output `(ant_id, cur_id, n_feats, score)`
-    * with `score = Σ w_i / 1e5`. */
-  def scoreSparse(feats: DataFrame, dict: DataFrame, weights: DataFrame): DataFrame =
+    * with `score = Σ w_i / 1e5`.
+    *
+    * The dictionary's int ids pay off when the feature table is PERSISTED
+    * pre-indexed (ids assigned once at build, string column dropped — the
+    * reference's Indexer exactly); re-deriving ids inside every scoring call
+    * would just add a second join on the hot path, so the ad-hoc scorer
+    * joins by string directly. */
+  def scoreSparse(feats: DataFrame, weights: DataFrame): DataFrame =
     feats
-      .join(dict, "f")
-      .join(weights.join(dict, "f").select(col("feature_id"), col("w_i")), "feature_id")
+      .join(weights.select(col("f"), col("w_i")), "f")
       .groupBy(col("ant_id"), col("cur_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w_i")).as("wsum"))
       .select(col("ant_id"), col("cur_id"), col("n_feats"),

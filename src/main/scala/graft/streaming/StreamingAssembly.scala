@@ -108,7 +108,9 @@ object StreamingAssembly {
           else {
             var cur = state.getOption.map(_.docs).getOrElse(Nil)
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            var maxTsMs = 0L
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (d.ts != null) maxTsMs = math.max(maxTsMs, d.ts.getTime)
               if (!cur.exists(_._1 == d.doc_id)) {
                 val shD = d.sh.toSet
                 cur.foreach { case (id, sh0) =>
@@ -124,8 +126,13 @@ object StreamingAssembly {
               }
             }
             state.update(BucketState(cur))
-            if (state.getCurrentWatermarkMs() > 0)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizonMs)
+            // eviction must be armed on EVERY update: on the first micro-batch
+            // the watermark is still 0, and band-key buckets are mostly
+            // singletons that never see another row — skipping the timeout
+            // there would leak their state forever. Anchor on max(event time,
+            // watermark) + horizon (always > current watermark, as required).
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTsMs) + horizonMs)
             out.iterator
           }
         })

@@ -44,6 +44,26 @@ class SinksSpec extends SparkSuite {
     assert(back.count() === orig.count())
   }
 
+  test("M6 edge: same-cluster extents meeting at a boundary token round-trip") {
+    import spark.implicits._
+    // [0,2] and [2,4] both in cluster C: token 2 carries a close AND an open
+    // of the same cluster — the close must be written first or the reader's
+    // LIFO matching pairs brackets across the two mentions
+    val t = Seq(("b0", 0, "user", "alpha beta gamma delta epsilon",
+      null: String, new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val ms = Seq(("x1", "b0", 0, 0, 2), ("x2", "b0", 0, 2, 4))
+      .toDF("mention_id", "conv_id", "turn_idx", "start", "end")
+    val cl = Seq(("x1", "C"), ("x2", "C")).toDF("mention_id", "cluster_id")
+    val lines = ConllWriter.formatLines(t, ms, cl)
+    val bit2 = lines.filter(col("pos") === 2).select("bit").collect()(0).getString(0)
+    assert(bit2 === "C)|(C", s"close must precede open on the boundary token: $bit2")
+    val back = ConllWriter.parseClusters(spark,
+      lines.select("conv_id", "turn_idx", "pos", "tok", "bit"))
+    val got = back.collect().map(r => (r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set((0, 2), (2, 4)), s"round-trip must keep both extents: $got")
+  }
+
   test("W6: size-capped read is a deterministic conversation sample") {
     val full = graft.sources.Transcripts.load(spark, "/root/testdata/sf0.001")
     val half = graft.sources.Transcripts.loadCapped(spark, "/root/testdata/sf0.001", 1, 2)

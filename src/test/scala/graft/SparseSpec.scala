@@ -56,8 +56,7 @@ class SparseSpec extends SparkSuite {
         .collect()(0).getAs[Double]("f1")
 
     // closed-form log-odds weights (the oracle-checked harness estimator)
-    val dict = SparseFeatures.dictionary(feats)
-    val nbScored = SparseFeatures.scoreSparse(feats, dict,
+    val nbScored = SparseFeatures.scoreSparse(feats,
       SparseFeatures.logOddsWeights(feats, labels))
     val f1Nb = f1Of(Clustering.cluster(spark, mentions,
       Decode.backpointers(nbScored, 0.0)))
