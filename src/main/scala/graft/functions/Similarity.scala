@@ -15,14 +15,41 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Sim {
 
-  /** Standard Jaro similarity in [0,1]. */
-  def jaro(a: String, b: String): Double = {
-    val la = a.length; val lb = b.length
+  /** Per-thread generation-stamped match scratch: the kernel runs once per
+    * candidate pair (10^12-pair scale), and two fresh boolean arrays per
+    * call is the dominant allocation in the scoring stage — GC volume is the
+    * shared resource that caps single-box thread scaling, so the hot path
+    * allocates nothing. A slot is "set" when it equals the current
+    * generation, so no clearing pass is needed either. */
+  private final class Scratch {
+    var amatch = new Array[Int](64)
+    var bmatch = new Array[Int](64)
+    var gen = 0
+    def ready(la: Int, lb: Int): Unit = {
+      if (la > amatch.length) amatch = new Array[Int](la * 2)
+      if (lb > bmatch.length) bmatch = new Array[Int](lb * 2)
+      gen += 1
+      if (gen == 0) { // wrapped: stamps may collide, reset
+        java.util.Arrays.fill(amatch, 0); java.util.Arrays.fill(bmatch, 0)
+        gen = 1
+      }
+    }
+  }
+  private val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
+  /** Standard Jaro similarity in [0,1] over an indexed char accessor —
+    * shared by the String and the (ASCII) UTF8String byte paths. */
+  @inline private def jaroImpl(la: Int, lb: Int,
+      ca: Int => Int, cb: Int => Int): Double = {
     if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
+    val s = scratch.get()
+    s.ready(la, lb)
+    val gen = s.gen
+    val amatch = s.amatch
+    val bmatch = s.bmatch
     val window = math.max(0, math.max(la, lb) / 2 - 1)
-    val amatch = new Array[Boolean](la)
-    val bmatch = new Array[Boolean](lb)
     var m = 0
     var i = 0
     while (i < la) {
@@ -31,8 +58,8 @@ object Sim {
       var j = lo
       var done = false
       while (j <= hi && !done) {
-        if (!bmatch(j) && a.charAt(i) == b.charAt(j)) {
-          amatch(i) = true; bmatch(j) = true; m += 1; done = true
+        if (bmatch(j) != gen && ca(i) == cb(j)) {
+          amatch(i) = gen; bmatch(j) = gen; m += 1; done = true
         }
         j += 1
       }
@@ -46,9 +73,9 @@ object Sim {
     var k = 0
     i = 0
     while (i < la) {
-      if (amatch(i)) {
-        while (!bmatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) h += 1
+      if (amatch(i) == gen) {
+        while (bmatch(k) != gen) k += 1
+        if (ca(i) != cb(k)) h += 1
         k += 1
       }
       i += 1
@@ -57,6 +84,10 @@ object Sim {
     val md = m.toDouble
     (md / la + md / lb + (md - t) / md) / 3.0
   }
+
+  /** Standard Jaro similarity in [0,1]. */
+  def jaro(a: String, b: String): Double =
+    jaroImpl(a.length, b.length, a.charAt(_).toInt, b.charAt(_).toInt)
 
   /** Jaro-Winkler with standard p=0.1, prefix cap 4 and the standard boost
     * threshold 0.7 (prefix bonus only applies when jaro ≥ 0.7 — matches the
@@ -71,8 +102,21 @@ object Sim {
     j + prefix * 0.1 * (1.0 - j)
   }
 
-  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
-    jaroWinkler(a.toString, b.toString)
+  /** UTF8String entry: all-ASCII inputs (every byte is one char — the
+    * normalized-surface common case) run straight on the bytes with zero
+    * copies; anything else falls back to the String path. Values are
+    * identical — for ASCII, byte value == code point. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val na = a.numBytes(); val nb = b.numBytes()
+    if (na == a.numChars() && nb == b.numChars()) {
+      val j = jaroImpl(na, nb, i => a.getByte(i) & 0xff, i => b.getByte(i) & 0xff)
+      if (j < 0.7) return j
+      var prefix = 0
+      val max = math.min(4, math.min(na, nb))
+      while (prefix < max && a.getByte(prefix) == b.getByte(prefix)) prefix += 1
+      j + prefix * 0.1 * (1.0 - j)
+    } else jaroWinkler(a.toString, b.toString)
+  }
 
   /** Jaccard similarity of two string sets (arrays deduped internally).
     * Empty-vs-empty = 1.0, empty-vs-nonempty = 0.0. */
@@ -87,18 +131,56 @@ object Sim {
   }
 
   def tokenJaccard(a: ArrayData, b: ArrayData): Double = {
-    val sa = new java.util.HashSet[UTF8String]()
-    val sb = new java.util.HashSet[UTF8String]()
-    var i = 0
-    while (i < a.numElements()) { if (!a.isNullAt(i)) sa.add(a.getUTF8String(i)); i += 1 }
-    i = 0
-    while (i < b.numElements()) { if (!b.isNullAt(i)) sb.add(b.getUTF8String(i)); i += 1 }
-    if (sa.isEmpty && sb.isEmpty) return 1.0
-    if (sa.isEmpty || sb.isEmpty) return 0.0
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    inter.toDouble / (sa.size + sb.size - inter)
+    val na = a.numElements(); val nb = b.numElements()
+    if (na <= 16 && nb <= 16) {
+      // token arrays are tiny (surface token lists) — setless quadratic
+      // distinct/intersect beats two HashSets + boxing, and allocates nothing
+      @inline def isFirst(arr: ArrayData, n: Int, i: Int): Boolean = {
+        if (arr.isNullAt(i)) return false
+        val v = arr.getUTF8String(i)
+        var j = 0
+        while (j < i) {
+          if (!arr.isNullAt(j) && arr.getUTF8String(j).equals(v)) return false
+          j += 1
+        }
+        true
+      }
+      @inline def contains(arr: ArrayData, n: Int, v: UTF8String): Boolean = {
+        var j = 0
+        while (j < n) {
+          if (!arr.isNullAt(j) && arr.getUTF8String(j).equals(v)) return true
+          j += 1
+        }
+        false
+      }
+      var da = 0; var db = 0; var inter = 0
+      var i = 0
+      while (i < na) {
+        if (isFirst(a, na, i)) {
+          da += 1
+          if (contains(b, nb, a.getUTF8String(i))) inter += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < nb) { if (isFirst(b, nb, i)) db += 1; i += 1 }
+      if (da == 0 && db == 0) return 1.0
+      if (da == 0 || db == 0) return 0.0
+      inter.toDouble / (da + db - inter)
+    } else {
+      val sa = new java.util.HashSet[UTF8String]()
+      val sb = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i < a.numElements()) { if (!a.isNullAt(i)) sa.add(a.getUTF8String(i)); i += 1 }
+      i = 0
+      while (i < b.numElements()) { if (!b.isNullAt(i)) sb.add(b.getUTF8String(i)); i += 1 }
+      if (sa.isEmpty && sb.isEmpty) return 1.0
+      if (sa.isEmpty || sb.isEmpty) return 0.0
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
   }
 }
 
