@@ -76,7 +76,7 @@ object Bench {
         .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       val sc = band.unionByName(bridge).unionByName(chains).cache()
       val n = sc.count() + nSurf
-      (sc, n)
+      (sc, n, surfaces, sScored)
     }
     log(s"scoring done")
     val (backptrs, tD) = time {
@@ -89,6 +89,7 @@ object Bench {
     log("clustering done")
     transcripts.unpersist(); mentions.unpersist(); sPairs.unpersist()
     scoredN._1.unpersist(); backptrs.unpersist()
+    scoredN._3.unpersist(); scoredN._4.unpersist() // surfaces + surface scores
     (Map("mentions" -> tM, "blocking" -> tB, "scoring" -> tS,
       "decode" -> tD, "clustering" -> tC), scoredN._2)
   }
@@ -99,14 +100,24 @@ object Bench {
     val docs = spark.table("documents").repartition(par).cache(); docs.count()
     val embs = spark.table("embeddings")
     log("ops bench start")
-    def best(f: => Long): Double = math.min(time(f)._2, time(f)._2) // min of 2
+    // median of 3 passes, each pass logged to stderr: two consecutive rounds
+    // the committed artifact recorded an environmental anomaly (dd_minhash
+    // 217s vs 3.4s measured at the same HEAD) that min-of-2-without-logging
+    // made undiagnosable — with all passes on stderr an outlier is visible
+    // in the artifact tail, and the median discards a single contended pass
+    def med3(name: String)(f: => Long): Double = {
+      val ts = (1 to 3).map { i =>
+        val t = time(f)._2; log(f"op $name pass$i: $t%.3f s"); t
+      }
+      ts.sorted.apply(1)
+    }
     val r = Map(
-      "dd_exact" -> best(graft.ops.Dedup.exact(graft.ops.Dedup.corpus(docs)).count()),
-      "dd_minhash_lsh" -> best(graft.ops.Dedup.minhashLsh(graft.ops.Dedup.corpus(docs)).count()),
-      "dd_simhash" -> best(graft.ops.Dedup.simhash(graft.ops.Dedup.corpus(docs)).count()),
-      "sim_topk_brute" -> best(graft.ops.Similarity.bruteTopK(
+      "dd_exact" -> med3("dd_exact")(graft.ops.Dedup.exact(graft.ops.Dedup.corpus(docs)).count()),
+      "dd_minhash_lsh" -> med3("dd_minhash_lsh")(graft.ops.Dedup.minhashLsh(graft.ops.Dedup.corpus(docs)).count()),
+      "dd_simhash" -> med3("dd_simhash")(graft.ops.Dedup.simhash(graft.ops.Dedup.corpus(docs)).count()),
+      "sim_topk_brute" -> med3("sim_topk_brute")(graft.ops.Similarity.bruteTopK(
         graft.ops.Similarity.corpus(embs)).count()),
-      "ta_quality" -> best(graft.ops.TextAnalysis.quality(docs).count()))
+      "ta_quality" -> med3("ta_quality")(graft.ops.TextAnalysis.quality(docs).count()))
     docs.unpersist()
     log("ops bench done")
     r
@@ -197,7 +208,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // Scaling evidence (north rule) FIRST — in fresh child JVMs before this
+    // Ops bench FIRST, in its own fresh SparkSession that is stopped before
+    // anything else allocates heap: the r2/r3 committed artifacts both
+    // recorded a ~60× environmental anomaly on the ops stage when it ran
+    // last, after the pipeline passes had warmed ~50 GB of heap/page cache.
+    // Fresh-session-first makes the ops numbers reflect the operator, not
+    // the JVM's post-pipeline GC state.
+    val opsSpark = session(cpus)
+    val ops = benchOps(opsSpark, sfDir)
+    opsSpark.stop()
+    graft.harness.Queries.clearCache()
+
+    // Scaling evidence (north rule) — in fresh child JVMs before this
     // JVM allocates a Spark heap (a coexisting multi-GB JVM measurably
     // degrades the 32-thread child). Two N→4N pairs: local[2]→local[8] and
     // local[8]→local[32]; the 8→32 pair is capped by this VM's single-box
@@ -225,9 +247,17 @@ object Bench {
     val spark = session(cpus)
     val ((stages1, pairsScored), tTotal1) = time(benchPipeline(spark, sfDir))
     val ((stages2, _), tTotal2) = time(benchPipeline(spark, sfDir))
+    stages1.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      log(f"pipeline stage $k: pass1 $v%.3f s, pass2 ${stages2(k)}%.3f s") }
+    log(f"pipeline wall: pass1 $tTotal1%.3f s, pass2 $tTotal2%.3f s")
     val stages = stages1.map { case (k, v) => k -> math.min(v, stages2(k)) }
-    val tTotal = math.min(tTotal1, tTotal2)
-    val ops = benchOps(spark, sfDir)
+    // total_sec is accounted, not just a wall clock: sum of the reported
+    // per-stage minimums, with everything the stage timers don't cover
+    // (cache loads, counts between stages, unpersists) split out explicitly
+    // so the artifact's total is auditable against its own stage breakdown
+    val tStageSum = stages.values.sum
+    val tWall = math.min(tTotal1, tTotal2)
+    val tOverhead = math.max(0.0, tWall - tStageSum)
     spark.stop()
     graft.harness.Queries.clearCache()
     def thr(p: Long, t: Double) = if (t > 0) p / t else 0.0
@@ -240,7 +270,8 @@ object Bench {
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"candidate_pairs_scored_per_sec","value":${f"$pairsPerSec%.1f"},"unit":"pairs/sec",""" +
-      s""""queries":$allQ,"sf":"$sfDir","total_sec":${f"$tTotal%.3f"},""" +
+      s""""queries":$allQ,"sf":"$sfDir","total_sec":${f"$tStageSum%.3f"},""" +
+      s""""untimed_overhead_sec":${f"$tOverhead%.3f"},"wall_sec":${f"$tWall%.3f"},""" +
       s""""pairs_scored":$pairsScored,"cpus":$cpus,""" +
       s""""scaling":{"sample_denom":$denom,"pairs":$p8,""" +
       s""""t_local2_sec":${f"$t2%.3f"},"t_local8_sec":${f"$t8%.3f"},"t_local32_sec":${f"$t32%.3f"},""" +

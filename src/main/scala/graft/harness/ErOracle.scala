@@ -538,7 +538,7 @@ object ErOracle {
        |),
        |l5scored AS (
        |  SELECT mention_id, title,
-       |    CAST(3 - prio AS DOUBLE) * 1.0 + ln(CAST(cnt AS DOUBLE)) * 0.5 AS dscore
+       |    CAST(3 - prio AS DOUBLE) * 1.0 + ln(CAST(greatest(cnt, 1) AS DOUBLE)) * 0.5 AS dscore
        |  FROM l5purged
        |),
        |l5choice AS (

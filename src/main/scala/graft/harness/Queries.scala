@@ -69,7 +69,7 @@ object Queries {
       val r = Pipeline.run(spark, t, harnessCfg)
       Pipeline.Result(
         r.mentions.cache(), r.surfacePairs.cache(), r.surfaceScores.cache(),
-        r.scored.cache(), r.backptrs.cache(), r.clusters.cache())
+        r.scored.cache(), r.backptrs.cache(), r.clusters.cache(), r.surfaces)
     })
 
   def gold(spark: SparkSession, sfDir: String): DataFrame =

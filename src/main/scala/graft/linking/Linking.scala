@@ -99,9 +99,13 @@ object Linking {
     val hits = expandQueries(mentions)
       .join(dict.select(col("surface").as("query"), col("title"), col("cnt")), "query")
     val purged = purgeAux(hits, auxTitles)
+    // greatest(cnt, 1): Spark's log returns NULL for cnt <= 0 where DuckDB's
+    // ln() returns -inf — a zero-count dictionary row would get a null
+    // dscore and silently diverge from the oracle; the clamp makes the
+    // score total in both engines (the oracle mirrors it)
     val scored = purged.withColumn("dscore",
       (lit(3) - col("prio")).cast("double") * wPrio +
-        log(col("cnt").cast("double")) * wCnt)
+        log(greatest(col("cnt"), lit(1)).cast("double")) * wCnt)
     val best = scored
       .groupBy(col("mention_id"))
       .agg(min_by(struct(col("title"), col("dscore")),

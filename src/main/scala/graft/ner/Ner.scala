@@ -109,7 +109,11 @@ object Ner {
 
   /** Three-way log-sum-exp, associated EXACTLY like the DuckDB oracle's
     * expression (`ln(exp(x0-m)+exp(x1-m)+exp(x2-m)) + m`, left-assoc sum,
-    * `m = greatest`) so the two engines agree bit-for-bit. */
+    * `m = greatest`). JVM Math.exp/log and DuckDB's libm are not
+    * bit-identical, so this buys identical ASSOCIATION only — remaining
+    * differences stay within ulps and are absorbed by the oracle's 6dp
+    * rounding (a knife-edge marginal at a .xxxxxx5 boundary is the
+    * theoretical residual risk). */
   private def lse3(x0: Double, x1: Double, x2: Double): Double = {
     val m = math.max(math.max(x0, x1), x2)
     math.log(math.exp(x0 - m) + math.exp(x1 - m) + math.exp(x2 - m)) + m

@@ -89,6 +89,9 @@ object NerTrainer {
       .select((xCols :+ col("y")): _*)
       .localCheckpoint(true)
     val n = data.count().toDouble
+    // empty input would otherwise surface as an opaque NPE (null aggregate
+    // sums → row.getDouble throws) and a 0/0 gradient
+    require(n > 0, "NerTrainer.train: empty feature DataFrame")
     val w = Array.fill(3, Dim)(0.0)
     val sq = Array.fill(3, Dim)(0.0)
     for (_ <- 0 until epochs) {

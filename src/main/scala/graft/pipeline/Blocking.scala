@@ -123,9 +123,16 @@ object Blocking {
   /** Candidate *surface* pairs `(norm_a, norm_b, block_key)`, `norm_a <
     * norm_b`, deduped across keys, oversize keys dropped (audited). */
   def surfacePairs(surfaces: DataFrame, cfg: Config = Config()): DataFrame = {
-    // keys feeds both the stats gate and the self-join legs — cache it or the
-    // minhash signatures (the expensive leg) are computed twice per run
-    val keys = blockKeys(surfaces, cfg).cache()
+    // keys feeds both the stats gate and the self-join legs — materialize it
+    // once or the minhash signatures (the expensive leg) are computed twice
+    // per run. Eager localCheckpoint, NOT cache(): a cache() here has no
+    // owner to unpersist it (the result is lazy, so unpersisting before
+    // return would defeat the sharing), and repeated surfacePairs calls in a
+    // long-lived session would accumulate cacheManager entries; checkpoint
+    // blocks are freed by the ContextCleaner as soon as the plan is
+    // unreferenced. Tradeoff: local checkpoints aren't recomputable on
+    // executor loss — acceptable for a stage this cheap to retry.
+    val keys = blockKeys(surfaces, cfg).localCheckpoint(true)
     val sized = keys.join(
       blockStats(keys, surfaces, cfg).filter(!col("oversize")).select(col("block_key")),
       Seq("block_key"))

@@ -34,7 +34,14 @@ object Pipeline {
       surfaceScores: DataFrame,
       scored: DataFrame,
       backptrs: DataFrame,
-      clusters: DataFrame)
+      clusters: DataFrame,
+      surfaces: DataFrame) {
+    /** Release the pipeline's internal caches (mentions + surfaces). Call
+      * once the outputs you need are materialized or persisted elsewhere —
+      * otherwise back-to-back `run`s in a long-lived session accumulate
+      * cacheManager entries (CacheSpec pins this). */
+    def unpersist(): Unit = { mentions.unpersist(); surfaces.unpersist() }
+  }
 
   def run(spark: SparkSession, transcripts: DataFrame, cfg: Config = Config()): Result = {
     graft.functions.register(spark)
@@ -111,6 +118,6 @@ object Pipeline {
       }
       Clustering.cluster(spark, mentions, backptrs, ccCheckpoint)
     }
-    Result(mentions, surfacePairs, surfaceScores, scored, backptrs, clusters)
+    Result(mentions, surfacePairs, surfaceScores, scored, backptrs, clusters, surfaces)
   }
 }

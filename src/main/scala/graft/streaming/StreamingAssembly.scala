@@ -73,7 +73,9 @@ object StreamingAssembly {
       .dropDuplicatesWithinWatermark("text_md5")
 
   case class BandDoc(bk: String, doc_id: Long, sh: Seq[String], ts: java.sql.Timestamp)
-  case class BucketState(docs: List[(Long, Seq[String])])
+  /** Per-doc event time (ms) rides along so hot buckets can be pruned by
+    * watermark on every update, not only by the whole-bucket timeout. */
+  case class BucketState(docs: List[(Long, Seq[String], Long)])
   case class NearDupHit(doc_a: Long, doc_b: Long, jacc_r: Double)
 
   /** Streaming MinHash-LSH near-dup — the streaming face of
@@ -85,10 +87,13 @@ object StreamingAssembly {
     * colliding in several bands emits once per band — consumers `distinct`
     * (the batch operator dedups candidates the same way, just pre-verify).
     *
-    * State is bounded: buckets are keyed by content-derived band keys
-    * (hash-partitioned across executors) and evicted by EVENT-TIME TIMEOUT
-    * one horizon past the watermark — the streaming analog of the batch
-    * operator's corpus scope. */
+    * State is bounded two ways: (1) on every update, docs whose event time
+    * has fallen more than one horizon behind the current watermark are
+    * dropped from the bucket BEFORE the new rows append — so a hot bucket
+    * receiving continuous traffic holds at most one horizon's worth of docs
+    * and the per-record Jaccard verify stays O(docs-per-horizon), not
+    * O(bucket lifetime); (2) a whole-bucket EVENT-TIME TIMEOUT evicts
+    * buckets that stop receiving rows entirely. */
   def streamingMinhashNearDup(spark: SparkSession, docs: DataFrame,
       threshold: Double = 0.7, minhashes: Int = 12, bands: Int = 6,
       watermark: String = "10 minutes", horizonMs: Long = 600000L) = {
@@ -106,14 +111,20 @@ object StreamingAssembly {
         (_: String, rows: Iterator[BandDoc], state: GroupState[BucketState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty[NearDupHit] }
           else {
+            // prune docs that have aged past the watermark horizon FIRST —
+            // this is what bounds hot buckets that never stop receiving rows
+            // (the timeout below only fires on buckets that go quiet)
+            val cutoffMs = state.getCurrentWatermarkMs() - horizonMs
             var cur = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_._3 >= cutoffMs)
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
             var maxTsMs = 0L
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
-              if (d.ts != null) maxTsMs = math.max(maxTsMs, d.ts.getTime)
+              val tsMs = if (d.ts != null) d.ts.getTime else 0L
+              maxTsMs = math.max(maxTsMs, tsMs)
               if (!cur.exists(_._1 == d.doc_id)) {
                 val shD = d.sh.toSet
-                cur.foreach { case (id, sh0) =>
+                cur.foreach { case (id, sh0, _) =>
                   val s0 = sh0.toSet
                   val inter = s0.intersect(shD).size
                   val uni = s0.size + shD.size - inter
@@ -122,7 +133,7 @@ object StreamingAssembly {
                     out += NearDupHit(math.min(id, d.doc_id), math.max(id, d.doc_id),
                       BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
                 }
-                cur = (d.doc_id, d.sh) :: cur
+                cur = (d.doc_id, d.sh, tsMs) :: cur
               }
             }
             state.update(BucketState(cur))

@@ -16,7 +16,7 @@ class ErQualitySpec extends SparkSuite {
   lazy val res = {
     val r = Pipeline.run(spark, transcripts, Pipeline.Config(mentionGenerator = "all"))
     Pipeline.Result(r.mentions.cache(), r.surfacePairs.cache(), r.surfaceScores.cache(),
-      r.scored.cache(), r.backptrs.cache(), r.clusters.cache())
+      r.scored.cache(), r.backptrs.cache(), r.clusters.cache(), r.surfaces)
   }
   lazy val universe = Blocking.candidatePairs(res.mentions).cache()
   lazy val goldMentions = goldDF(spark, g).cache()
