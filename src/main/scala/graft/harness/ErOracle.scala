@@ -554,7 +554,8 @@ object ErOracle {
 
   /** Sparse lexicalized feature CTEs (P1/A6/F5/P8/P9 sparse path) — mirrors
     * graft.pipeline.SparseFeatures over the conversation-band pair universe:
-    * feature-string explode (with the &t= mention-type conjunction scheme),
+    * feature-string explode (bare + `&t=` + `&tt=` conjunction axes, incl.
+    * the head prefix/suffix templates),
     * dense dictionary ids by feature sort order, count-based log-odds
     * weights (integer-scaled so per-pair sums are order-independent), sparse
     * dot-product scores. Appended to a chain body. */
@@ -568,7 +569,8 @@ object ErOracle {
     s""",
        |spn AS (SELECT norm, CAST(count(*) AS BIGINT) AS n_norm FROM mentions GROUP BY norm),
        |spb AS (
-       |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id, c.mtype AS mtype_c,
+       |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id,
+       |    a.mtype AS mtype_a, c.mtype AS mtype_c,
        |    a.head_key AS hk_a, c.head_key AS hk_c,
        |    ${semClassSql("string_split(a.norm, ' ')[len(string_split(a.norm, ' '))]")} AS sc_a,
        |    ${semClassSql("string_split(c.norm, ' ')[len(string_split(c.norm, ' '))]")} AS sc_c,
@@ -590,20 +592,26 @@ object ErOracle {
        |  JOIN spn na ON a.norm = na.norm JOIN spn nc ON c.norm = nc.norm
        |),
        |spf0 AS (
-       |  SELECT ant_id, cur_id, mtype_c,
+       |  SELECT ant_id, cur_id, mtype_a, mtype_c,
        |    unnest(['bias', 'hm=' || hm, 'em=' || em, 'cur=' || back_c,
        |            'ant=' || back_a, 'cp=' || back_a || '|' || back_c,
        |            'db=' || db, 'sc=1',
        |            'hc=' || hk_c, 'ha=' || hk_a, 'hp=' || hk_a || '|' || hk_c,
        |            'cn=' || cn, 'ab=' || ab,
        |            'jwb=' || jwb, 'lvb=' || lvb,
-       |            'scm=' || sc_a || '|' || sc_c]) AS f
+       |            'scm=' || sc_a || '|' || sc_c,
+       |            'pfc=' || substr(hk_c, 1, 3),
+       |            'sfc=' || substr(hk_c, greatest(length(hk_c) - 2, 1), 3),
+       |            'pfa=' || substr(hk_a, 1, 3),
+       |            'sfa=' || substr(hk_a, greatest(length(hk_a) - 2, 1), 3)]) AS f
        |  FROM spb
        |),
        |spf AS MATERIALIZED (
        |  SELECT ant_id, cur_id, f FROM spf0
        |  UNION ALL
        |  SELECT ant_id, cur_id, f || '&t=' || mtype_c FROM spf0
+       |  UNION ALL
+       |  SELECT ant_id, cur_id, f || '&tt=' || mtype_a || '|' || mtype_c FROM spf0
        |),
        |sdict AS MATERIALIZED (
        |  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f) - 1 AS BIGINT) AS feature_id

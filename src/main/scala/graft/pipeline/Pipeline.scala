@@ -19,10 +19,23 @@ object Pipeline {
       weights: Scoring.Weights = Scoring.DefaultWeights,
       linkThreshold: Double = 0.0,
       mentionGenerator: String = "all", // "identifier" | "all"
-      checkpointDir: Option[String] = None) {
+      checkpointDir: Option[String] = None,
+      /** "dense" = the 16-feature codegen'd vector; "sparse" = the
+        * lexicalized string-feature model (P1/A6/P8 at full strength) over
+        * ALL THREE scoring legs — band pairs with the full conjunction axes,
+        * bridges/chains via surface-pure bare templates scored once per
+        * surface pair. Requires [[sparseWeights]]. */
+      scoringMode: String = "dense", // "dense" | "sparse"
+      /** Sparse weight table `(f, w_i)` (integer-scaled;
+        * [[SparseFeatures.weightsTable]] converts a trained map). */
+      sparseWeights: Option[DataFrame] = None,
+      /** Caller-supplied stable tag identifying [[sparseWeights]] for the
+        * resume-lineage token (a DataFrame can't be hashed into it). */
+      sparseTag: String = "") {
     /** Deterministic config token for lineage. */
     def token: String = {
-      val s = s"$blocking|${weights.values.mkString(",")}|$linkThreshold|$mentionGenerator"
+      val s = s"$blocking|${weights.values.mkString(",")}|$linkThreshold|" +
+        s"$mentionGenerator|$scoringMode|$sparseTag"
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
     }
@@ -73,10 +86,18 @@ object Pipeline {
       else Mentions.extractAll(spread)
     }.cache()
     val surfaces = Blocking.surfaceTable(mentions).cache()
+    val sparse = cfg.scoringMode == "sparse"
+    require(!sparse || cfg.sparseWeights.nonEmpty,
+      "scoringMode=sparse requires Config.sparseWeights")
+    // F5 backoff counts — one cheap aggregation over the cached mentions
+    lazy val counts = SparseFeatures.normCounts(mentions)
     val surfacePairs = stage("surface_pairs", tok)(
       Blocking.surfacePairs(surfaces, cfg.blocking))
     val surfaceScores = stage("surface_scores", tok)(
-      Scoring.scoreSurfacePairs(surfacePairs, surfaces, cfg.weights))
+      if (sparse)
+        SparseFeatures.scoreSurfacePairsSparse(surfacePairs, surfaces, counts,
+          cfg.sparseWeights.get)
+      else Scoring.scoreSurfacePairs(surfacePairs, surfaces, cfg.weights))
     // mention-level scored pairs, three legs (all linear in mentions +
     // linked surface pairs — no quadratic expansion anywhere):
     //  - conversation band with full conversational features;
@@ -88,17 +109,26 @@ object Pipeline {
     //    as the full clique because every clique edge would carry the
     //    identical surface-level score).
     val scored = stage("scores", tok) {
-      val band = Scoring.scorePairs(
-        Blocking.convBandPairs(mentions, cfg.blocking), mentions, cfg.weights)
-        .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
+      val bandPairs = Blocking.convBandPairs(mentions, cfg.blocking)
+      val band =
+        if (sparse)
+          SparseFeatures.scorePairsSparse(bandPairs, mentions, counts,
+            cfg.sparseWeights.get)
+            .select(col("ant_id"), col("cur_id"),
+              lit("conv").as("block_key"), col("score"))
+        else Scoring.scorePairs(bandPairs, mentions, cfg.weights)
+          .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       val linked = surfaceScores.filter(col("score") > cfg.linkThreshold)
         .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
       val bridge = Blocking.bridgePairs(linked, mentions, cfg.blocking,
         extraCols = Seq("score"))
       // surfaces (cached) already carries n_mentions — share it instead of
       // re-aggregating the counts inside the chain leg
+      val selfSc =
+        if (sparse) SparseFeatures.selfScoresSparse(surfaces, counts, cfg.sparseWeights.get)
+        else Scoring.selfScores(surfaces, cfg.weights)
       val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking, Some(surfaces))
-        .join(Scoring.selfScores(surfaces, cfg.weights).hint("shuffle_hash"), "norm")
+        .join(selfSc.hint("shuffle_hash"), "norm")
         .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       band
         .unionByName(bridge.select(col("ant_id"), col("cur_id"),

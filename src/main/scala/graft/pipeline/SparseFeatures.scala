@@ -49,19 +49,18 @@ object SparseFeatures {
 
   private def b01(c: Column): Column = when(c, "1").otherwise("0")
 
-  /** Exploded feature strings `(ant_id, cur_id, f)` for candidate pairs with
-    * attached attributes ([[Scoring.attachAttrs]] output). The P1 conjunction
-    * scheme: every base feature fires both bare and conjoined with the
-    * current mention's type (`&t=<mtype>`), mirroring the reference's
-    * Canonical/+MentionType conjunction axis. */
-  def featureStrings(pairsAttr: DataFrame, counts: DataFrame): DataFrame = {
-    val withN = pairsAttr
-      .join(counts.select(col("norm").as("norm_a"), col("n_norm").as("n_a")), Seq("norm_a"))
-      .join(counts.select(col("norm").as("norm_c"), col("n_norm").as("n_c")), Seq("norm_c"))
+  /** The shared base template list (expressions over the attached-attrs
+    * column names). Kept in ONE place so the mention-level path
+    * ([[featureStrings]]) and the surface-pure path
+    * ([[surfaceFeatureStrings]]) cannot drift. */
+  private def baseTemplates: Seq[Column] = {
     val backA = backoff(col("norm_a"), col("n_a"))
     val backC = backoff(col("norm_c"), col("n_c"))
     val sameConv = col("conv_id_a") === col("conv_id_c")
     def initials(t: Column) = array_join(transform(t, x => substring(x, 1, 1)), "")
+    // portable suffix: negative-start substr differs between Spark and
+    // DuckDB — both sides use greatest(length-2, 1) start arithmetic
+    def sfx(c: Column): Column = c.substr(greatest(length(c) - 2, lit(1)), lit(3))
     // graded similarities enter the sparse space as DISCRETIZED buckets —
     // the indicator-feature analog of the dense model's real-valued JW/Lev
     // columns (the reference likewise thresholds its string-similarity
@@ -71,7 +70,7 @@ object SparseFeatures {
     val lv = lit(1.0) - levenshtein(col("norm_a"), col("norm_c")).cast("double") /
       greatest(length(col("norm_a")), length(col("norm_c"))).cast("double")
     val lvb = floor(lv * 10).cast("int").cast("string")
-    val base: Seq[Column] = Seq(
+    Seq(
       lit("bias"),
       concat(lit("hm="), b01(col("head_key_a") === col("head_key_c"))),
       concat(lit("em="), b01(col("norm_a") === col("norm_c"))),
@@ -105,10 +104,57 @@ object SparseFeatures {
       // training weight e.g. IDENT|IDENT vs ORG|IDENT pairs differently
       concat(lit("scm="),
         graft.functions.semClass(element_at(col("toks_a"), -1)), lit("|"),
-        graft.functions.semClass(element_at(col("toks_c"), -1))))
+        graft.functions.semClass(element_at(col("toks_c"), -1))),
+      // head prefix/suffix lexical templates
+      // (`PairwiseIndexingFeaturizerJoint.scala:488-510` — the reference
+      // fires character prefixes/suffixes up to length 3 as the sub-word
+      // backoff for its lexical anchors)
+      concat(lit("pfc="), substring(col("head_key_c"), 1, 3)),
+      concat(lit("sfc="), sfx(col("head_key_c"))),
+      concat(lit("pfa="), substring(col("head_key_a"), 1, 3)),
+      concat(lit("sfa="), sfx(col("head_key_a"))))
+  }
+
+  /** Join the F5 backoff counts onto an attached-attrs pair table. */
+  private def withCounts(pairsAttr: DataFrame, counts: DataFrame): DataFrame =
+    pairsAttr
+      .join(counts.select(col("norm").as("norm_a"), col("n_norm").as("n_a")), Seq("norm_a"))
+      .join(counts.select(col("norm").as("norm_c"), col("n_norm").as("n_c")), Seq("norm_c"))
+
+  /** Exploded feature strings `(ant_id, cur_id, f)` for candidate pairs with
+    * attached attributes ([[Scoring.attachAttrs]] output). The P1 conjunction
+    * scheme (`PairwiseIndexingFeaturizerJoint.scala:69-129`): every base
+    * feature fires bare, conjoined with the current mention's type
+    * (`&t=<mtype>`), AND conjoined with both mentions' types
+    * (`&tt=<mtype_a>|<mtype_c>`) — the reference's Canonical / +MentionType /
+    * +BothMentionTypes axes. */
+  def featureStrings(pairsAttr: DataFrame, counts: DataFrame): DataFrame = {
+    val base = baseTemplates
     val conj = base.map(f => concat(f, lit("&t="), col("mtype_c")))
-    withN.select(col("ant_id"), col("cur_id"),
-      explode(array((base ++ conj): _*)).as("f"))
+    val conj2 = base.map(f =>
+      concat(f, lit("&tt="), col("mtype_a"), lit("|"), col("mtype_c")))
+    withCounts(pairsAttr, counts).select(col("ant_id"), col("cur_id"),
+      explode(array((base ++ conj ++ conj2): _*)).as("f"))
+  }
+
+  /** Surface-pure exploded feature strings `(norm_a, norm_b, block_key, f)`
+    * for distinct surface pairs — the sparse analog of
+    * [[Scoring.scoreSurfacePairs]]'s featurization: BARE templates only (no
+    * type-conjunction axes — a surface has no single mention type), with the
+    * conversational columns at their neutral surface-only values (so `db=x`,
+    * `sc=0` fire as constants). Bare-template weights are shared with the
+    * band path's training, which is what makes the coarse-to-fine gate and
+    * the band scores commensurable in sparse mode. */
+  def surfaceFeatureStrings(surfacePairs: DataFrame, surfaces: DataFrame,
+      counts: DataFrame): DataFrame = {
+    val attrs = surfaces.select(col("norm"), col("head_key"), col("toks"))
+    val a = attrs.toDF("norm_a", "head_key_a", "toks_a")
+    val c = attrs.toDF("norm_b", "head_key_c", "toks_c")
+    val joined = Scoring.withSurfaceOnlyAttrs(
+      surfacePairs.join(a, "norm_a").join(c, "norm_b")
+        .withColumn("norm_c", col("norm_b")))
+    withCounts(joined, counts).select(col("norm_a"), col("norm_b"), col("block_key"),
+      explode(array(baseTemplates: _*)).as("f"))
   }
 
   /** A6 feature dictionary: dense ids 0..n-1 in feature-string sort order.
@@ -168,4 +214,55 @@ object SparseFeatures {
       .agg(count(lit(1)).as("n_feats"), sum(col("w_i")).as("wsum"))
       .select(col("ant_id"), col("cur_id"), col("n_feats"),
         (col("wsum").cast("double") / WeightScale.toDouble).as("score"))
+
+  /** Total sparse scorer for the EXECUTION path: LEFT join on the weight
+    * table (unweighted features contribute 0 — every pair gets a score, so
+    * the decode sees the full candidate set) + integer-exact sum, grouped by
+    * the caller's key columns. The weight table is left to Catalyst/AQE to
+    * broadcast when it fits; at 10^9 features it degrades to a shuffle-hash
+    * join on `f` with map-side partial aggregation. */
+  def scoreWithWeights(feats: DataFrame, weights: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    feats.join(weights.select(col("f"), col("w_i")), Seq("f"), "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(coalesce(col("w_i"), lit(0L))).as("wsum"))
+      .withColumn("score", col("wsum").cast("double") / WeightScale.toDouble)
+      .drop("wsum")
+
+  /** Driver-side sparse model (e.g. [[graft.train.Trainer.trainSparseRanking]]
+    * output) → integer-scaled weight table `(f, w_i)`. */
+  def weightsTable(spark: org.apache.spark.sql.SparkSession,
+      w: Map[String, Double]): DataFrame = {
+    import spark.implicits._
+    val df = if (w.isEmpty) Seq.empty[(String, Double)].toDF("f", "w")
+      else w.toSeq.toDF("f", "w")
+    df.select(col("f"), round(col("w") * WeightScale, 0).cast("long").as("w_i"))
+  }
+
+  /** Sparse surface-pair scorer (the coarse-to-fine gate in sparse mode):
+    * `(norm_a, norm_b, block_key, score)` — one score per distinct surface
+    * pair, shared downstream by every mention pair of those surfaces. */
+  def scoreSurfacePairsSparse(surfacePairs: DataFrame, surfaces: DataFrame,
+      counts: DataFrame, weights: DataFrame): DataFrame =
+    scoreWithWeights(surfaceFeatureStrings(surfacePairs, surfaces, counts),
+      weights, Seq("norm_a", "norm_b", "block_key"))
+
+  /** Sparse per-surface self score (chain-edge score in sparse mode) —
+    * `(norm, block_key, score)`; see [[Scoring.selfScores]]. */
+  def selfScoresSparse(surfaces: DataFrame, counts: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val self = surfaces.filter(col("n_mentions") >= 2)
+      .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
+        lit("x:self").as("block_key"))
+    scoreSurfacePairsSparse(self, surfaces, counts, weights)
+      .select(col("norm_a").as("norm"), col("block_key"), col("score"))
+  }
+
+  /** Sparse mention-pair scorer for the conversation-band leg:
+    * `(ant_id, cur_id, score)` over the full three-axis template set. */
+  def scorePairsSparse(pairs: DataFrame, mentions: DataFrame,
+      counts: DataFrame, weights: DataFrame): DataFrame =
+    scoreWithWeights(
+      featureStrings(Scoring.attachAttrs(pairs, mentions), counts),
+      weights, Seq("ant_id", "cur_id"))
 }

@@ -107,7 +107,6 @@ object Trainer {
     val cached = labeled.localCheckpoint(true)
     val nCur = cached.select(col("cur_id")).distinct().count().toDouble
     val wCur = Window.partitionBy(col("cur_id"))
-    val wCurOrd = Window.partitionBy(col("cur_id")).orderBy(col("ant_id"))
 
     for (ep <- 0 until epochs) {
       val linear = feats.zipWithIndex.map { case ((_, c), i) => c * w(i) }.reduce(_ + _)
@@ -130,14 +129,16 @@ object Trainer {
         .withColumn("gz", sum(col("ge")).over(wCur))
         .withColumn("ptilde", when(col("gz") > 0, col("ge") / col("gz")).otherwise(0.0))
         .withColumn("resid", col("p") - col("ptilde"))
-        // per-mention loss, attached to exactly one row: -log(gold mass/z)
-        // for anaphoric mentions, -log(new-entity mass/z) otherwise (the
-        // non-anaphoric gold arc IS the new arc, whose cost is 0 by
-        // definition — hence exp(-mx), not exp(lnew-mx))
-        .withColumn("rn", row_number().over(wCurOrd))
-        .withColumn("l", when(col("rn") === 1,
+        // per-mention loss: -log(gold mass/z) for anaphoric mentions,
+        // -log(new-entity mass/z) otherwise (the non-anaphoric gold arc IS
+        // the new arc, whose cost is 0 by definition — hence exp(-mx), not
+        // exp(lnew-mx)). The loss is group-constant, so spreading it as
+        // value/count over the group's rows sums to exactly one copy —
+        // no ordered window (a per-group sort the aggregation doesn't need)
+        .withColumn("l",
           when(col("gz") > 0, -log(col("gz") / col("z")))
-            .otherwise(-log(exp(-col("mx")) / col("z")))).otherwise(0.0))
+            .otherwise(-log(exp(-col("mx")) / col("z"))) /
+            count(lit(1)).over(wCur))
       val aggs = feats.map { case (name, c) => sum(col("resid") * c).as(s"g_$name") } :+
         sum(col("l")).as("loss")
       val row = withP.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -209,11 +210,11 @@ object Trainer {
         .withColumn("gz", sum(col("ge")).over(wCur))
         .withColumn("ptilde", when(col("gz") > 0, col("ge") / col("gz")).otherwise(0.0))
         .withColumn("resid", col("p") - col("ptilde"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("cur_id")).orderBy(col("ant_id"))))
-        .withColumn("l", when(col("rn") === 1,
+        // group-constant loss spread as value/count (see trainRanking)
+        .withColumn("l",
           when(col("gz") > 0, -log(col("gz") / col("z")))
-            .otherwise(-log(exp(-col("mx")) / col("z")))).otherwise(0.0))
+            .otherwise(-log(exp(-col("mx")) / col("z"))) /
+            count(lit(1)).over(wCur))
         .localCheckpoint(true)
       val loss = withP.agg(sum(col("l"))).collect()(0).getDouble(0) / nCur
       val grads = withP.select(col("ant_id"), col("cur_id"), col("resid"))

@@ -83,4 +83,38 @@ class SparseSpec extends SparkSuite {
     assert(f1Sparse >= 0.99, s"sparse model must hit the F1 gate: $f1Sparse")
     assert(f1Nb >= 0.99, s"log-odds estimator must hit the F1 gate: $f1Nb")
   }
+
+  test("scoringMode=sparse: FULL pipeline (band+bridge+chains) with the trained sparse model >= trained dense pipeline F1") {
+    val (transcripts, mentions, gold) = fix
+    val universe = Blocking.candidatePairs(mentions).cache()
+    val pairsAttr = Scoring.attachAttrs(universe, mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr,
+      SparseFeatures.normCounts(mentions)).localCheckpoint(true)
+    val labels = universe.select(col("ant_id"), col("cur_id"))
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
+      .localCheckpoint(true)
+    def f1Of(clusters: org.apache.spark.sql.DataFrame): Double =
+      Eval.pairwiseF1(universe.select("ant_id", "cur_id"), clusters, gold)
+        .collect()(0).getAs[Double]("f1")
+
+    val (sw, _) = graft.train.Trainer.trainSparseRanking(feats, labels, epochs = 30, eta = 1.0)
+    val wTab = SparseFeatures.weightsTable(spark, sw).cache()
+    val sparseRes = Pipeline.run(spark, transcripts, Pipeline.Config(
+      mentionGenerator = "all", scoringMode = "sparse",
+      sparseWeights = Some(wTab), sparseTag = "fixture-trained"))
+    val f1SparsePipe = f1Of(sparseRes.clusters)
+
+    val labeled = graft.train.Trainer.labeledPairs(universe, mentions, gold)
+    val (dw, _) = graft.train.Trainer.trainRanking(labeled, epochs = 40, eta = 2.0)
+    val denseRes = Pipeline.run(spark, transcripts,
+      Pipeline.Config(mentionGenerator = "all", weights = dw))
+    val f1DensePipe = f1Of(denseRes.clusters)
+
+    info(s"full-pipeline sparse F1=$f1SparsePipe  full-pipeline trained-dense F1=$f1DensePipe")
+    assert(f1SparsePipe >= f1DensePipe - 1e-9,
+      s"sparse execution path must reach the trained dense pipeline: $f1SparsePipe < $f1DensePipe")
+    assert(f1SparsePipe >= 0.99, s"sparse pipeline must hit the F1 gate: $f1SparsePipe")
+  }
 }
