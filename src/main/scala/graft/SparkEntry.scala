@@ -241,6 +241,7 @@ object SparkEntry {
 
     "a9_slices" -> ErOracle.q(
       """SELECT m.mtype,
+        |  CAST(CASE WHEN ma.head_key = m.head_key THEN 1 ELSE 0 END AS INT) AS head_match,
         |  CAST(count(*) AS BIGINT) AS n_linked,
         |  CAST(SUM(CASE WHEN ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
         |  round(CAST(SUM(CASE WHEN ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS DOUBLE)
@@ -249,7 +250,8 @@ object SparkEntry {
         |JOIN gold gc ON b.cur_id = gc.mention_id
         |JOIN gold ga ON b.ant_id = ga.mention_id
         |JOIN mentions m ON b.cur_id = m.mention_id
-        |GROUP BY m.mtype""".stripMargin),
+        |JOIN mentions ma ON b.ant_id = ma.mention_id
+        |GROUP BY 1, 2""".stripMargin),
 
     "s5_model" -> {
       val vals = graft.pipeline.Scoring.FeatureNames.zipWithIndex

@@ -568,10 +568,25 @@ object ErOracle {
     val scale = graft.pipeline.SparseFeatures.WeightScale
     s""",
        |spn AS (SELECT norm, CAST(count(*) AS BIGINT) AS n_norm FROM mentions GROUP BY norm),
+       |semlk AS (
+       |  SELECT CAST(c_custkey AS STRING) AS head,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS sem2
+       |  FROM customer),
+       |hearst0 AS (
+       |  SELECT CAST(c_custkey AS STRING) AS head_a,
+       |    CAST(c_custkey + k AS STRING) AS head_c,
+       |    CAST((c_custkey % 7) * 10 + k AS BIGINT) AS hcnt
+       |  FROM customer, (SELECT unnest([1, 2, 3]) AS k)),
+       |hearstlk AS (
+       |  SELECT * FROM hearst0
+       |  UNION ALL SELECT head_c, head_a, hcnt FROM hearst0),
        |spb AS (
        |  SELECT a.mention_id AS ant_id, c.mention_id AS cur_id,
        |    a.mtype AS mtype_a, c.mtype AS mtype_c,
        |    a.head_key AS hk_a, c.head_key AS hk_c,
+       |    coalesce(slka.sem2, 'UNK') AS s2_a, coalesce(slkc.sem2, 'UNK') AS s2_c,
+       |    CASE WHEN hlk.hcnt IS NULL THEN 'x'
+       |         ELSE CAST(CAST(floor(ln(hlk.hcnt + 1)) AS INT) AS STRING) END AS hb,
        |    ${semClassSql("string_split(a.norm, ' ')[len(string_split(a.norm, ' '))]")} AS sc_a,
        |    ${semClassSql("string_split(c.norm, ' ')[len(string_split(c.norm, ' '))]")} AS sc_c,
        |    CASE WHEN na.n_norm >= $cutoff THEN a.norm ELSE ${shape("a.norm")} END AS back_a,
@@ -590,6 +605,9 @@ object ErOracle {
        |  FROM mentions a JOIN mentions c ON a.conv_id = c.conv_id
        |    AND c.m_seq > a.m_seq AND c.m_seq - a.m_seq <= $MaxConvDist
        |  JOIN spn na ON a.norm = na.norm JOIN spn nc ON c.norm = nc.norm
+       |  LEFT JOIN semlk slka ON a.head_key = slka.head
+       |  LEFT JOIN semlk slkc ON c.head_key = slkc.head
+       |  LEFT JOIN hearstlk hlk ON a.head_key = hlk.head_a AND c.head_key = hlk.head_c
        |),
        |spf0 AS (
        |  SELECT ant_id, cur_id, mtype_a, mtype_c,
@@ -600,6 +618,8 @@ object ErOracle {
        |            'cn=' || cn, 'ab=' || ab,
        |            'jwb=' || jwb, 'lvb=' || lvb,
        |            'scm=' || sc_a || '|' || sc_c,
+       |            'scm2=' || s2_a || '|' || s2_c,
+       |            'hearst=' || hb,
        |            'pfc=' || substr(hk_c, 1, 3),
        |            'sfc=' || substr(hk_c, greatest(length(hk_c) - 2, 1), 3),
        |            'pfa=' || substr(hk_a, 1, 3),

@@ -154,17 +154,24 @@ object Queries {
     Decode.prune(pipeline(spark, sfDir).scored)
       .select(col("ant_id"), col("cur_id"), round(col("score"), 6).as("score_r"))
 
-  /** A9: sliced decode accuracy by current-mention type (the reference's
-    * error-analysis slices, `CorefEvaluator.scala:205-283`): of linked
-    * mentions, the fraction whose chosen antecedent is gold-coreferent. */
+  /** A9: sliced decode accuracy by current-mention type × head-match (the
+    * reference's error-analysis slices, `CorefEvaluator.scala:205-283`,
+    * which cross anaphoricity × mention type × misleading-head-match): of
+    * linked mentions, the fraction whose chosen antecedent is
+    * gold-coreferent; the head_match=1/acc<1 cell isolates the reference's
+    * "misleading head match" errors. */
   def a9Slices(spark: SparkSession, sfDir: String): DataFrame = {
     val r = pipeline(spark, sfDir)
     val g = gold(spark, sfDir)
     r.backptrs
       .join(g.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
       .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
-      .join(r.mentions.select(col("mention_id").as("cur_id"), col("mtype")), "cur_id")
-      .groupBy(col("mtype"))
+      .join(r.mentions.select(col("mention_id").as("cur_id"), col("mtype"),
+        col("head_key").as("hk_c")), "cur_id")
+      .join(r.mentions.select(col("mention_id").as("ant_id"),
+        col("head_key").as("hk_a")), "ant_id")
+      .groupBy(col("mtype"),
+        (col("hk_a") === col("hk_c")).cast("int").as("head_match"))
       .agg(count(lit(1)).as("n_linked"),
         sum(when(col("e_a") === col("e_c"), 1L).otherwise(0L)).as("n_correct"))
       .withColumn("acc_r",
@@ -376,16 +383,37 @@ object Queries {
         round(lit(2.0) * col("tp") / (col("pred") + col("gold")), 6).as("f1_r"))
   }
 
-  /** Sparse lexicalized path (P1/A6/F5/P8/P9): feature explode over the
-    * conversation-band pairs, dense dictionary, count-based log-odds
-    * weights. Shared by `a6_feature_dict` and `p10_sparse_scores`. */
+  /** P6/F11 semantic-seam fixture tables, derived deterministically from
+    * `customer` (the same pattern as [[linkDict]]): a per-head refined
+    * semantic class and a head-pair association count table — the shapes the
+    * reference fills from WordNet closures and Hearst counts. */
+  private def semSeam(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    Transcripts.registerBase(spark, sfDir)
+    val c = spark.table("customer").select(col("c_custkey"))
+    val sem = c.select(col("c_custkey").cast("string").as("head"),
+      when(col("c_custkey") % 2 === 0, "EVEN").otherwise("ODD").as("sem2"))
+    val fwd = (1 to 3).map(k => c.select(
+      col("c_custkey").cast("string").as("head_a"),
+      (col("c_custkey") + k).cast("string").as("head_c"),
+      ((col("c_custkey") % 7) * 10 + k).cast("long").as("hcnt")))
+      .reduce(_ unionByName _)
+    val hearst = fwd.unionByName(fwd.select(col("head_c").as("head_a"),
+      col("head_a").as("head_c"), col("hcnt")))
+    (sem, hearst)
+  }
+
+  /** Sparse lexicalized path (P1/A6/F5/P8/P9 + the P6/F11 seam templates):
+    * feature explode over the conversation-band pairs, dense dictionary,
+    * count-based log-odds weights. Shared by `a6_feature_dict` and
+    * `p10_sparse_scores`. */
   private def sparsePath(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
     memoSparse.getOrElseUpdate(sfDir, {
       val r = pipeline(spark, sfDir)
       val pairsAttr = Scoring.attachAttrs(
         Blocking.convBandPairs(r.mentions, harnessCfg.blocking), r.mentions)
+      val (sem, hearst) = semSeam(spark, sfDir)
       val feats = SparseFeatures.featureStrings(pairsAttr,
-        SparseFeatures.normCounts(r.mentions)).cache()
+        SparseFeatures.normCounts(r.mentions), Some(sem), Some(hearst)).cache()
       val g = gold(spark, sfDir)
       val labels = pairsAttr.select(col("ant_id"), col("cur_id"))
         .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")

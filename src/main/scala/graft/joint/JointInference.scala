@@ -25,8 +25,14 @@ import org.apache.spark.sql.functions._
   *    conversations, so the distributed shape is a keyed group, not a
   *    distributed graph.
   *
-  * Output: per mention, the joint antecedent argmax (or none) and the type
-  * posterior argmax with its probability.
+  * Round 4 adds the reference's WIKI factor family
+  * (`JointDocFactorGraphOnto.scala:149-172,230-237`): a latent denotation
+  * variable per mention over its L5 query/denotation grid titles + NIL, and
+  * a coref-link/denotation-agreement factor — see [[infer]]'s `wikiScores`.
+  *
+  * Output: per mention, the joint antecedent argmax (or none), the type
+  * posterior argmax with its probability, and the denotation argmax (MBR
+  * decode per task).
   */
 object JointInference {
 
@@ -45,7 +51,7 @@ object JointInference {
   }
 
   private case class MRow(id: String, prior: Array[Double],
-      pEnt: Double, newBias: Double)
+      pEnt: Double, newBias: Double, wopts: Array[(String, Double)])
   private case class PRow(ant: String, cur: String, score: Double)
 
   /** @param mentionPriors (mention_id, conv_id, prior: array<double> over Types)
@@ -65,10 +71,28 @@ object JointInference {
     *                 link, the unary the reference puts on the anaphoricity
     *                 node.
     * @param nerCoupling log-strength of the NER-agreement factor
-    * @return (mention_id, ant_id nullable, p_ant, type, p_type) */
+    * @param wikiScores optional L5 query/denotation grid
+    *                   `(mention_id, title, dscore)` — the reference's wiki
+    *                   nodes (`JointDocFactorGraphOnto.scala:149-172`): each
+    *                   mention with grid rows gets a latent DENOTATION
+    *                   variable over its candidate titles + NIL, unary
+    *                   `softmax(dscore)` (NIL at [[infer]]'s `wikiNilScore`);
+    *                   the coref-link/denotation-agreement factor
+    *                   (`corefWikiFactors`, `:230-237`) multiplies arc `a→c`
+    *                   by `exp(wikiCoupling·[W_c = W_a ≠ NIL])` — linking
+    *                   evidence re-ranks coref, and coref links pull
+    *                   denotations together (both marginalized mean-field
+    *                   style like the type factor).
+    * @param wikiCoupling log-strength of the denotation-agreement factor
+    * @param wikiNilScore unary score of the NIL denotation
+    * @return (mention_id, ant_id nullable, p_ant, type, p_type,
+    *         wiki_title nullable, p_wiki) — per-variable marginal argmax
+    *         (MBR decode per task, the reference's decode mode) */
   def infer(spark: SparkSession, mentionPriors: DataFrame, scored: DataFrame,
       coupling: Double = 1.0, iters: Int = 10,
-      evidence: Option[DataFrame] = None, nerCoupling: Double = 0.0): DataFrame = {
+      evidence: Option[DataFrame] = None, nerCoupling: Double = 0.0,
+      wikiScores: Option[DataFrame] = None, wikiCoupling: Double = 0.0,
+      wikiNilScore: Double = 0.0): DataFrame = {
     import spark.implicits._
     val k = Types.size
     val withEv = evidence match {
@@ -80,11 +104,23 @@ object JointInference {
       case None => mentionPriors
         .withColumn("p_entity", lit(0.0)).withColumn("new_bias", lit(0.0))
     }
-    val ments = withEv
+    // denotation grid → one array column per mention (struct fields named
+    // _1/_2 so the tuple encoder reads them directly)
+    val withWiki = wikiScores match {
+      case Some(w) => withEv.join(
+        w.groupBy(col("mention_id")).agg(collect_list(
+          struct(col("title").as("_1"), col("dscore").as("_2"))).as("wopts")),
+        Seq("mention_id"), "left")
+      case None => withEv.withColumn("wopts",
+        lit(null).cast("array<struct<_1:string,_2:double>>"))
+    }
+    val ments = withWiki
       .select(col("conv_id"), col("mention_id"), col("prior"),
-        col("p_entity"), col("new_bias"))
-      .as[(String, String, Seq[Double], Double, Double)]
-      .map { case (c, m, p, pe, nb) => (c, m, p.toArray, pe, nb) }
+        col("p_entity"), col("new_bias"), col("wopts"))
+      .as[(String, String, Seq[Double], Double, Double, Seq[(String, Double)])]
+      .map { case (c, m, p, pe, nb, wo) =>
+        (c, m, p.toArray, pe, nb,
+          Option(wo).map(_.toArray).getOrElse(Array.empty[(String, Double)])) }
     val pairs = scored
       .join(mentionPriors.select(col("mention_id").as("cur_id"), col("conv_id")), "cur_id")
       .select(col("conv_id"), col("ant_id"), col("cur_id"), col("score"))
@@ -92,7 +128,7 @@ object JointInference {
 
     val grouped = ments.groupByKey(_._1).cogroup(pairs.groupByKey(_._1)) {
       (conv, ms, ps) =>
-        val mentions = ms.map(t => MRow(t._2, t._3, t._4, t._5)).toArray.sortBy(_.id)
+        val mentions = ms.map(t => MRow(t._2, t._3, t._4, t._5, t._6)).toArray.sortBy(_.id)
         val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
         val cands: Map[Int, Array[(Int, Double)]] = ps
           .collect { case (_, a, c, s) if idx.contains(a) && idx.contains(c) =>
@@ -109,21 +145,59 @@ object JointInference {
           mentions(i).prior(t) * boost
         }
 
+        // denotation domains (wiki nodes): sorted distinct candidate titles
+        // per mention; implicit NIL at index titles.length
+        val expW = math.exp(wikiCoupling)
+        val wikiOn = wikiCoupling != 0.0
+        val wTitles: Array[Array[String]] =
+          mentions.map(m => m.wopts.map(_._1).distinct.sorted)
+        val wIdx: Array[Map[String, Int]] = wTitles.map(_.zipWithIndex.toMap)
+        val wUnary: Array[Array[Double]] = Array.tabulate(n) { i =>
+          val ts = wTitles(i)
+          if (ts.isEmpty) Array.empty[Double]
+          else {
+            // best dscore per title (the grid may carry several queries)
+            val best = mentions(i).wopts.groupBy(_._1)
+              .map { case (t, xs) => t -> xs.map(_._2).max }
+            val raw = ts.map(best) :+ wikiNilScore
+            val mx = raw.max
+            val e = raw.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
+          }
+        }
+
         // beliefs
         val qType = Array.tabulate(n) { i =>
           val p = effPrior(i); val z = p.sum; p.map(_ / z)
+        }
+        val qWiki: Array[Array[Double]] = Array.tabulate(n)(i => wUnary(i).clone())
+        // denotation agreement between two mentions under current beliefs:
+        // Σ over SHARED titles (NIL never counts as agreement)
+        def wikiDot(c: Int, a: Int): Double = {
+          val tc = wTitles(c)
+          if (tc.isEmpty || wTitles(a).isEmpty) 0.0
+          else {
+            var s = 0.0; var i = 0
+            while (i < tc.length) {
+              val j = wIdx(a).getOrElse(tc(i), -1)
+              if (j >= 0) s += qWiki(c)(i) * qWiki(a)(j)
+              i += 1
+            }
+            s
+          }
         }
         val pAnt = scala.collection.mutable.Map.empty[Int, Array[Double]]
 
         var it = 0
         while (it < iters) {
           // A_c update: p(a) ∝ exp(score) · E_{T_c,T_a}[exp(coupling·[=])]
-          //            = exp(score) · (1 + (expC-1)·(q_c · q_a));
+          //            = exp(score) · (1 + (expC-1)·(q_c · q_a))
+          //            · (1 + (expW-1)·wikiDot) [denotation-agreement factor];
           // the "new entity" arc weighs exp(new_bias) (anaphoricity unary)
           cands.foreach { case (c, as) =>
             val w = as.map { case (a, s) =>
               val dot = (0 until k).map(t => qType(c)(t) * qType(a)(t)).sum
-              math.exp(s) * (1.0 + (expC - 1.0) * dot)
+              val wm = if (wikiOn) 1.0 + (expW - 1.0) * wikiDot(c, a) else 1.0
+              math.exp(s) * (1.0 + (expC - 1.0) * dot) * wm
             }
             val z = w.sum + math.exp(mentions(c).newBias)
             pAnt(c) = w.map(_ / z)
@@ -167,6 +241,58 @@ object JointInference {
           }
           var i = 0
           while (i < n) { qType(i) = next(i); i += 1 }
+          // W_m update (mirrors T_m): unary × link-factor messages — as cur,
+          // μ(t) = Σ_j p(a_j)·(1+(expW-1)·qW_{a_j}(t)) + p(new); as ant of c,
+          // μ(t) = (1−p) + p·(1+(expW-1)·qW_c(t)). NIL's message is exactly 1
+          // in both roles (agreement never fires on NIL), so it is skipped.
+          if (wikiOn) {
+            val nextW = Array.tabulate(n) { m =>
+              val ts = wTitles(m)
+              if (ts.isEmpty) qWiki(m)
+              else {
+                val u = wUnary(m)
+                val logq = Array.tabulate(ts.length + 1)(
+                  t => math.log(math.max(u(t), 1e-12)))
+                cands.get(m).foreach { as =>
+                  val pa = pAnt(m)
+                  var t = 0
+                  while (t < ts.length) {
+                    var msg = 1.0 - pa.sum
+                    var j = 0
+                    while (j < as.length) {
+                      val a = as(j)._1
+                      val aj = wIdx(a).getOrElse(ts(t), -1)
+                      msg += pa(j) * (1.0 + (expW - 1.0) *
+                        (if (aj >= 0) qWiki(a)(aj) else 0.0))
+                      j += 1
+                    }
+                    logq(t) += math.log(math.max(msg, 1e-12)); t += 1
+                  }
+                }
+                cands.foreach { case (c, as) =>
+                  val pa = pAnt(c)
+                  var j = 0
+                  while (j < as.length) {
+                    if (as(j)._1 == m) {
+                      var t = 0
+                      while (t < ts.length) {
+                        val cj = wIdx(c).getOrElse(ts(t), -1)
+                        val msg = (1.0 - pa(j)) + pa(j) * (1.0 + (expW - 1.0) *
+                          (if (cj >= 0) qWiki(c)(cj) else 0.0))
+                        logq(t) += math.log(math.max(msg, 1e-12)); t += 1
+                      }
+                    }
+                    j += 1
+                  }
+                }
+                val mx = logq.max
+                val e = logq.map(v => math.exp(v - mx)); val z = e.sum
+                e.map(_ / z)
+              }
+            }
+            i = 0
+            while (i < n) { qWiki(i) = nextW(i); i += 1 }
+          }
           it += 1
         }
 
@@ -190,9 +316,21 @@ object JointInference {
             case _ => (null: String, 1.0)
           }
           val bt = (0 until k).maxBy(t => (qType(m)(t), -t))
-          (mentions(m).id, antId, pA, Types(bt), qType(m)(bt))
+          // MBR decode of the denotation node: marginal argmax, ties to the
+          // lexicographically-first title (NIL sits last, loses ties)
+          val (wTitle, pW) =
+            if (wTitles(m).isEmpty) (null: String, 1.0)
+            else {
+              val q = qWiki(m)
+              var bi = 0; var t = 1
+              while (t < q.length) { if (q(t) > q(bi)) bi = t; t += 1 }
+              if (bi == wTitles(m).length) (null: String, q(bi))
+              else (wTitles(m)(bi), q(bi))
+            }
+          (mentions(m).id, antId, pA, Types(bt), qType(m)(bt), wTitle, pW)
         }
     }
-    grouped.toDF("mention_id", "ant_id", "p_ant", "type", "p_type")
+    grouped.toDF("mention_id", "ant_id", "p_ant", "type", "p_type",
+      "wiki_title", "p_wiki")
   }
 }

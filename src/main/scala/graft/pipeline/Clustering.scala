@@ -136,6 +136,23 @@ object Clustering {
 
     val rootNodes = local.select(col("local_root").as("id")).distinct()
 
+    // integer-encode the contracted graph (round-3 advice, two rounds
+    // running): the CC loop's shuffles and the driver collect then carry
+    // 8-byte longs instead of ~25-char mention-id strings — real money at
+    // 10^9 mentions. denseIdsByKey assigns dense longs in STRING SORT ORDER,
+    // so min-long == min-string and the decoded component minimum is
+    // bit-identical to the string loop's cluster ids. The encode/decode
+    // joins run at contracted-graph size (orders of magnitude below the
+    // mention count), so the encoding cost is negligible by construction.
+    val enc = SparseFeatures.denseIdsByKey(rootNodes, "id", "nid")
+      .localCheckpoint(true)
+    val encEdges = crossRoots
+      .join(enc.withColumnRenamed("id", "src").withColumnRenamed("nid", "src_n"), "src")
+      .join(enc.withColumnRenamed("id", "dst").withColumnRenamed("nid", "dst_n"), "dst")
+      .select(col("src_n").as("src"), col("dst_n").as("dst"))
+      .localCheckpoint(true)
+    val encNodes = enc.select(col("nid").as("id"))
+
     // hybrid: after union-find contraction the cross-conversation graph is
     // usually orders of magnitude smaller than the mention set. Below the
     // threshold, solve it driver-side with union-by-min (identical result to
@@ -143,13 +160,13 @@ object Clustering {
     // iterative rounds entirely; above it, run the distributed
     // checkpointed loop. At 10^12 turns the contracted graph can still be
     // huge — the threshold keeps the driver path safe, not assumed.
-    val nCross = crossRoots.limit(maxDriverEdges + 1).count()
-    val rootClusters =
+    val nCross = encEdges.limit(maxDriverEdges + 1).count()
+    val rootClustersN =
       if (nCross <= maxDriverEdges) {
-        val edges = crossRoots.select(col("src"), col("dst")).collect()
-          .map(r => (r.getString(0), r.getString(1)))
-        val parent = scala.collection.mutable.HashMap.empty[String, String]
-        def find(x: String): String = {
+        val edges = encEdges.select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
           var r = parent.getOrElseUpdate(x, x)
           while (parent(r) != r) r = parent(r)
           var c = x
@@ -164,20 +181,28 @@ object Clustering {
         val sparkSes = spark
         import sparkSes.implicits._
         val mapped = lookup.toDF("id", "cluster_id")
-        rootNodes.join(broadcast(mapped), Seq("id"), "left")
+        encNodes.join(broadcast(mapped), Seq("id"), "left")
           .select(col("id").as("mention_id"),
             coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      } else connectedComponents(rootNodes, crossRoots, checkpoint = checkpoint)
+      } else connectedComponents(encNodes, encEdges, checkpoint = checkpoint)
+
+    // decode nid → mention-id string for both the member and its label
+    val dec = enc.select(col("nid"), col("id"))
+    val rootClusters = rootClustersN
+      .join(dec.withColumnRenamed("nid", "mention_id").withColumnRenamed("id", "mid"),
+        "mention_id")
+      .join(dec.withColumnRenamed("nid", "cluster_id").withColumnRenamed("id", "cid"),
+        "cluster_id")
+      .select(col("mid").as("mention_id"), col("cid").as("cluster_id"))
 
     local.join(rootClusters.withColumnRenamed("mention_id", "local_root"), "local_root")
       .select(col("id").as("mention_id"), col("cluster_id"))
   }
 
   /** Edge-count threshold under which the contracted cross-conversation
-    * graph is solved driver-side instead of by the distributed loop. 500k
-    * string-id edges is ≤ ~150 MB of driver heap (bounded, with the
-    * distributed loop as the over-threshold fallback); the previous 2M was
-    * a 0.5-1 GB envelope for no measured win. */
+    * graph is solved driver-side instead of by the distributed loop. With
+    * integer-encoded ids, 500k long edges is ≤ ~30 MB of driver heap
+    * (bounded, with the distributed loop as the over-threshold fallback). */
   val maxDriverEdges: Int = 500000
 
   /** C3: drop singleton clusters (CoNLL postprocessing,

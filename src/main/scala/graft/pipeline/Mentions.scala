@@ -124,6 +124,17 @@ object Mentions {
   private def finish(cands: DataFrame): DataFrame = {
     val wConv = Window.partitionBy(col("conv_id"))
       .orderBy(col("turn_idx"), col("start"), col("end"))
+    properties(cands)
+      .withColumn("m_seq", (row_number().over(wConv) - 1).cast("int"))
+      .withColumn("mention_id",
+        mentionId(col("conv_id"), col("turn_idx"), col("start")))
+  }
+
+  /** The M5 property columns alone (no window, no ids) — shared verbatim by
+    * the batch [[finish]] and the streaming mention enrichment
+    * ([[graft.streaming.StreamingAssembly.enrichMentions]]) so the two
+    * paths cannot drift. Stateless: safe on a streaming DataFrame. */
+  private[graft] def properties(cands: DataFrame): DataFrame = {
     cands
       .withColumn("norm", normSurface(col("surface")))
       .withColumn("head_tok",
@@ -152,8 +163,5 @@ object Mentions {
       .withColumn("person",
         when(col("mtype") === "PRONOMINAL",
           graft.functions.pronounPerson(col("norm"))).otherwise("unknown"))
-      .withColumn("m_seq", (row_number().over(wConv) - 1).cast("int"))
-      .withColumn("mention_id",
-        mentionId(col("conv_id"), col("turn_idx"), col("start")))
   }
 }

@@ -128,12 +128,48 @@ object SparseFeatures {
     * (`&t=<mtype>`), AND conjoined with both mentions' types
     * (`&tt=<mtype_a>|<mtype_c>`) — the reference's Canonical / +MentionType /
     * +BothMentionTypes axes. */
-  def featureStrings(pairsAttr: DataFrame, counts: DataFrame): DataFrame = {
-    val base = baseTemplates
+  def featureStrings(pairsAttr: DataFrame, counts: DataFrame): DataFrame =
+    featureStrings(pairsAttr, counts, None, None)
+
+  /** [[featureStrings]] with the P6/F11 semantic lookup seams — the join
+    * shapes the reference fills from WordNet hypernym closures
+    * (`sem/SemClass.scala:15-81`) and Hearst-pattern pair counts
+    * (`PairwiseIndexingFeaturizerJoint.scala:305-336`). No such corpora
+    * exist in-sandbox, so the harness exercises the seams with
+    * deterministic fixture tables; a user drops in real precomputed tables
+    * of the same shape.
+    *
+    * @param sem    `(head, sem2)` — refined per-head semantic class, unique
+    *               per head; fires `scm2=<a>|<c>` (UNK when absent), joined
+    *               per side on the head key (broadcast — dictionary-sized)
+    * @param hearst `(head_a, head_c, hcnt)` — head-pair association counts,
+    *               unique per pair; fires the log-binned `hearst=<bin>`
+    *               ('x' when the pair is unattested) */
+  def featureStrings(pairsAttr: DataFrame, counts: DataFrame,
+      sem: Option[DataFrame], hearst: Option[DataFrame]): DataFrame = {
+    var df = withCounts(pairsAttr, counts)
+    val extra = scala.collection.mutable.ArrayBuffer.empty[Column]
+    sem.foreach { s =>
+      df = df
+        .join(broadcast(s.select(col("head").as("head_key_a"), col("sem2").as("sem2_a"))),
+          Seq("head_key_a"), "left")
+        .join(broadcast(s.select(col("head").as("head_key_c"), col("sem2").as("sem2_c"))),
+          Seq("head_key_c"), "left")
+      extra += concat(lit("scm2="), coalesce(col("sem2_a"), lit("UNK")),
+        lit("|"), coalesce(col("sem2_c"), lit("UNK")))
+    }
+    hearst.foreach { h =>
+      df = df.join(broadcast(h.select(col("head_a").as("head_key_a"),
+        col("head_c").as("head_key_c"), col("hcnt"))),
+        Seq("head_key_a", "head_key_c"), "left")
+      extra += concat(lit("hearst="), when(col("hcnt").isNull, lit("x"))
+        .otherwise(floor(log(col("hcnt") + 1)).cast("int").cast("string")))
+    }
+    val base = baseTemplates ++ extra
     val conj = base.map(f => concat(f, lit("&t="), col("mtype_c")))
     val conj2 = base.map(f =>
       concat(f, lit("&tt="), col("mtype_a"), lit("|"), col("mtype_c")))
-    withCounts(pairsAttr, counts).select(col("ant_id"), col("cur_id"),
+    df.select(col("ant_id"), col("cur_id"),
       explode(array((base ++ conj ++ conj2): _*)).as("f"))
   }
 

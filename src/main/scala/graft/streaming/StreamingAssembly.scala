@@ -149,6 +149,147 @@ object StreamingAssembly {
         })
   }
 
+  // ---- streaming band scoring + decode (the streaming face of the
+  // ---- pipeline's conversation-band leg) ----------------------------------
+
+  /** M5 property enrichment on a mention stream — applies the batch
+    * pipeline's EXACT property expressions ([[graft.pipeline.Mentions
+    * .properties]]: norm/head_key/toks/closed_class/number/gender/person);
+    * stateless, so it runs unchanged on the stream. */
+  def enrichMentions(stream: DataFrame): DataFrame =
+    graft.pipeline.Mentions.properties(stream)
+
+  case class MIn(conv_id: String, mention_id: String, turn_idx: Int, start: Int,
+      norm: String, head_key: String, toks: Seq[String], mtype: String,
+      closed_class: Boolean, role: String, number: String, gender: String,
+      ts: java.sql.Timestamp)
+  case class BufM(mention_id: String, m_seq: Int, norm: String, head_key: String,
+      toks: Seq[String], mtype: String, closed_class: Boolean, role: String,
+      number: String, gender: String)
+  case class BandBuf(nextSeq: Int, ms: List[BufM])
+  /** Emitted candidate pair carrying BOTH mentions' attributes under the
+    * batch `attachAttrs` column names — [[graft.pipeline.Scoring.featurize]]
+    * and `.score` then run stateless and UNCHANGED on the pair stream. */
+  case class BandPair(ant_id: String, cur_id: String, block_key: String,
+      conv_id_a: String, conv_id_c: String, m_seq_a: Int, m_seq_c: Int,
+      norm_a: String, norm_c: String, head_key_a: String, head_key_c: String,
+      toks_a: Seq[String], toks_c: Seq[String], mtype_a: String, mtype_c: String,
+      closed_class_a: Boolean, closed_class_c: Boolean, role_a: String,
+      role_c: String, number_a: String, number_c: String, gender_a: String,
+      gender_c: String, ts: java.sql.Timestamp)
+
+  /** Streaming B1 band-pair emission: per-conversation keyed state holding
+    * the last `maxConvDist` mentions (the band window) plus the running
+    * canonical sequence counter (W1's streaming analog — turns must arrive
+    * in order per conversation). Each arriving mention emits one candidate
+    * pair per in-band buffered antecedent, with both mentions' attributes
+    * attached (so downstream featurize+score is stateless).
+    *
+    * State is bounded two ways: the buffer is trimmed to the band width on
+    * every update (≤ maxConvDist mentions per live conversation), and whole
+    * conversations are evicted by event-time timeout one horizon past the
+    * watermark. */
+  def streamingBandPairs(spark: SparkSession, mentionStream: DataFrame,
+      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      horizonMs: Long = 600000L) = {
+    import spark.implicits._
+    val in = mentionStream
+      .withWatermark("ts", watermark)
+      .select(col("conv_id"), col("mention_id"), col("turn_idx"), col("start"),
+        col("norm"), col("head_key"), col("toks"), col("mtype"),
+        col("closed_class"), col("role"), col("number"), col("gender"), col("ts"))
+      .as[MIn]
+    in.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (conv: String, rows: Iterator[MIn], state: GroupState[BandBuf]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty[BandPair] }
+          else {
+            var buf = state.getOption.map(_.ms).getOrElse(Nil)
+            var nextSeq = state.getOption.map(_.nextSeq).getOrElse(0)
+            val out = scala.collection.mutable.ArrayBuffer.empty[BandPair]
+            var maxTsMs = 0L
+            rows.toSeq.sortBy(m => (m.turn_idx, m.start)).foreach { m =>
+              if (m.ts != null) maxTsMs = math.max(maxTsMs, m.ts.getTime)
+              val seq = nextSeq; nextSeq += 1
+              buf.foreach { a =>
+                if (seq - a.m_seq <= maxConvDist)
+                  out += BandPair(a.mention_id, m.mention_id, "conv",
+                    conv, conv, a.m_seq, seq,
+                    a.norm, m.norm, a.head_key, m.head_key, a.toks, m.toks,
+                    a.mtype, m.mtype, a.closed_class, m.closed_class,
+                    a.role, m.role, a.number, m.number, a.gender, m.gender, m.ts)
+              }
+              // trim to the band: the NEXT mention has seq+1, so only
+              // antecedents with (seq+1) - a.m_seq <= maxConvDist can pair
+              buf = BufM(m.mention_id, seq, m.norm, m.head_key, m.toks, m.mtype,
+                m.closed_class, m.role, m.number, m.gender) ::
+                buf.filter(a => seq + 1 - a.m_seq <= maxConvDist)
+            }
+            state.update(BandBuf(nextSeq, buf))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTsMs) + horizonMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** Streaming band scoring: [[streamingBandPairs]] → the batch featurize +
+    * logistic score expressions, stateless on the pair stream. Output
+    * `(ant_id, cur_id, block_key, score, ts)`. */
+  def streamingBandScores(spark: SparkSession, mentionStream: DataFrame,
+      weights: graft.pipeline.Scoring.Weights = graft.pipeline.Scoring.DefaultWeights,
+      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      horizonMs: Long = 600000L): DataFrame =
+    graft.pipeline.Scoring.score(graft.pipeline.Scoring.featurize(
+      streamingBandPairs(spark, mentionStream, maxConvDist, watermark,
+        horizonMs).toDF()), weights)
+      .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"), col("ts"))
+
+  case class ScoredArc(cur_id: String, ant_id: String, score: Double,
+      ts: java.sql.Timestamp)
+  case class BestArc(ant_id: String, score: Double)
+
+  /** Streaming W4/A2 decode: running per-mention argmax over the scored arc
+    * stream — same semantics as [[graft.pipeline.Decode.backpointers]] (best
+    * score wins, ties to the LOWEST antecedent id, sub-threshold arcs never
+    * link). Emits the current best `(cur_id, ant_id, score)` whenever it
+    * improves; the latest emission per cur_id is the decode. State is one
+    * (ant, score) pair per live mention, evicted by event-time timeout one
+    * horizon past the watermark. */
+  def streamingDecode(spark: SparkSession, scoredArcs: DataFrame,
+      threshold: Double = 0.0, watermark: String = "10 minutes",
+      horizonMs: Long = 600000L) = {
+    import spark.implicits._
+    val in = scoredArcs
+      .withWatermark("ts", watermark)
+      .select(col("cur_id"), col("ant_id"), col("score"), col("ts"))
+      .as[ScoredArc]
+    in.groupByKey(_.cur_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (cur: String, rows: Iterator[ScoredArc], state: GroupState[BestArc]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty[(String, String, Double)] }
+          else {
+            var best = state.getOption
+            var maxTsMs = 0L
+            var improved = false
+            rows.foreach { r =>
+              if (r.ts != null) maxTsMs = math.max(maxTsMs, r.ts.getTime)
+              if (r.score > threshold &&
+                (best.isEmpty || r.score > best.get.score ||
+                  (r.score == best.get.score && r.ant_id < best.get.ant_id))) {
+                best = Some(BestArc(r.ant_id, r.score)); improved = true
+              }
+            }
+            best.foreach(state.update)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTsMs) + horizonMs)
+            if (improved) Iterator.single((cur, best.get.ant_id, best.get.score))
+            else Iterator.empty
+          }
+        })
+      .toDF("cur_id", "ant_id", "score")
+  }
+
   case class TurnEvent(conv_id: String, turn_idx: Int, text: String)
   case class SeqState(nextSeq: Int)
   case class SequencedTurn(conv_id: String, turn_idx: Int, m_seq: Int)

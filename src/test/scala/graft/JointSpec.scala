@@ -84,6 +84,53 @@ class JointSpec extends SparkSuite {
       "an anaphoric mention (new_bias=-2) must link to the weak antecedent")
   }
 
+  test("wiki factor: linking evidence flips an ambiguous antecedent") {
+    // flat type priors so the type factor is neutral; w1's raw arc score
+    // beats w0's, but w0 shares cur's denotation
+    val p = Seq(("c", "w0", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)),
+      ("c", "w1", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)),
+      ("c", "w2", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)))
+      .toDF("conv_id", "mention_id", "prior")
+    val sc = Seq(("w0", "w2", 0.8), ("w1", "w2", 1.0)).toDF("ant_id", "cur_id", "score")
+    val grid = Seq(("w0", "Title_A", 2.0), ("w1", "Title_B", 2.0), ("w2", "Title_A", 2.0))
+      .toDF("mention_id", "title", "dscore")
+    def antOf(wc: Double) = JointInference.infer(spark, p, sc, coupling = 0.0,
+      wikiScores = Some(grid), wikiCoupling = wc)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap.apply("w2")
+    assert(antOf(0.0) === Some("w1"), "coupling 0: higher raw score wins")
+    assert(antOf(2.0) === Some("w0"),
+      "denotation agreement must flip the antecedent to the co-linked mention")
+  }
+
+  test("wiki factor: a strong coref link pulls an ambiguous denotation to the antecedent's") {
+    val p = Seq(("c", "w0", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)),
+      ("c", "w2", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)))
+      .toDF("conv_id", "mention_id", "prior")
+    val sc = Seq(("w0", "w2", 3.0)).toDF("ant_id", "cur_id", "score")
+    val grid = Seq(("w0", "Title_A", 3.0), // antecedent: peaked at A
+      ("w2", "Title_A", 1.0), ("w2", "Title_B", 1.0)) // cur: A/B tied
+      .toDF("mention_id", "title", "dscore")
+    val r = JointInference.infer(spark, p, sc, coupling = 0.0,
+      wikiScores = Some(grid), wikiCoupling = 2.0)
+      .collect().map(x => x.getString(0) -> (Option(x.getString(5)), x.getDouble(6))).toMap
+    val (t2, p2) = r("w2")
+    assert(t2 === Some("Title_A"), "coref link must break the denotation tie")
+    assert(p2 > 0.5, s"posterior must move off the tie: $p2")
+  }
+
+  test("wiki factor: no grid / zero coupling is a no-op on coref and types") {
+    val base = JointInference.infer(spark, priors, scored, coupling = 1.5)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getString(3), r.getDouble(4))).toMap
+    val grid = Seq(("m0", "Title_A", 2.0), ("m3", "Title_A", 2.0))
+      .toDF("mention_id", "title", "dscore")
+    val zeroC = JointInference.infer(spark, priors, scored, coupling = 1.5,
+      wikiScores = Some(grid), wikiCoupling = 0.0)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getString(3), r.getDouble(4))).toMap
+    assert(zeroC === base, "wikiCoupling=0 must not perturb the factor-pair model")
+  }
+
   test("typePriors derive from surface sem-class") {
     val m = Seq(("x", "c", "Customer#000000007"), ("y", "c", "the vendor"))
       .toDF("mention_id", "conv_id", "surface")

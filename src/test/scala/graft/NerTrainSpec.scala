@@ -62,6 +62,42 @@ class NerTrainSpec extends SparkSuite {
     assert(f1Trained >= 0.99, s"trained kernel must hit the F1 gate: $f1Trained")
   }
 
+  test("shape/class + corpus-count features beat the 7-feature core on position-0 entities") {
+    // entities are rare capitalized names that ALSO open turns (cap_mid is
+    // blind at pos 0); confounders are frequent capitalized sentence-starters
+    // — only the count-thresholded rare/affix features plus shape_cap can
+    // separate the two linearly
+    val starters = Vector("Please", "Note", "Thanks", "Update")
+    // 20 distinct entity names, 2 occurrences each (below the cutoff);
+    // starters repeat 10x each (above it)
+    val ents = (0 until 20).map(i => s"${('A' + i).toChar}orvex").toVector
+    val rows = (0 until 80).map { i =>
+      if (i % 2 == 0) {
+        val e = ents((i / 2) % ents.size)
+        (s"E$i", s"$e filed the report today", Some(0))
+      } else (s"S$i", s"${starters(i % starters.size)} review the report today", None)
+    }
+    val t = rows.map { case (c, x, _) =>
+      (c, 0, "user", x, null: String, new java.sql.Timestamp(1700000000000L)) }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val gold = rows.collect { case (c, _, Some(s)) => (c, 0, s, s) }
+      .toDF("conv_id", "turn_idx", "start", "end")
+    val labels = NerTrainer.goldTokenLabels(gold)
+    val feats = NerTrainer.tokenFeatures(t, countCutoff = 5).cache()
+    def f1Of(names: Seq[String]): Double = {
+      val w = NerTrainer.train(feats, labels, epochs = 60, eta = 1.0, names = names)
+      Ner.chunkF1(Ner.chunks(Ner.viterbi(spark,
+        NerTrainer.emissions(feats, w, names))), gold)
+        .collect()(0).getAs[Double]("f1")
+    }
+    val f1Core = f1Of(NerTrainer.CoreFeatureNames)
+    val f1Wide = f1Of(NerTrainer.FeatureNames)
+    info(s"core(7) F1=$f1Core wide(${NerTrainer.Dim}) F1=$f1Wide")
+    assert(f1Wide >= 0.95, s"wide feature set must recover the entities: $f1Wide")
+    assert(f1Wide > f1Core + 0.2,
+      s"the shape/count features must provide a measurable gain: $f1Wide vs $f1Core")
+  }
+
   test("L7: dictionary surface-match features recover lowercase entities") {
     // lowercase entity mentions carry NO shape signal — only the dictionary
     // features can label them. Entities at varying positions + negatives.

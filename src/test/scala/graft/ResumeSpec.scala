@@ -69,6 +69,31 @@ class ResumeSpec extends SparkSuite {
     assert(io.latestSnapshot("clusters").isDefined)
   }
 
+  test("kill-after-stage-k resume at sf0.01 (data scale) is byte-identical") {
+    // the round-3 gate ran only on the fixture; this drives the same
+    // kill/resume protocol through TableIO at sf0.01 (driver testdata)
+    val t = graft.sources.Transcripts.load(spark, "/root/testdata/sf0.01")
+    val dir = freshDir("sf001")
+    val cfg = Pipeline.Config(mentionGenerator = "identifier", checkpointDir = Some(dir))
+    val c1 = Pipeline.run(spark, t, cfg).clusters
+      .orderBy("mention_id").collect().toSeq
+    assert(c1.nonEmpty)
+    // die between `scores` and the decode: later stages never committed
+    for (s <- Seq("backptrs", "clusters")) {
+      val p = Paths.get(dir, s)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+    }
+    val io = new TableIO(dir)
+    val scoresSnap = io.latestSnapshot("scores").get
+    val c2 = Pipeline.run(spark, t, cfg).clusters
+      .orderBy("mention_id").collect().toSeq
+    assert(c1 === c2, "resumed sf0.01 output differs from the original run")
+    assert(io.latestSnapshot("scores").get === scoresSnap,
+      "scores stage recomputed despite a current snapshot")
+  }
+
   test("config change invalidates lineage and recomputes") {
     val dir = freshDir("d")
     val cfg = Pipeline.Config(mentionGenerator = "all", checkpointDir = Some(dir))

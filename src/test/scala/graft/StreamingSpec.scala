@@ -88,6 +88,61 @@ class StreamingSpec extends SparkSuite {
       assert(math.abs(j - batch(k)) < 1e-9, s"jaccard mismatch on $k") }
   }
 
+  test("streaming band scoring + decode == batch band + decode on replay") {
+    import graft.pipeline.{Mentions, Blocking, Scoring, Decode}
+    val transcripts = spark.read.parquet(dir)
+    val m = Mentions.extractIdentifier(transcripts).cache()
+    val cfg = Blocking.Config()
+    val batchScores = Scoring.scorePairs(
+      Blocking.convBandPairs(m, cfg), m)
+      .select(col("ant_id"), col("cur_id"), round(col("score"), 9).as("score"))
+      .cache()
+    val batchBptr = Decode.backpointers(
+      Scoring.scorePairs(Blocking.convBandPairs(m, cfg), m), 0.0)
+      .select("cur_id", "ant_id").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // replay the enriched mentions as a file stream; ONE file per conv order
+    // is not needed — the stateful sequencer sorts within the batch
+    val md = Files.createTempDirectory("graft-band").toString
+    m.select("conv_id", "mention_id", "turn_idx", "start", "norm", "head_key",
+      "toks", "mtype", "closed_class", "role", "number", "gender", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(md)
+    val stream = spark.readStream.schema(
+      "conv_id STRING, mention_id STRING, turn_idx INT, start INT, norm STRING, " +
+        "head_key STRING, toks ARRAY<STRING>, mtype STRING, closed_class BOOLEAN, " +
+        "role STRING, number STRING, gender STRING, ts TIMESTAMP").parquet(md)
+    val q = StreamingAssembly.streamingBandScores(spark, stream,
+      maxConvDist = cfg.maxConvDist)
+      .writeStream.format("memory").queryName("stream_band")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamedScores = spark.table("stream_band")
+      .select(col("ant_id"), col("cur_id"), round(col("score"), 9).as("score"))
+    val nBatch = batchScores.count()
+    assert(nBatch > 0)
+    assert(streamedScores.count() === nBatch)
+    assert(streamedScores.exceptAll(batchScores).count() === 0L,
+      "streamed band scores must equal the batch band scores exactly")
+
+    // decode phase: stream the scored arcs through the running argmax
+    val sd = Files.createTempDirectory("graft-banddec").toString
+    spark.table("stream_band").coalesce(1).write.mode("overwrite").parquet(sd)
+    val arcStream = spark.readStream.schema(
+      "ant_id STRING, cur_id STRING, block_key STRING, score DOUBLE, ts TIMESTAMP")
+      .parquet(sd)
+    val q2 = StreamingAssembly.streamingDecode(spark, arcStream, 0.0)
+      .writeStream.format("memory").queryName("stream_decode")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(180000)
+    // one emission per improvement; the LAST per cur is the decode
+    val streamedBptr = spark.table("stream_decode")
+      .groupBy(col("cur_id"))
+      .agg(min_by(col("ant_id"), struct(negate(col("score")), col("ant_id"))).as("ant_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamedBptr === batchBptr,
+      s"streaming decode must equal batch backpointers (${streamedBptr.size} vs ${batchBptr.size})")
+  }
+
   test("streaming exact dedup == batch exact dedup survivor set") {
     val stream = StreamingAssembly.streamTranscripts(spark, dir)
     val q = StreamingAssembly.streamingExactDedup(stream)
