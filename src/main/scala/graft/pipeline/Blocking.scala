@@ -123,25 +123,29 @@ object Blocking {
   /** Candidate *surface* pairs `(norm_a, norm_b, block_key)`, `norm_a <
     * norm_b`, deduped across keys, oversize keys dropped (audited). */
   def surfacePairs(surfaces: DataFrame, cfg: Config = Config()): DataFrame = {
-    // keys feeds both the stats gate and the self-join legs — materialize it
-    // once or the minhash signatures (the expensive leg) are computed twice
-    // per run. Eager localCheckpoint, NOT cache(): a cache() here has no
-    // owner to unpersist it (the result is lazy, so unpersisting before
-    // return would defeat the sharing), and repeated surfacePairs calls in a
-    // long-lived session would accumulate cacheManager entries; checkpoint
-    // blocks are freed by the ContextCleaner as soon as the plan is
-    // unreferenced. Tradeoff: local checkpoints aren't recomputable on
-    // executor loss — acceptable for a stage this cheap to retry.
-    val keys = blockKeys(surfaces, cfg).localCheckpoint(true)
+    // keys feeds both the stats gate and the self-join legs — cache it or
+    // the minhash signatures (the expensive leg) are computed twice per run.
+    // The cache is released BEFORE returning: the (surface-granularity,
+    // contracted) RESULT is pinned with an eager localCheckpoint while the
+    // keys cache is alive, so repeated calls leave no orphan cacheManager
+    // entry (round-3 advice — the old always-on cache leaked one entry per
+    // invocation, and its cross-call plan reuse silently flattered bench
+    // pass 2). NOTE: checkpointing `keys` instead would erase its size
+    // stats (LogicalRDD defaults to max sizeInBytes) and de-broadcast the
+    // stats-gate join — measured 3× on the blocking stage.
+    val keys = blockKeys(surfaces, cfg).cache()
     val sized = keys.join(
       blockStats(keys, surfaces, cfg).filter(!col("oversize")).select(col("block_key")),
       Seq("block_key"))
     val left = sized.select(col("block_key"), col("norm").as("norm_a"))
     val right = sized.select(col("block_key"), col("norm").as("norm_b"))
-    left.join(right.hint("shuffle_hash"), Seq("block_key"))
+    val out = left.join(right.hint("shuffle_hash"), Seq("block_key"))
       .filter(col("norm_a") < col("norm_b"))
       .groupBy(col("norm_a"), col("norm_b"))
       .agg(min(col("block_key")).as("block_key"))
+      .localCheckpoint(true)
+    keys.unpersist()
+    out
   }
 
   /** B1 conversation-band mention pairs `(ant_id, cur_id)` (closed- and

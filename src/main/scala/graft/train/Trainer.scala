@@ -236,6 +236,84 @@ object Trainer {
     (w, trace.toSeq)
   }
 
+  /** Fully-distributed sparse ranking trainer — the 10^9-feature scale path
+    * of [[trainSparseRanking]]: the model (weight + Adagrad accumulator per
+    * feature) lives in a DataFrame for the whole run; NOTHING per-feature
+    * ever reaches the driver (only the scalar epoch loss). Per epoch:
+    *
+    *  1. pair scores: `feats ⋈ weights` (LEFT) + `groupBy(pair).sum` —
+    *     broadcast while the model fits, shuffle-hash join on `f` beyond;
+    *  2. the same per-mention softmax(-margin) residual windows as the
+    *     driver-side variant;
+    *  3. per-feature gradient `groupBy(f).sum(resid)` joined FULL OUTER onto
+    *     the model, Adagrad + L1 proximal applied as column expressions,
+    *     result pinned (localCheckpoint) as the next epoch's model.
+    *
+    * Same update rule as [[trainSparseRanking]] — the two differ only in
+    * float-sum association (distributed partial aggregation), so trained
+    * quality gates (not bitwise weights) are the equivalence check.
+    * Returns the final `(f, w)` weight table and the per-epoch loss trace. */
+  def trainSparseRankingDistributed(feats: DataFrame, labeled: DataFrame,
+      epochs: Int = 30, eta: Double = 0.5, lambda: Double = 1e-6,
+      lossFn: LossFn = LossFn.Zero): (DataFrame, Seq[(Int, Double)]) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = feats.sparkSession
+    val f = feats.localCheckpoint(true)
+    val lab = labeled.select(col("ant_id"), col("cur_id"), col("label")).localCheckpoint(true)
+    val nCur = lab.select(col("cur_id")).distinct().count().toDouble
+    val wCur = Window.partitionBy(col("cur_id"))
+    // model table: (f, w, sq) — starts empty; features enter on first nonzero grad
+    var model = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("sq", org.apache.spark.sql.types.DoubleType))))
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (ep <- 0 until epochs) {
+      val scored = f.join(model.select(col("f"), col("w")), Seq("f"), "left")
+        .groupBy(col("ant_id"), col("cur_id"))
+        .agg(sum(coalesce(col("w"), lit(0.0))).as("s0"))
+        .join(lab, Seq("ant_id", "cur_id"))
+      val withP = scored
+        .withColumn("anaph", max(col("label")).over(wCur) > 0.5)
+        .withColumn("lcost", when(col("label") === 1.0, 0.0)
+          .otherwise(when(col("anaph"), lossFn.wrongLink).otherwise(lossFn.falseLink)))
+        .withColumn("lnew", when(col("anaph"), lossFn.falseNew).otherwise(0.0))
+        .withColumn("s", col("s0") + col("lcost"))
+        .withColumn("mx", greatest(max(col("s")).over(wCur), col("lnew")))
+        .withColumn("e", exp(col("s") - col("mx")))
+        .withColumn("z", sum(col("e")).over(wCur) + exp(col("lnew") - col("mx")))
+        .withColumn("p", col("e") / col("z"))
+        .withColumn("ge", when(col("label") === 1.0, col("e")).otherwise(0.0))
+        .withColumn("gz", sum(col("ge")).over(wCur))
+        .withColumn("ptilde", when(col("gz") > 0, col("ge") / col("gz")).otherwise(0.0))
+        .withColumn("resid", col("p") - col("ptilde"))
+        .withColumn("l",
+          when(col("gz") > 0, -log(col("gz") / col("z")))
+            .otherwise(-log(exp(-col("mx")) / col("z"))) /
+            count(lit(1)).over(wCur))
+        .localCheckpoint(true)
+      val loss = withP.agg(sum(col("l"))).collect()(0).getDouble(0) / nCur
+      val grads = withP.select(col("ant_id"), col("cur_id"), col("resid"))
+        .join(f, Seq("ant_id", "cur_id"))
+        .groupBy(col("f")).agg((sum(col("resid")) / nCur).as("g"))
+      // Adagrad + L1 proximal as pure column arithmetic over the outer join
+      val sqN = coalesce(col("sq"), lit(0.0)) +
+        coalesce(col("g"), lit(0.0)) * coalesce(col("g"), lit(0.0))
+      val h = lit(1.0) + sqrt(sqN)
+      val wi = coalesce(col("w"), lit(0.0)) - lit(eta) * coalesce(col("g"), lit(0.0)) / h
+      val shrink = lit(eta * lambda) / h
+      model = model.join(grads, Seq("f"), "full_outer")
+        .select(col("f"),
+          (signum(wi) * greatest(abs(wi) - shrink, lit(0.0))).as("w"),
+          sqN.as("sq"))
+        .localCheckpoint(true)
+      trace += ((ep, loss))
+    }
+    (model.select(col("f"), col("w")), trace.toSeq)
+  }
+
   /** Score pairs with a sparse weight map (driver-side model → broadcast). */
   def scoreSparseWith(feats: DataFrame, w: Map[String, Double]): DataFrame = {
     val spark = feats.sparkSession

@@ -84,6 +84,30 @@ class SparseSpec extends SparkSuite {
     assert(f1Nb >= 0.99, s"log-odds estimator must hit the F1 gate: $f1Nb")
   }
 
+  test("distributed sparse trainer (model never leaves the cluster) hits the same F1 gate") {
+    val (_, mentions, gold) = fix
+    val universe = Blocking.candidatePairs(mentions).cache()
+    val pairsAttr = Scoring.attachAttrs(universe, mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr,
+      SparseFeatures.normCounts(mentions)).localCheckpoint(true)
+    val labels = universe.select(col("ant_id"), col("cur_id"))
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
+      .localCheckpoint(true)
+    val (wdf, trace) = graft.train.Trainer.trainSparseRankingDistributed(
+      feats, labels, epochs = 20, eta = 1.0)
+    assert(trace.last._2 < trace.head._2 * 0.5, "distributed training loss must decrease")
+    val wTab = wdf.select(col("f"),
+      round(col("w") * SparseFeatures.WeightScale, 0).cast("long").as("w_i"))
+    val scored = SparseFeatures.scoreWithWeights(feats, wTab, Seq("ant_id", "cur_id"))
+    val f1 = Eval.pairwiseF1(universe.select("ant_id", "cur_id"),
+      Clustering.cluster(spark, mentions, Decode.backpointers(scored, 0.0)), gold)
+      .collect()(0).getAs[Double]("f1")
+    info(s"distributed sparse F1=$f1")
+    assert(f1 >= 0.99, s"distributed sparse trainer must hit the F1 gate: $f1")
+  }
+
   test("scoringMode=sparse: FULL pipeline (band+bridge+chains) with the trained sparse model >= trained dense pipeline F1") {
     val (transcripts, mentions, gold) = fix
     val universe = Blocking.candidatePairs(mentions).cache()
