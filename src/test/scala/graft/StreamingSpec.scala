@@ -143,6 +143,29 @@ class StreamingSpec extends SparkSuite {
       s"streaming decode must equal batch backpointers (${streamedBptr.size} vs ${batchBptr.size})")
   }
 
+  test("END-TO-END raw transcript stream -> mentions -> band scores == batch") {
+    import graft.pipeline.{Mentions, Blocking, Scoring}
+    // the full streaming chain from RAW transcripts: extract (stateless) →
+    // enrich with the batch property expressions (stateless) → stateful band
+    // pairing + sequencing → the batch scoring expressions, stateless
+    val stream = StreamingAssembly.streamTranscripts(spark, dir)
+    val enriched = StreamingAssembly.enrichMentions(
+      StreamingAssembly.extractMentions(stream))
+    val q = StreamingAssembly.streamingBandScores(spark, enriched)
+      .writeStream.format("memory").queryName("stream_e2e_band")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("stream_e2e_band")
+      .select(col("ant_id"), col("cur_id"), round(col("score"), 9).as("score"))
+    val m = Mentions.extractIdentifier(spark.read.parquet(dir))
+    val batch = Scoring.scorePairs(Blocking.convBandPairs(m, Blocking.Config()), m)
+      .select(col("ant_id"), col("cur_id"), round(col("score"), 9).as("score"))
+    assert(batch.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L,
+      "end-to-end streamed band scores must equal the batch band scores")
+  }
+
   test("streaming exact dedup == batch exact dedup survivor set") {
     val stream = StreamingAssembly.streamTranscripts(spark, dir)
     val q = StreamingAssembly.streamingExactDedup(stream)
