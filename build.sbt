@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through UNWRAPPED (no "[info] " prefix):
+// the bench/verify driver parses the JSON line from stdout — sbt's default
+// logged output strategy mangles it (BENCH_r{2,3,4}.json: "parsed": null).
+run / connectInput := true
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

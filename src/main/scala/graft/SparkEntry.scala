@@ -30,6 +30,7 @@ object SparkEntry {
     "b2_pruned_pairs" -> (Queries.b2Pruned _),
     "a9_slices" -> (Queries.a9Slices _),
     "s5_model" -> (Queries.s5Model _),
+    "s5b_sparse_model" -> (Queries.s5bSparseModel _),
     "l2_link_titles" -> (Queries.l2LinkTitles _),
     "a12_wiki_eval" -> (Queries.a12WikiEval _),
     "l5_query_denotation" -> (Queries.l5QueryDenotation _),
@@ -267,6 +268,12 @@ object SparkEntry {
          |  $vals
          |) AS t(feature, "index", weight)""".stripMargin
     },
+
+    "s5b_sparse_model" -> ErOracle.q(ErOracle.sparseCtes +
+      """,
+        |spk AS (SELECT f, w_i FROM sw WHERE w_i <> 0)
+        |SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f) - 1 AS BIGINT) AS feature_id, w_i
+        |FROM spk""".stripMargin),
 
     "c1_clusters" -> ErOracle.q(
       "SELECT mention_id, cluster_id FROM clusters"),

@@ -183,6 +183,12 @@ object Queries {
     graft.train.ModelIO.pack(
       graft.train.ModelIO.weightsDF(spark, Scoring.DefaultWeights))
 
+  /** S5b: the packed SPARSE model table (`PairwiseScorer.pack` at the
+    * lexicalized model's scale): zero weights dropped, dense feature ids in
+    * feature sort order via the scale-safe two-pass numbering. */
+  def s5bSparseModel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.train.ModelIO.packSparse(sparsePath(spark, sfDir)._3)
+
   /** Link dictionary derived deterministically from `customer` (the
     * title-given-surface DB analog): canonical lowered name, digit alias,
     * `Cust-k` alias (titled with a redirect source), stripped-digit backoff. */

@@ -74,16 +74,31 @@ class TableIO(rootDir: String) {
     snap
   }
 
+  private val LineageRe = """"lineage":"([^"]*)"""".r
+  private val RowCountRe = """"rowCount":(\d+)""".r
+
   /** Read a committed snapshot (latest when `snap` is None); None when the
-    * stage has no committed snapshot or the lineage token does not match —
-    * the caller then recomputes (resume semantics). */
+    * stage has no committed snapshot, the lineage token does not match, or
+    * the snapshot's data no longer agrees with its manifest row count — the
+    * caller then recomputes (resume semantics).
+    *
+    * Lineage is compared as the PARSED manifest field (exact equality), not
+    * a substring scan — a token that is a prefix of another can never
+    * false-match. The row-count check makes a torn / tampered snapshot
+    * (e.g. a lost part file under a surviving manifest) fail loudly into a
+    * recompute instead of a silent short read; it is a parquet-footer-only
+    * count, cheap relative to any recompute it guards. */
   def readIfCurrent(spark: SparkSession, stage: String, lineage: String,
       snap: Option[Int] = None): Option[DataFrame] = {
     val s = snap.orElse(latestSnapshot(stage))
     s.flatMap { k =>
       manifest(stage, k) match {
-        case Some(m) if m.contains(s""""lineage":"$lineage"""") =>
-          Some(spark.read.parquet(stageDir(stage).resolve(s"snap-$k").toString))
+        case Some(m) if LineageRe.findFirstMatchIn(m).exists(_.group(1) == lineage) =>
+          val expected = RowCountRe.findFirstMatchIn(m).map(_.group(1).toLong)
+          try {
+            val df = spark.read.parquet(stageDir(stage).resolve(s"snap-$k").toString)
+            if (expected.forall(_ == df.count())) Some(df) else None
+          } catch { case _: Exception => None } // unreadable data = torn write
         case _ => None
       }
     }

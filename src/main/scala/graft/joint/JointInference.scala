@@ -25,10 +25,22 @@ import org.apache.spark.sql.functions._
   *    conversations, so the distributed shape is a keyed group, not a
   *    distributed graph.
   *
-  * Round 4 adds the reference's WIKI factor family
+  * Round 4 added the reference's WIKI factor family
   * (`JointDocFactorGraphOnto.scala:149-172,230-237`): a latent denotation
   * variable per mention over its L5 query/denotation grid titles + NIL, and
   * a coref-link/denotation-agreement factor — see [[infer]]'s `wikiScores`.
+  *
+  * Round 5 adds COUPLING TRAINING ([[trainCouplings]]): the reference learns
+  * every factor weight by BP-gradient Adagrad
+  * (`JointComputerShared.scala:47-102`, `GeneralTrainer.scala:100-135`);
+  * the scoped version optimizes the 4 coupling scalars against gold
+  * antecedent/type/title assignments — the smooth surrogate is the summed
+  * log-marginal of the gold assignment under the converged beliefs
+  * ([[goldLogLik]]), its gradient taken by central finite differences and
+  * fed through the SAME Adagrad update rule as [[graft.train.Trainer]].
+  * Both the as-cur and as-ant message passes use a precomputed reverse
+  * adjacency (ant → arcs targeting it), so a mean-field iteration is
+  * O(total arcs × states), not O(mentions × total arcs).
   *
   * Output: per mention, the joint antecedent argmax (or none), the type
   * posterior argmax with its probability, and the denotation argmax (MBR
@@ -50,9 +62,266 @@ object JointInference {
         .as("prior"))
   }
 
+  /** The 4 learnable factor-strength scalars (the reference's factor
+    * weights, scoped): type-agreement, NER-agreement, denotation-agreement,
+    * NIL unary. */
+  case class Couplings(coref: Double = 1.0, ner: Double = 0.0,
+      wiki: Double = 0.0, wikiNil: Double = 0.0)
+
   private case class MRow(id: String, prior: Array[Double],
-      pEnt: Double, newBias: Double, wopts: Array[(String, Double)])
-  private case class PRow(ant: String, cur: String, score: Double)
+      pEnt: Double, newBias: Double, wopts: Array[(String, Double)],
+      gAnt: String, gType: String, gWiki: String)
+
+  /** Converged per-conversation beliefs. */
+  private case class ConvBeliefs(
+      mentions: Array[MRow],
+      cands: Map[Int, Array[(Int, Double)]],
+      pAnt: collection.Map[Int, Array[Double]],
+      qType: Array[Array[Double]],
+      qWiki: Array[Array[Double]],
+      wTitles: Array[Array[String]])
+
+  /** The mean-field kernel for ONE conversation — pure function of the
+    * mention rows, candidate arcs, and couplings; runs inside the cogroup on
+    * executors. Message passes in both directions use `revAdj` (ant → arcs
+    * targeting it) so an iteration costs O(arcs × states). */
+  private def runConv(mentions: Array[MRow],
+      cands: Map[Int, Array[(Int, Double)]], cpl: Couplings,
+      iters: Int): ConvBeliefs = {
+    val k = Types.size
+    val n = mentions.length
+    val expC = math.exp(cpl.coref)
+    // NER-agreement unary folded into an effective prior:
+    // eff(t) = prior(t) · exp(nerCoupling · p_entity · [t ≠ OTHER])
+    val otherIdx = Types.indexOf("OTHER")
+    def effPrior(i: Int): Array[Double] = Array.tabulate(k) { t =>
+      val boost = if (t == otherIdx) 1.0
+        else math.exp(cpl.ner * mentions(i).pEnt)
+      mentions(i).prior(t) * boost
+    }
+
+    // reverse adjacency: for each mention m, the arcs (c, j) with
+    // cands(c)(j) targeting m — computed ONCE (round-4 advice: the old
+    // as-antecedent pass rescanned every arc list per mention per iteration)
+    val revAdj: Map[Int, Array[(Int, Int)]] = {
+      val buf = scala.collection.mutable.HashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+      cands.foreach { case (c, as) =>
+        var j = 0
+        while (j < as.length) {
+          buf.getOrElseUpdate(as(j)._1,
+            scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]) += ((c, j))
+          j += 1
+        }
+      }
+      buf.iterator.map { case (m, v) => m -> v.toArray }.toMap
+    }
+
+    // denotation domains (wiki nodes): sorted distinct candidate titles
+    // per mention; implicit NIL at index titles.length
+    val expW = math.exp(cpl.wiki)
+    val wikiOn = cpl.wiki != 0.0
+    val wTitles: Array[Array[String]] =
+      mentions.map(m => m.wopts.map(_._1).distinct.sorted)
+    val wIdx: Array[Map[String, Int]] = wTitles.map(_.zipWithIndex.toMap)
+    val wUnary: Array[Array[Double]] = Array.tabulate(n) { i =>
+      val ts = wTitles(i)
+      if (ts.isEmpty) Array.empty[Double]
+      else {
+        // best dscore per title (the grid may carry several queries)
+        val best = mentions(i).wopts.groupBy(_._1)
+          .map { case (t, xs) => t -> xs.map(_._2).max }
+        val raw = ts.map(best) :+ cpl.wikiNil
+        val mx = raw.max
+        val e = raw.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
+      }
+    }
+
+    // beliefs
+    val qType = Array.tabulate(n) { i =>
+      val p = effPrior(i); val z = p.sum; p.map(_ / z)
+    }
+    val qWiki: Array[Array[Double]] = Array.tabulate(n)(i => wUnary(i).clone())
+    // denotation agreement between two mentions under current beliefs:
+    // Σ over SHARED titles (NIL never counts as agreement)
+    def wikiDot(c: Int, a: Int): Double = {
+      val tc = wTitles(c)
+      if (tc.isEmpty || wTitles(a).isEmpty) 0.0
+      else {
+        var s = 0.0; var i = 0
+        while (i < tc.length) {
+          val j = wIdx(a).getOrElse(tc(i), -1)
+          if (j >= 0) s += qWiki(c)(i) * qWiki(a)(j)
+          i += 1
+        }
+        s
+      }
+    }
+    val pAnt = scala.collection.mutable.Map.empty[Int, Array[Double]]
+
+    var it = 0
+    while (it < iters) {
+      // A_c update: p(a) ∝ exp(score) · E_{T_c,T_a}[exp(coupling·[=])]
+      //            = exp(score) · (1 + (expC-1)·(q_c · q_a))
+      //            · (1 + (expW-1)·wikiDot) [denotation-agreement factor];
+      // the "new entity" arc weighs exp(new_bias) (anaphoricity unary)
+      cands.foreach { case (c, as) =>
+        val w = as.map { case (a, s) =>
+          val dot = (0 until k).map(t => qType(c)(t) * qType(a)(t)).sum
+          val wm = if (wikiOn) 1.0 + (expW - 1.0) * wikiDot(c, a) else 1.0
+          math.exp(s) * (1.0 + (expC - 1.0) * dot) * wm
+        }
+        val z = w.sum + math.exp(mentions(c).newBias)
+        pAnt(c) = w.map(_ / z)
+      }
+      // T_m update: prior × messages from every factor touching T_m
+      // μ(t) = Σ_a p(a)·(1 + (expC-1)·q_a(t)) + p(new)  (as cur)
+      //      × Π over (c with a=m): same with roles swapped (as ant)
+      val next = Array.tabulate(n) { m =>
+        val eff = effPrior(m)
+        val logq = Array.tabulate(k)(t => math.log(math.max(eff(t), 1e-12)))
+        cands.get(m).foreach { as =>
+          val pa = pAnt(m)
+          var t = 0
+          while (t < k) {
+            var msg = 1.0 - pa.sum // new-entity mass, type-flat
+            var j = 0
+            while (j < as.length) {
+              msg += pa(j) * (1.0 + (expC - 1.0) * qType(as(j)._1)(t))
+              j += 1
+            }
+            logq(t) += math.log(math.max(msg, 1e-12)); t += 1
+          }
+        }
+        revAdj.get(m).foreach(_.foreach { case (c, j) =>
+          val pa = pAnt(c)
+          var t = 0
+          while (t < k) {
+            val msg = (1.0 - pa(j)) + pa(j) * (1.0 + (expC - 1.0) * qType(c)(t))
+            logq(t) += math.log(math.max(msg, 1e-12)); t += 1
+          }
+        })
+        val mx = logq.max
+        val e = logq.map(v => math.exp(v - mx)); val z = e.sum
+        e.map(_ / z)
+      }
+      var i = 0
+      while (i < n) { qType(i) = next(i); i += 1 }
+      // W_m update (mirrors T_m): unary × link-factor messages — as cur,
+      // μ(t) = Σ_j p(a_j)·(1+(expW-1)·qW_{a_j}(t)) + p(new); as ant of c,
+      // μ(t) = (1−p) + p·(1+(expW-1)·qW_c(t)). NIL's message is exactly 1
+      // in both roles (agreement never fires on NIL), so it is skipped.
+      if (wikiOn) {
+        val nextW = Array.tabulate(n) { m =>
+          val ts = wTitles(m)
+          if (ts.isEmpty) qWiki(m)
+          else {
+            val u = wUnary(m)
+            val logq = Array.tabulate(ts.length + 1)(
+              t => math.log(math.max(u(t), 1e-12)))
+            cands.get(m).foreach { as =>
+              val pa = pAnt(m)
+              var t = 0
+              while (t < ts.length) {
+                var msg = 1.0 - pa.sum
+                var j = 0
+                while (j < as.length) {
+                  val a = as(j)._1
+                  val aj = wIdx(a).getOrElse(ts(t), -1)
+                  msg += pa(j) * (1.0 + (expW - 1.0) *
+                    (if (aj >= 0) qWiki(a)(aj) else 0.0))
+                  j += 1
+                }
+                logq(t) += math.log(math.max(msg, 1e-12)); t += 1
+              }
+            }
+            revAdj.get(m).foreach(_.foreach { case (c, j) =>
+              val pa = pAnt(c)
+              var t = 0
+              while (t < ts.length) {
+                val cj = wIdx(c).getOrElse(ts(t), -1)
+                val msg = (1.0 - pa(j)) + pa(j) * (1.0 + (expW - 1.0) *
+                  (if (cj >= 0) qWiki(c)(cj) else 0.0))
+                logq(t) += math.log(math.max(msg, 1e-12)); t += 1
+              }
+            })
+            val mx = logq.max
+            val e = logq.map(v => math.exp(v - mx)); val z = e.sum
+            e.map(_ / z)
+          }
+        }
+        var i2 = 0
+        while (i2 < n) { qWiki(i2) = nextW(i2); i2 += 1 }
+      }
+      it += 1
+    }
+    ConvBeliefs(mentions, cands, pAnt, qType, qWiki, wTitles)
+  }
+
+  /** Assemble the per-conversation grouped Dataset the kernel consumes.
+    * Gold columns (nullable) ride along when provided so the objective can
+    * be computed inside the same kernel pass. */
+  private def groupedInputs(spark: SparkSession, mentionPriors: DataFrame,
+      scored: DataFrame, evidence: Option[DataFrame],
+      wikiScores: Option[DataFrame], gold: Option[DataFrame]) = {
+    import spark.implicits._
+    val withEv = evidence match {
+      case Some(ev) => mentionPriors
+        .join(ev.select(col("mention_id"), col("p_entity"), col("new_bias")),
+          Seq("mention_id"), "left")
+        .withColumn("p_entity", coalesce(col("p_entity"), lit(0.0)))
+        .withColumn("new_bias", coalesce(col("new_bias"), lit(0.0)))
+      case None => mentionPriors
+        .withColumn("p_entity", lit(0.0)).withColumn("new_bias", lit(0.0))
+    }
+    // denotation grid → one array column per mention (struct fields named
+    // _1/_2 so the tuple encoder reads them directly)
+    val withWiki = wikiScores match {
+      case Some(w) => withEv.join(
+        w.groupBy(col("mention_id")).agg(collect_list(
+          struct(col("title").as("_1"), col("dscore").as("_2"))).as("wopts")),
+        Seq("mention_id"), "left")
+      case None => withEv.withColumn("wopts",
+        lit(null).cast("array<struct<_1:string,_2:double>>"))
+    }
+    val withGold = gold match {
+      case Some(g) => withWiki.join(
+        g.select(col("mention_id"), col("g_ant"), col("g_type"), col("g_wiki")),
+        Seq("mention_id"), "left")
+      case None => withWiki
+        .withColumn("g_ant", lit(null).cast("string"))
+        .withColumn("g_type", lit(null).cast("string"))
+        .withColumn("g_wiki", lit(null).cast("string"))
+    }
+    val ments = withGold
+      .select(col("conv_id"), col("mention_id"), col("prior"),
+        col("p_entity"), col("new_bias"), col("wopts"),
+        col("g_ant"), col("g_type"), col("g_wiki"))
+      .as[(String, String, Seq[Double], Double, Double, Seq[(String, Double)],
+        String, String, String)]
+      .map { case (c, m, p, pe, nb, wo, ga, gt, gw) =>
+        (c, m, p.toArray, pe, nb,
+          Option(wo).map(_.toArray).getOrElse(Array.empty[(String, Double)]),
+          ga, gt, gw) }
+    val pairs = scored
+      .join(mentionPriors.select(col("mention_id").as("cur_id"), col("conv_id")), "cur_id")
+      .select(col("conv_id"), col("ant_id"), col("cur_id"), col("score"))
+      .as[(String, String, String, Double)]
+    (ments, pairs)
+  }
+
+  private def toRows(ms: Iterator[(String, String, Array[Double], Double, Double,
+      Array[(String, Double)], String, String, String)]): Array[MRow] =
+    ms.map(t => MRow(t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9))
+      .toArray.sortBy(_.id)
+
+  private def toCands(mentions: Array[MRow],
+      ps: Iterator[(String, String, String, Double)]): Map[Int, Array[(Int, Double)]] = {
+    val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
+    ps.collect { case (_, a, c, s) if idx.contains(a) && idx.contains(c) =>
+        (idx(c), (idx(a), s)) }
+      .toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sortBy(_._1) }
+  }
 
   /** @param mentionPriors (mention_id, conv_id, prior: array<double> over Types)
     * @param scored within-conversation scored pairs (ant_id, cur_id, score)
@@ -76,7 +345,7 @@ object JointInference {
     *                   nodes (`JointDocFactorGraphOnto.scala:149-172`): each
     *                   mention with grid rows gets a latent DENOTATION
     *                   variable over its candidate titles + NIL, unary
-    *                   `softmax(dscore)` (NIL at [[infer]]'s `wikiNilScore`);
+    *                   `softmax(dscore)` (NIL at `wikiNilScore`);
     *                   the coref-link/denotation-agreement factor
     *                   (`corefWikiFactors`, `:230-237`) multiplies arc `a→c`
     *                   by `exp(wikiCoupling·[W_c = W_a ≠ NIL])` — linking
@@ -94,212 +363,19 @@ object JointInference {
       wikiScores: Option[DataFrame] = None, wikiCoupling: Double = 0.0,
       wikiNilScore: Double = 0.0): DataFrame = {
     import spark.implicits._
+    val cpl = Couplings(coupling, nerCoupling, wikiCoupling, wikiNilScore)
+    val (ments, pairs) = groupedInputs(spark, mentionPriors, scored,
+      evidence, wikiScores, None)
     val k = Types.size
-    val withEv = evidence match {
-      case Some(ev) => mentionPriors
-        .join(ev.select(col("mention_id"), col("p_entity"), col("new_bias")),
-          Seq("mention_id"), "left")
-        .withColumn("p_entity", coalesce(col("p_entity"), lit(0.0)))
-        .withColumn("new_bias", coalesce(col("new_bias"), lit(0.0)))
-      case None => mentionPriors
-        .withColumn("p_entity", lit(0.0)).withColumn("new_bias", lit(0.0))
-    }
-    // denotation grid → one array column per mention (struct fields named
-    // _1/_2 so the tuple encoder reads them directly)
-    val withWiki = wikiScores match {
-      case Some(w) => withEv.join(
-        w.groupBy(col("mention_id")).agg(collect_list(
-          struct(col("title").as("_1"), col("dscore").as("_2"))).as("wopts")),
-        Seq("mention_id"), "left")
-      case None => withEv.withColumn("wopts",
-        lit(null).cast("array<struct<_1:string,_2:double>>"))
-    }
-    val ments = withWiki
-      .select(col("conv_id"), col("mention_id"), col("prior"),
-        col("p_entity"), col("new_bias"), col("wopts"))
-      .as[(String, String, Seq[Double], Double, Double, Seq[(String, Double)])]
-      .map { case (c, m, p, pe, nb, wo) =>
-        (c, m, p.toArray, pe, nb,
-          Option(wo).map(_.toArray).getOrElse(Array.empty[(String, Double)])) }
-    val pairs = scored
-      .join(mentionPriors.select(col("mention_id").as("cur_id"), col("conv_id")), "cur_id")
-      .select(col("conv_id"), col("ant_id"), col("cur_id"), col("score"))
-      .as[(String, String, String, Double)]
-
     val grouped = ments.groupByKey(_._1).cogroup(pairs.groupByKey(_._1)) {
       (conv, ms, ps) =>
-        val mentions = ms.map(t => MRow(t._2, t._3, t._4, t._5, t._6)).toArray.sortBy(_.id)
-        val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
-        val cands: Map[Int, Array[(Int, Double)]] = ps
-          .collect { case (_, a, c, s) if idx.contains(a) && idx.contains(c) =>
-            (idx(c), (idx(a), s)) }
-          .toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sortBy(_._1) }
-        val n = mentions.length
-        val expC = math.exp(coupling)
-        // NER-agreement unary folded into an effective prior:
-        // eff(t) = prior(t) · exp(nerCoupling · p_entity · [t ≠ OTHER])
-        val otherIdx = Types.indexOf("OTHER")
-        def effPrior(i: Int): Array[Double] = Array.tabulate(k) { t =>
-          val boost = if (t == otherIdx) 1.0
-            else math.exp(nerCoupling * mentions(i).pEnt)
-          mentions(i).prior(t) * boost
-        }
-
-        // denotation domains (wiki nodes): sorted distinct candidate titles
-        // per mention; implicit NIL at index titles.length
-        val expW = math.exp(wikiCoupling)
-        val wikiOn = wikiCoupling != 0.0
-        val wTitles: Array[Array[String]] =
-          mentions.map(m => m.wopts.map(_._1).distinct.sorted)
-        val wIdx: Array[Map[String, Int]] = wTitles.map(_.zipWithIndex.toMap)
-        val wUnary: Array[Array[Double]] = Array.tabulate(n) { i =>
-          val ts = wTitles(i)
-          if (ts.isEmpty) Array.empty[Double]
-          else {
-            // best dscore per title (the grid may carry several queries)
-            val best = mentions(i).wopts.groupBy(_._1)
-              .map { case (t, xs) => t -> xs.map(_._2).max }
-            val raw = ts.map(best) :+ wikiNilScore
-            val mx = raw.max
-            val e = raw.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
-          }
-        }
-
-        // beliefs
-        val qType = Array.tabulate(n) { i =>
-          val p = effPrior(i); val z = p.sum; p.map(_ / z)
-        }
-        val qWiki: Array[Array[Double]] = Array.tabulate(n)(i => wUnary(i).clone())
-        // denotation agreement between two mentions under current beliefs:
-        // Σ over SHARED titles (NIL never counts as agreement)
-        def wikiDot(c: Int, a: Int): Double = {
-          val tc = wTitles(c)
-          if (tc.isEmpty || wTitles(a).isEmpty) 0.0
-          else {
-            var s = 0.0; var i = 0
-            while (i < tc.length) {
-              val j = wIdx(a).getOrElse(tc(i), -1)
-              if (j >= 0) s += qWiki(c)(i) * qWiki(a)(j)
-              i += 1
-            }
-            s
-          }
-        }
-        val pAnt = scala.collection.mutable.Map.empty[Int, Array[Double]]
-
-        var it = 0
-        while (it < iters) {
-          // A_c update: p(a) ∝ exp(score) · E_{T_c,T_a}[exp(coupling·[=])]
-          //            = exp(score) · (1 + (expC-1)·(q_c · q_a))
-          //            · (1 + (expW-1)·wikiDot) [denotation-agreement factor];
-          // the "new entity" arc weighs exp(new_bias) (anaphoricity unary)
-          cands.foreach { case (c, as) =>
-            val w = as.map { case (a, s) =>
-              val dot = (0 until k).map(t => qType(c)(t) * qType(a)(t)).sum
-              val wm = if (wikiOn) 1.0 + (expW - 1.0) * wikiDot(c, a) else 1.0
-              math.exp(s) * (1.0 + (expC - 1.0) * dot) * wm
-            }
-            val z = w.sum + math.exp(mentions(c).newBias)
-            pAnt(c) = w.map(_ / z)
-          }
-          // T_m update: prior × messages from every factor touching T_m
-          // μ(t) = Σ_a p(a)·(1 + (expC-1)·q_a(t)) + p(new)  (as cur)
-          //      × Π over (c with a=m): same with roles swapped (as ant)
-          val next = Array.tabulate(n) { m =>
-            val eff = effPrior(m)
-            val logq = Array.tabulate(k)(t => math.log(math.max(eff(t), 1e-12)))
-            cands.get(m).foreach { as =>
-              val pa = pAnt(m)
-              var t = 0
-              while (t < k) {
-                var msg = 1.0 - pa.sum // new-entity mass, type-flat
-                var j = 0
-                while (j < as.length) {
-                  msg += pa(j) * (1.0 + (expC - 1.0) * qType(as(j)._1)(t))
-                  j += 1
-                }
-                logq(t) += math.log(math.max(msg, 1e-12)); t += 1
-              }
-            }
-            cands.foreach { case (c, as) =>
-              val pa = pAnt(c)
-              var j = 0
-              while (j < as.length) {
-                if (as(j)._1 == m) {
-                  var t = 0
-                  while (t < k) {
-                    val msg = (1.0 - pa(j)) + pa(j) * (1.0 + (expC - 1.0) * qType(c)(t))
-                    logq(t) += math.log(math.max(msg, 1e-12)); t += 1
-                  }
-                }
-                j += 1
-              }
-            }
-            val mx = logq.max
-            val e = logq.map(v => math.exp(v - mx)); val z = e.sum
-            e.map(_ / z)
-          }
-          var i = 0
-          while (i < n) { qType(i) = next(i); i += 1 }
-          // W_m update (mirrors T_m): unary × link-factor messages — as cur,
-          // μ(t) = Σ_j p(a_j)·(1+(expW-1)·qW_{a_j}(t)) + p(new); as ant of c,
-          // μ(t) = (1−p) + p·(1+(expW-1)·qW_c(t)). NIL's message is exactly 1
-          // in both roles (agreement never fires on NIL), so it is skipped.
-          if (wikiOn) {
-            val nextW = Array.tabulate(n) { m =>
-              val ts = wTitles(m)
-              if (ts.isEmpty) qWiki(m)
-              else {
-                val u = wUnary(m)
-                val logq = Array.tabulate(ts.length + 1)(
-                  t => math.log(math.max(u(t), 1e-12)))
-                cands.get(m).foreach { as =>
-                  val pa = pAnt(m)
-                  var t = 0
-                  while (t < ts.length) {
-                    var msg = 1.0 - pa.sum
-                    var j = 0
-                    while (j < as.length) {
-                      val a = as(j)._1
-                      val aj = wIdx(a).getOrElse(ts(t), -1)
-                      msg += pa(j) * (1.0 + (expW - 1.0) *
-                        (if (aj >= 0) qWiki(a)(aj) else 0.0))
-                      j += 1
-                    }
-                    logq(t) += math.log(math.max(msg, 1e-12)); t += 1
-                  }
-                }
-                cands.foreach { case (c, as) =>
-                  val pa = pAnt(c)
-                  var j = 0
-                  while (j < as.length) {
-                    if (as(j)._1 == m) {
-                      var t = 0
-                      while (t < ts.length) {
-                        val cj = wIdx(c).getOrElse(ts(t), -1)
-                        val msg = (1.0 - pa(j)) + pa(j) * (1.0 + (expW - 1.0) *
-                          (if (cj >= 0) qWiki(c)(cj) else 0.0))
-                        logq(t) += math.log(math.max(msg, 1e-12)); t += 1
-                      }
-                    }
-                    j += 1
-                  }
-                }
-                val mx = logq.max
-                val e = logq.map(v => math.exp(v - mx)); val z = e.sum
-                e.map(_ / z)
-              }
-            }
-            i = 0
-            while (i < n) { qWiki(i) = nextW(i); i += 1 }
-          }
-          it += 1
-        }
-
+        val mentions = toRows(ms)
+        val cands = toCands(mentions, ps)
+        val b = runConv(mentions, cands, cpl, iters)
         mentions.indices.iterator.map { m =>
-          val (antId, pA) = cands.get(m) match {
+          val (antId, pA) = b.cands.get(m) match {
             case Some(as) if as.nonEmpty =>
-              val pa = pAnt(m)
+              val pa = b.pAnt(m)
               val newMass = 1.0 - pa.sum
               // argmax antecedent; ties to the LOWEST antecedent id (decode
               // tie-break convention)
@@ -315,22 +391,133 @@ object JointInference {
               else (null: String, newMass)
             case _ => (null: String, 1.0)
           }
-          val bt = (0 until k).maxBy(t => (qType(m)(t), -t))
+          val bt = (0 until k).maxBy(t => (b.qType(m)(t), -t))
           // MBR decode of the denotation node: marginal argmax, ties to the
           // lexicographically-first title (NIL sits last, loses ties)
           val (wTitle, pW) =
-            if (wTitles(m).isEmpty) (null: String, 1.0)
+            if (b.wTitles(m).isEmpty) (null: String, 1.0)
             else {
-              val q = qWiki(m)
+              val q = b.qWiki(m)
               var bi = 0; var t = 1
               while (t < q.length) { if (q(t) > q(bi)) bi = t; t += 1 }
-              if (bi == wTitles(m).length) (null: String, q(bi))
-              else (wTitles(m)(bi), q(bi))
+              if (bi == b.wTitles(m).length) (null: String, q(bi))
+              else (b.wTitles(m)(bi), q(bi))
             }
-          (mentions(m).id, antId, pA, Types(bt), qType(m)(bt), wTitle, pW)
+          (mentions(m).id, antId, pA, Types(bt), b.qType(m)(bt), wTitle, pW)
         }
     }
     grouped.toDF("mention_id", "ant_id", "p_ant", "type", "p_type",
       "wiki_title", "p_wiki")
+  }
+
+  /** The coupling-training objective: Σ over mentions of the log-marginal of
+    * the GOLD assignment under the converged beliefs — the mean-field
+    * surrogate of the reference's BP log-likelihood
+    * (`JointComputerShared.computeLogLikelihood`). Smooth in the couplings
+    * (unlike decode accuracy), so finite differences are well-posed.
+    *
+    * `gold` columns (all nullable — absent components contribute 0):
+    * `g_ant` (gold antecedent mention_id; null = gold "new entity" when
+    * `g_ant_known` semantics: a mention with NO gold row contributes no
+    * antecedent term at all), `g_type` (gold type name), `g_wiki` (gold
+    * title; null = NIL). */
+  def goldLogLik(spark: SparkSession, mentionPriors: DataFrame,
+      scored: DataFrame, gold: DataFrame, cpl: Couplings, iters: Int = 10,
+      evidence: Option[DataFrame] = None,
+      wikiScores: Option[DataFrame] = None): Double = {
+    import spark.implicits._
+    val (ments, pairs) = groupedInputs(spark, mentionPriors, scored,
+      evidence, wikiScores, Some(gold))
+    val eps = 1e-12
+    val perConv = ments.groupByKey(_._1).cogroup(pairs.groupByKey(_._1)) {
+      (conv, ms, ps) =>
+        val mentions = toRows(ms)
+        val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
+        val cands = toCands(mentions, ps)
+        val b = runConv(mentions, cands, cpl, iters)
+        var ll = 0.0
+        mentions.indices.foreach { m =>
+          val mr = mentions(m)
+          // antecedent term: gold arc's converged marginal (gold "new" = the
+          // leftover new-entity mass); only mentions with candidates AND a
+          // gold row participate
+          if (mr.gType != null || mr.gAnt != null || mr.gWiki != null) {
+            cands.get(m).foreach { as =>
+              val pa = b.pAnt(m)
+              val gIdx = Option(mr.gAnt).flatMap(idx.get)
+              val p = gIdx match {
+                case Some(g) =>
+                  val j = as.indexWhere(_._1 == g)
+                  if (j >= 0) pa(j) else eps // gold ant not a candidate: floor
+                case None => math.max(1.0 - pa.sum, eps) // gold new entity
+              }
+              ll += math.log(math.max(p, eps))
+            }
+            if (mr.gType != null) {
+              val t = Types.indexOf(mr.gType)
+              if (t >= 0) ll += math.log(math.max(b.qType(m)(t), eps))
+            }
+            if (b.wTitles(m).nonEmpty && (mr.gWiki != null || mr.wopts.nonEmpty)) {
+              val q = b.qWiki(m)
+              val ti = Option(mr.gWiki).map(t => b.wTitles(m).indexOf(t))
+                .getOrElse(b.wTitles(m).length) // null gold title = NIL
+              if (ti >= 0) ll += math.log(math.max(q(ti), eps))
+              else ll += math.log(eps) // gold title outside the grid
+            }
+          }
+        }
+        Iterator.single(ll)
+    }
+    perConv.reduce(_ + _)
+  }
+
+  /** Train the 4 factor couplings by central-finite-difference gradient of
+    * [[goldLogLik]] + the same Adagrad update rule as the pairwise trainers
+    * (`CorefFeaturizerTrainer.scala:174-191` shape, no L1 — 4 parameters
+    * don't need sparsity). Mirrors the reference's
+    * `GeneralTrainer.trainAdagrad` driving BP factor-weight gradients
+    * (`JointComputerShared.addUnregularizedStochasticGradient`).
+    *
+    * @return (trained couplings, per-epoch (epoch, -loglik) trace — a T2
+    *         cadence table via [[couplingTraceDF]]) */
+  def trainCouplings(spark: SparkSession, mentionPriors: DataFrame,
+      scored: DataFrame, gold: DataFrame, epochs: Int = 8, eta: Double = 0.5,
+      h: Double = 0.05, iters: Int = 6, init: Couplings = Couplings(0, 0, 0, 0),
+      evidence: Option[DataFrame] = None,
+      wikiScores: Option[DataFrame] = None,
+      trainWiki: Boolean = true): (Couplings, Seq[(Int, Double)]) = {
+    // pin the inputs: every objective evaluation re-runs the kernel only
+    val mp = mentionPriors.localCheckpoint(true)
+    val sc = scored.localCheckpoint(true)
+    val g = gold.localCheckpoint(true)
+    def obj(c: Array[Double]): Double = goldLogLik(spark, mp, sc, g,
+      Couplings(c(0), c(1), c(2), c(3)), iters, evidence, wikiScores)
+    val dims = if (trainWiki && wikiScores.nonEmpty) 4
+      else if (evidence.nonEmpty) 2 else 1
+    val w = Array(init.coref, init.ner, init.wiki, init.wikiNil)
+    val sq = Array.fill(4)(0.0)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (ep <- 0 until epochs) {
+      val loss = -obj(w)
+      trace += ((ep, loss))
+      val grad = Array.tabulate(dims) { i =>
+        val wp = w.clone(); wp(i) += h
+        val wm = w.clone(); wm(i) -= h
+        -(obj(wp) - obj(wm)) / (2 * h) // d(-loglik)/dc_i
+      }
+      var i = 0
+      while (i < dims) {
+        sq(i) += grad(i) * grad(i)
+        w(i) -= eta * grad(i) / (1.0 + math.sqrt(sq(i)))
+        i += 1
+      }
+    }
+    (Couplings(w(0), w(1), w(2), w(3)), trace.toSeq)
+  }
+
+  /** T2 cadence table for the joint objective: `(epoch, loss)` relation. */
+  def couplingTraceDF(spark: SparkSession, trace: Seq[(Int, Double)]): DataFrame = {
+    import spark.implicits._
+    trace.toDF("epoch", "loss")
   }
 }

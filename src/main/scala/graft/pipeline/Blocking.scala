@@ -186,12 +186,19 @@ object Blocking {
     * clique: linear in mentions, no skew. Heavy surfaces are bucketed on the
     * md5-nibble salt ([[saltOf]]) and chained two-level — within each bucket, plus a chain
     * over the bucket minima — so no single task ever sorts more than ~n/S
-    * rows of one surface. In-band pairs are excluded: the conversation band
-    * already scores them, with a strictly higher score (same features +
-    * dist_decay ≥ 0), so connectivity is preserved.
+    * rows of one surface. In-band pairs are excluded BY DEFAULT: the
+    * conversation band already scores them, with a strictly higher score
+    * under the DENSE model (same features + dist_decay ≥ 0), so connectivity
+    * is preserved. That argument does NOT hold for a trained sparse model
+    * (its `&t=`/`&tt=` conjunction weights can be negative, so a band pair
+    * could score below the link threshold where the chain's surface
+    * self-score would have linked) — sparse callers pass
+    * `keepInBand = true`: the in-band chain edge rides along at the surface
+    * self-score and the decode's per-mention argmax simply sees one more arc
+    * for the pair, so connectivity never depends on trained band weights.
     * Output: `(ant_id, cur_id, norm)` with `ant_id < cur_id`. */
   def sameSurfaceChainPairs(mentions: DataFrame, cfg: Config = Config(),
-      counts: Option[DataFrame] = None): DataFrame = {
+      counts: Option[DataFrame] = None, keepInBand: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val src = mentions.filter(!col("closed_class"))
       .join(counts.getOrElse(mentionCounts(mentions))
@@ -220,11 +227,12 @@ object Blocking {
         col("conv_id").as("conv_c"),
         lag(col("m_seq"), 1).over(wSurface).as("seq_a"),
         col("m_seq").as("seq_c"))
-    leg1.unionByName(leg2)
-      .filter(col("ant_id").isNotNull &&
-        !(col("conv_a") === col("conv_c") &&
-          abs(col("seq_a") - col("seq_c")) <= cfg.maxConvDist))
-      .select(col("ant_id"), col("cur_id"), col("norm"))
+    val chained = leg1.unionByName(leg2).filter(col("ant_id").isNotNull)
+    val banded =
+      if (keepInBand) chained
+      else chained.filter(!(col("conv_a") === col("conv_c") &&
+        abs(col("seq_a") - col("seq_c")) <= cfg.maxConvDist))
+    banded.select(col("ant_id"), col("cur_id"), col("norm"))
   }
 
   /** Bridge expansion of *linked* surface pairs: ONE mention-pair edge per

@@ -127,7 +127,12 @@ object Pipeline {
       val selfSc =
         if (sparse) SparseFeatures.selfScoresSparse(surfaces, counts, cfg.sparseWeights.get)
         else Scoring.selfScores(surfaces, cfg.weights)
-      val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking, Some(surfaces))
+      // sparse mode keeps in-band chain edges: the dense "band scores them
+      // strictly higher" argument doesn't survive trained conjunction
+      // weights, so the chain edge rides along at the surface self-score and
+      // the decode argmax picks greatest(band, self) per pair
+      val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking, Some(surfaces),
+          keepInBand = sparse)
         .join(selfSc.hint("shuffle_hash"), "norm")
         .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       band

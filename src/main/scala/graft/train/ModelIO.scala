@@ -60,6 +60,53 @@ object ModelIO {
     }).toDF("epoch", "loss", "feature", "weight")
   }
 
+  // ---- sparse model persistence (S5 at the lexicalized model's scale) ----
+
+  val SparseStage = "sparse_model"
+
+  /** Sparse `pack` — the reference's `PairwiseScorer.pack`
+    * (`PairwiseScorer.scala:37-47`, `GUtil.scala:463-482`) as a relational
+    * plan: drop zero-weight features, re-index densely by feature string with
+    * the scale-safe two-pass numbering (no global-order window — at 10^9
+    * features the re-index must not funnel through one task).
+    * Input `(f, w_i)`; output `(f, feature_id, w_i)`. */
+  def packSparse(weights: DataFrame): DataFrame = {
+    val nz = weights.filter(col("w_i") =!= 0L).select(col("f"), col("w_i"))
+    nz.join(graft.pipeline.SparseFeatures.denseIdsByKey(
+        nz.select(col("f")), "f", "feature_id"), "f")
+      .select(col("f"), col("feature_id"), col("w_i"))
+  }
+
+  /** Convert a trained double-weight table `(f, w)` (e.g.
+    * [[Trainer.trainSparseRankingDistributed]] output) to the integer-scaled
+    * execution table `(f, w_i)` — same fixed-point contract as
+    * [[graft.pipeline.SparseFeatures.weightsTable]]. */
+  def sparseWeightsFromTrained(trained: DataFrame): DataFrame =
+    trained.select(col("f"),
+      round(col("w") * graft.pipeline.SparseFeatures.WeightScale, 0)
+        .cast("long").as("w_i"))
+
+  /** Commit a packed sparse model snapshot through [[TableIO]] (atomic
+    * snapshot + lineage manifest). Returns the snapshot id. */
+  def saveSparse(io: TableIO, weights: DataFrame, configToken: String): Int =
+    io.commit(SparseStage, packSparse(weights), configToken)
+
+  /** Load a committed sparse model snapshot as the `(f, w_i)` weight table
+    * [[graft.pipeline.Pipeline.Config.sparseWeights]] consumes, PLUS the
+    * snapshot-derived lineage tag (`<token>@<snap>`) for
+    * `Pipeline.Config.sparseTag` — the tag is now derived from the committed
+    * snapshot rather than honor-system caller input. */
+  def loadSparse(spark: SparkSession, io: TableIO, configToken: String,
+      snap: Option[Int] = None): (DataFrame, String) = {
+    val k = snap.orElse(io.latestSnapshot(SparseStage)).getOrElse(
+      throw new IllegalStateException(
+        s"no committed sparse model snapshot for lineage $configToken"))
+    val df = io.readIfCurrent(spark, SparseStage, configToken, Some(k)).getOrElse(
+      throw new IllegalStateException(
+        s"sparse model snapshot $k does not carry lineage $configToken"))
+    (df.select(col("f"), col("w_i")), s"$configToken@$k")
+  }
+
   /** Load a model snapshot back into dense [[Scoring.Weights]]: features
     * absent from the (packed) table are zero; unknown feature names fail
     * fast (a packed model from a different feature space must not silently

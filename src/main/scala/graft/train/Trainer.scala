@@ -258,6 +258,17 @@ object Trainer {
       lossFn: LossFn = LossFn.Zero): (DataFrame, Seq[(Int, Double)]) = {
     import org.apache.spark.sql.expressions.Window
     val spark = feats.sparkSession
+    val sc = spark.sparkContext
+    // epoch-checkpoint hygiene (round-4 advice): each epoch pins a new withP
+    // and model via localCheckpoint; without explicit release, executor
+    // storage grows linearly with epochs. The per-epoch pins are identified
+    // by diffing the persistent-RDD set around each localCheckpoint (the
+    // trainer owns the session while it runs), the intermediate released as
+    // soon as the next pin materializes, and the previous model released
+    // once the new one is pinned.
+    def pinnedIds(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     val f = feats.localCheckpoint(true)
     val lab = labeled.select(col("ant_id"), col("cur_id"), col("label")).localCheckpoint(true)
     val nCur = lab.select(col("cur_id")).distinct().count().toDouble
@@ -270,7 +281,9 @@ object Trainer {
         org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("sq", org.apache.spark.sql.types.DoubleType))))
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var prevModelIds: Set[Int] = Set.empty
     for (ep <- 0 until epochs) {
+      val beforeWithP = pinnedIds()
       val scored = f.join(model.select(col("f"), col("w")), Seq("f"), "left")
         .groupBy(col("ant_id"), col("cur_id"))
         .agg(sum(coalesce(col("w"), lit(0.0))).as("s0"))
@@ -304,11 +317,23 @@ object Trainer {
       val h = lit(1.0) + sqrt(sqN)
       val wi = coalesce(col("w"), lit(0.0)) - lit(eta) * coalesce(col("g"), lit(0.0)) / h
       val shrink = lit(eta * lambda) / h
+      val withPIds = pinnedIds() -- beforeWithP
       model = model.join(grads, Seq("f"), "full_outer")
         .select(col("f"),
           (signum(wi) * greatest(abs(wi) - shrink, lit(0.0))).as("w"),
           sqN.as("sq"))
+        // dead-feature pruning (round-4 advice: the full_outer join otherwise
+        // keeps every feature ever seen forever): drop rows whose weight is
+        // L1-clamped to 0 AND whose squared-gradient history is below λ² —
+        // a single gradient that small can never overcome the proximal
+        // shrink, and a dropped feature re-enters cleanly (fresh accumulator)
+        // the moment real evidence appears. Features with w = 0 but real
+        // history keep their Adagrad state.
+        .filter(!(col("w") === 0.0 && col("sq") < lit(lambda * lambda)))
         .localCheckpoint(true)
+      // this epoch's intermediate and LAST epoch's model are now dead
+      release(withPIds ++ prevModelIds)
+      prevModelIds = pinnedIds() -- beforeWithP -- withPIds
       trace += ((ep, loss))
     }
     (model.select(col("f"), col("w")), trace.toSeq)

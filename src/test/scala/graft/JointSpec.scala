@@ -131,6 +131,76 @@ class JointSpec extends SparkSuite {
     assert(zeroC === base, "wikiCoupling=0 must not perturb the factor-pair model")
   }
 
+  // ---- coupling training (the reference learns factor weights by
+  // ---- BP-gradient Adagrad, JointComputerShared.scala:47-102) ------------
+
+  private def decodeWith(c: JointInference.Couplings,
+      wiki: Option[org.apache.spark.sql.DataFrame] = None,
+      p: org.apache.spark.sql.DataFrame = priors,
+      sc: org.apache.spark.sql.DataFrame = scored) =
+    JointInference.infer(spark, p, sc, coupling = c.coref,
+      nerCoupling = c.ner, wikiScores = wiki, wikiCoupling = c.wiki,
+      wikiNilScore = c.wikiNil)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getString(3), Option(r.getString(5)))).toMap
+
+  test("trainCouplings: trained type coupling beats the zero-coupling start on decode accuracy") {
+    // gold: m2 links to m0 (ORG side), m3 links to m1 (IDENT side) — only a
+    // positive type-agreement coupling can rescue m3 from the id tie-break
+    val gold = Seq(
+      ("m0", null: String, "ORG", null: String),
+      ("m1", null: String, "IDENT", null: String),
+      ("m2", "m0", "ORG", null: String),
+      ("m3", "m1", "IDENT", null: String))
+      .toDF("mention_id", "g_ant", "g_type", "g_wiki")
+    def acc(c: JointInference.Couplings): Double = {
+      val d = decodeWith(c)
+      val ok = Seq(
+        d("m2")._1 == Some("m0"), d("m3")._1 == Some("m1"),
+        d("m0")._2 == "ORG", d("m1")._2 == "IDENT",
+        d("m2")._2 == "ORG", d("m3")._2 == "IDENT").count(identity)
+      ok.toDouble / 6
+    }
+    val init = JointInference.Couplings(0, 0, 0, 0)
+    val (trained, trace) = JointInference.trainCouplings(spark, priors, scored,
+      gold, epochs = 8, eta = 1.0, iters = 6, init = init)
+    info(s"trained couplings: $trained  trace: ${trace.map(_._2).map(l => f"$l%.3f")}")
+    assert(trained.coref > 0.0, "gold agreement evidence must push the coupling up")
+    assert(trace.last._2 < trace.head._2, "joint -loglik must decrease")
+    assert(acc(trained) >= acc(init),
+      "trained couplings must not decode worse than the hand-set start")
+    assert(acc(trained) === 1.0,
+      "on this fixture the trained coupling must fix the m3 tie")
+    // T2 cadence table for the joint objective
+    val t = JointInference.couplingTraceDF(spark, trace)
+    assert(t.count() === 8L)
+    assert(t.columns.toSeq === Seq("epoch", "loss"))
+  }
+
+  test("trainCouplings: wiki coupling learns to flip the co-linked antecedent") {
+    val p = Seq(("c", "w0", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)),
+      ("c", "w1", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)),
+      ("c", "w2", Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)))
+      .toDF("conv_id", "mention_id", "prior")
+    val sc = Seq(("w0", "w2", 0.8), ("w1", "w2", 1.0)).toDF("ant_id", "cur_id", "score")
+    val grid = Seq(("w0", "Title_A", 2.0), ("w1", "Title_B", 2.0), ("w2", "Title_A", 2.0))
+      .toDF("mention_id", "title", "dscore")
+    val gold = Seq(
+      ("w0", null: String, null: String, "Title_A"),
+      ("w1", null: String, null: String, "Title_B"),
+      ("w2", "w0", null: String, "Title_A"))
+      .toDF("mention_id", "g_ant", "g_type", "g_wiki")
+    val (trained, trace) = JointInference.trainCouplings(spark, p, sc, gold,
+      epochs = 5, eta = 1.0, iters = 6, wikiScores = Some(grid))
+    info(s"trained couplings: $trained  trace: ${trace.map(_._2).map(l => f"$l%.3f")}")
+    assert(trained.wiki > 0.0, "shared-denotation gold evidence must push wikiCoupling up")
+    assert(trace.last._2 < trace.head._2)
+    val d = decodeWith(trained, wiki = Some(grid), p = p, sc = sc)
+    assert(d("w2")._1 === Some("w0"),
+      "trained wiki coupling must flip the antecedent to the co-linked mention")
+    assert(d("w2")._3 === Some("Title_A"))
+  }
+
   test("typePriors derive from surface sem-class") {
     val m = Seq(("x", "c", "Customer#000000007"), ("y", "c", "the vendor"))
       .toDF("mention_id", "conv_id", "surface")

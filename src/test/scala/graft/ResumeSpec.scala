@@ -94,6 +94,26 @@ class ResumeSpec extends SparkSuite {
       "scores stage recomputed despite a current snapshot")
   }
 
+  test("tampered snapshot (lost part file) fails into recompute, not silent reuse") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir("e")
+    val io = new TableIO(dir)
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)
+    val snap = io.commit("t", df, "lin-1")
+    assert(io.readIfCurrent(spark, "t", "lin-1", Some(snap)).isDefined)
+    // exact-field lineage compare: a prefix of the committed token must miss
+    assert(io.readIfCurrent(spark, "t", "lin-", Some(snap)).isEmpty,
+      "lineage prefix must not match")
+    // lose one part file under the surviving manifest (torn snapshot)
+    val dataDir = Paths.get(dir, "t", s"snap-$snap")
+    val part = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+    Files.delete(part)
+    assert(io.readIfCurrent(spark, "t", "lin-1", Some(snap)).isEmpty,
+      "row-count mismatch against the manifest must fail into recompute")
+  }
+
   test("config change invalidates lineage and recomputes") {
     val dir = freshDir("d")
     val cfg = Pipeline.Config(mentionGenerator = "all", checkpointDir = Some(dir))

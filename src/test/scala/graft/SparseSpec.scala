@@ -108,6 +108,142 @@ class SparseSpec extends SparkSuite {
     assert(f1 >= 0.99, s"distributed sparse trainer must hit the F1 gate: $f1")
   }
 
+  /** Shared assembly for the chain/band-guard tests: the sparse pipeline's
+    * three legs built by hand with the in-band chain edges EXCLUDED, and the
+    * set of excluded edges + per-surface self scores so callers can model
+    * the verdict's alternative guard (`greatest(band, self)`). */
+  private def sparseLegs(mentions: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame) = {
+    val cfgB = Blocking.Config()
+    val counts = SparseFeatures.normCounts(mentions)
+    val surfaces = Blocking.surfaceTable(mentions).cache()
+    val sScored = SparseFeatures.scoreSurfacePairsSparse(
+      Blocking.surfacePairs(surfaces, cfgB), surfaces, counts, w)
+    val bridge = Blocking.bridgePairs(
+      sScored.filter(col("score") > 0.0)
+        .select(col("norm_a"), col("norm_b"), col("block_key"), col("score")),
+      mentions, cfgB, extraCols = Seq("score"))
+      .select(col("ant_id"), col("cur_id"), col("score"))
+    val band = SparseFeatures.scorePairsSparse(
+      Blocking.convBandPairs(mentions, cfgB), mentions, counts, w)
+      .select(col("ant_id"), col("cur_id"), col("score"))
+    val selfSc = SparseFeatures.selfScoresSparse(surfaces, counts, w)
+      .select(col("norm"), col("score").as("self_score"))
+    val chainsOut = Blocking.sameSurfaceChainPairs(mentions, cfgB, Some(surfaces))
+    val chainsAll = Blocking.sameSurfaceChainPairs(mentions, cfgB, Some(surfaces),
+      keepInBand = true)
+    val dropped = chainsAll.join(
+      chainsOut.select(col("ant_id"), col("cur_id")), Seq("ant_id", "cur_id"), "left_anti")
+    (band, bridge, chainsOut.join(selfSc, "norm")
+      .select(col("ant_id"), col("cur_id"), col("self_score").as("score")),
+      dropped.join(selfSc, "norm")
+        .select(col("ant_id"), col("cur_id"), col("self_score")),
+      surfaces)
+  }
+
+  test("sparse chain/band guard: keep-in-band edges decode EXACTLY as greatest(band, self)") {
+    // Verdict r4 'what's wrong #2': the dense 'band dominates chain' argument
+    // fails under trained conjunction weights. The guard keeps the in-band
+    // chain edge (surface self-score) alongside the band arc; decode's
+    // per-cur argmax then sees greatest(band, self) for the pair — prove the
+    // equivalence exactly against a hand-boosted arc set, with FRESHLY
+    // trained weights (not the cached fixture table).
+    val (transcripts, mentions, gold) = fix
+    val universe = Blocking.candidatePairs(mentions).cache()
+    val pairsAttr = Scoring.attachAttrs(universe, mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr,
+      SparseFeatures.normCounts(mentions)).localCheckpoint(true)
+    val labels = universe.select(col("ant_id"), col("cur_id"))
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
+    val w = SparseFeatures.logOddsWeights(feats, labels).cache()
+
+    val guarded = Pipeline.run(spark, transcripts, Pipeline.Config(
+      mentionGenerator = "all", scoringMode = "sparse",
+      sparseWeights = Some(w), sparseTag = "guard-spec")).backptrs
+    val (band, bridge, chainsOut, dropped, surfaces) = sparseLegs(mentions, w)
+    val boosted = band.join(dropped, Seq("ant_id", "cur_id"), "left")
+      .select(col("ant_id"), col("cur_id"),
+        greatest(col("score"), coalesce(col("self_score"), lit(Double.MinValue))).as("score"))
+    val ref = Decode.backpointers(
+      boosted.unionByName(bridge).unionByName(chainsOut), 0.0)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cur_id"), col("ant_id"), round(col("score"), 9).as("s"))
+    assert(keyed(guarded).except(keyed(ref)).count() == 0 &&
+      keyed(ref).except(keyed(guarded)).count() == 0,
+      "guarded sparse decode must equal the greatest(band, self) reference decode")
+    assert(dropped.count() > 0, "fixture must actually exercise in-band chain edges")
+    surfaces.unpersist()
+  }
+
+  test("sparse chain/band guard bites: adversarial negative conjunction weights break the unguarded chain") {
+    val (_, mentions, gold) = fix
+    val universe = Blocking.candidatePairs(mentions).cache()
+    val pairsAttr = Scoring.attachAttrs(universe, mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr,
+      SparseFeatures.normCounts(mentions)).localCheckpoint(true)
+    val labels = universe.select(col("ant_id"), col("cur_id"))
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
+    // adversarial model: every band conjunction feature dragged hugely
+    // negative — exactly the regime the dense dominance argument assumed away
+    val wAdv = SparseFeatures.logOddsWeights(feats, labels)
+      .select(col("f"),
+        when(col("f").contains("&t=") || col("f").contains("&tt="),
+          col("w_i") - lit(20L * SparseFeatures.WeightScale))
+          .otherwise(col("w_i")).as("w_i")).cache()
+    val (band, bridge, chainsOut, dropped, surfaces) = sparseLegs(mentions, wAdv)
+    val chainsAllArcs = dropped.select(col("ant_id"), col("cur_id"),
+      col("self_score").as("score")).unionByName(chainsOut)
+    val unguarded = Decode.backpointers(
+      band.unionByName(bridge).unionByName(chainsOut), 0.0)
+    val guarded = Decode.backpointers(
+      band.unionByName(bridge).unionByName(chainsAllArcs), 0.0)
+    val curs = dropped.filter(col("self_score") > 0.0)
+      .select(col("cur_id")).distinct()
+    val lostCurs = curs.join(unguarded, Seq("cur_id"), "left_anti").count()
+    val lostGuarded = curs.join(guarded, Seq("cur_id"), "left_anti").count()
+    info(s"in-band chain curs=${curs.count()} unlinked unguarded=$lostCurs guarded=$lostGuarded")
+    assert(lostGuarded == 0,
+      "guarded decode must link every in-band chain successor with a positive self-score")
+    assert(lostCurs > 0,
+      "adversarial weights must demonstrate the unguarded connectivity break")
+    surfaces.unpersist()
+  }
+
+  test("sparse chain/band guard holds at sf0.001 with freshly-trained weights") {
+    val sfDir = "/root/testdata/sf0.001"
+    val transcripts = graft.sources.Transcripts.load(spark, sfDir).cache()
+    val mentions = Mentions.extractAll(transcripts).cache()
+    val gold = graft.harness.Queries.gold(spark, sfDir)
+    val universe = Blocking.candidatePairs(mentions)
+    val pairsAttr = Scoring.attachAttrs(universe, mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr,
+      SparseFeatures.normCounts(mentions)).localCheckpoint(true)
+    val labels = universe.select(col("ant_id"), col("cur_id"))
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
+    val w = SparseFeatures.logOddsWeights(feats, labels).cache()
+    val guarded = Pipeline.run(spark, transcripts, Pipeline.Config(
+      mentionGenerator = "all", scoringMode = "sparse",
+      sparseWeights = Some(w), sparseTag = "guard-spec-sf0001")).backptrs
+    val (band, bridge, chainsOut, dropped, surfaces) = sparseLegs(mentions, w)
+    val boosted = band.join(dropped, Seq("ant_id", "cur_id"), "left")
+      .select(col("ant_id"), col("cur_id"),
+        greatest(col("score"), coalesce(col("self_score"), lit(Double.MinValue))).as("score"))
+    val ref = Decode.backpointers(
+      boosted.unionByName(bridge).unionByName(chainsOut), 0.0)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cur_id"), col("ant_id"), round(col("score"), 9).as("s"))
+    assert(keyed(guarded).except(keyed(ref)).count() == 0 &&
+      keyed(ref).except(keyed(guarded)).count() == 0,
+      "sf0.001 guarded sparse decode must equal the greatest(band, self) reference decode")
+    surfaces.unpersist(); mentions.unpersist(); transcripts.unpersist()
+  }
+
   test("scoringMode=sparse: FULL pipeline (band+bridge+chains) with the trained sparse model >= trained dense pipeline F1") {
     val (transcripts, mentions, gold) = fix
     val universe = Blocking.candidatePairs(mentions).cache()
