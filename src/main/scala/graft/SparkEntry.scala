@@ -245,8 +245,17 @@ object SparkEntry {
         |)""".stripMargin),
 
     "a9_slices" -> ErOracle.q(
-      """SELECT m.mtype,
+      """,anaph AS (
+        |  SELECT s.cur_id,
+        |    CAST(max(CASE WHEN ga2.entity_id = gc2.entity_id THEN 1 ELSE 0 END) AS INT) AS anaphoric
+        |  FROM (SELECT DISTINCT ant_id, cur_id FROM scoredall) s
+        |  JOIN gold ga2 ON s.ant_id = ga2.mention_id
+        |  JOIN gold gc2 ON s.cur_id = gc2.mention_id
+        |  GROUP BY 1
+        |)
+        |SELECT m.mtype,
         |  CAST(CASE WHEN ma.head_key = m.head_key THEN 1 ELSE 0 END AS INT) AS head_match,
+        |  an.anaphoric,
         |  CAST(count(*) AS BIGINT) AS n_linked,
         |  CAST(SUM(CASE WHEN ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
         |  round(CAST(SUM(CASE WHEN ga.entity_id = gc.entity_id THEN 1 ELSE 0 END) AS DOUBLE)
@@ -256,7 +265,8 @@ object SparkEntry {
         |JOIN gold ga ON b.ant_id = ga.mention_id
         |JOIN mentions m ON b.cur_id = m.mention_id
         |JOIN mentions ma ON b.ant_id = ma.mention_id
-        |GROUP BY 1, 2""".stripMargin),
+        |JOIN anaph an ON b.cur_id = an.cur_id
+        |GROUP BY 1, 2, 3""".stripMargin),
 
     "s5_model" -> {
       val vals = graft.pipeline.Scoring.FeatureNames.zipWithIndex

@@ -163,6 +163,15 @@ object Queries {
   def a9Slices(spark: SparkSession, sfDir: String): DataFrame = {
     val r = pipeline(spark, sfDir)
     val g = gold(spark, sfDir)
+    // third axis (the reference crosses anaphoricity too): a mention is
+    // ANAPHORIC iff at least one gold-coreferent antecedent exists among its
+    // scored candidate arcs — slicing out mentions the decoder could not
+    // possibly have linked correctly
+    val anaph = r.scored.select(col("ant_id"), col("cur_id")).distinct()
+      .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("ge_a")), "ant_id")
+      .join(g.select(col("mention_id").as("cur_id"), col("entity_id").as("ge_c")), "cur_id")
+      .groupBy(col("cur_id"))
+      .agg(max((col("ge_a") === col("ge_c")).cast("int")).as("anaphoric"))
     r.backptrs
       .join(g.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
       .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
@@ -170,8 +179,10 @@ object Queries {
         col("head_key").as("hk_c")), "cur_id")
       .join(r.mentions.select(col("mention_id").as("ant_id"),
         col("head_key").as("hk_a")), "ant_id")
+      .join(anaph, "cur_id")
       .groupBy(col("mtype"),
-        (col("hk_a") === col("hk_c")).cast("int").as("head_match"))
+        (col("hk_a") === col("hk_c")).cast("int").as("head_match"),
+        col("anaphoric"))
       .agg(count(lit(1)).as("n_linked"),
         sum(when(col("e_a") === col("e_c"), 1L).otherwise(0L)).as("n_correct"))
       .withColumn("acc_r",

@@ -134,12 +134,21 @@ object Eval {
   /** C5 oracle predicted clustering (`CorefDoc.scala:41-101`): each
     * predicted mention inherits the gold entity of its extent-aligned gold
     * mention; unaligned predictions become singletons (own id as cluster) —
-    * the upper bound a perfect linker could reach on these mentions. */
+    * the upper bound a perfect linker could reach on these mentions.
+    *
+    * Divergence repair (the reference's duplicate-gold-mention sanitizing,
+    * `CorefDoc.scala:69-82`): gold extents are deduplicated BEFORE the
+    * alignment join — a gold table carrying the same extent twice (the
+    * reference's wsj_0990 case) assigns the lexicographically-least entity
+    * deterministically instead of fanning the join out into duplicate,
+    * possibly conflicting, cluster rows. */
   def oraclePredClustering(predMentions: DataFrame, goldMentions: DataFrame): DataFrame = {
     val key = Seq("conv_id", "turn_idx", "start", "end")
+    val goldDedup = goldMentions
+      .groupBy(key.map(col): _*)
+      .agg(min(col("entity_id").cast("string")).as("entity_id"))
     predMentions.select((key.map(col) :+ col("mention_id")): _*)
-      .join(goldMentions.select((key.map(col) :+ col("entity_id").cast("string").as("entity_id")): _*),
-        key, "left")
+      .join(goldDedup, key, "left")
       .select(col("mention_id"),
         coalesce(concat(lit("g:"), col("entity_id")), col("mention_id")).as("cluster_id"))
   }

@@ -119,8 +119,17 @@ object StreamingAssembly {
               .filter(_._3 >= cutoffMs)
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
             var maxTsMs = 0L
-            rows.toSeq.sortBy(_.doc_id).foreach { d =>
-              val tsMs = if (d.ts != null) d.ts.getTime else 0L
+            val batch = rows.toSeq.sortBy(_.doc_id)
+            // null-ts docs are stamped at the batch's max observed event time
+            // (falling back to the current watermark), NOT at epoch 0 —
+            // otherwise they would silently age out of candidacy the moment
+            // the watermark passes one horizon. Retention for ts-less rows is
+            // thus deliberate: they live exactly one horizon from when they
+            // were seen, like any on-time row.
+            val nullStampMs = batch.iterator.filter(_.ts != null).map(_.ts.getTime)
+              .foldLeft(math.max(state.getCurrentWatermarkMs(), 0L))(math.max)
+            batch.foreach { d =>
+              val tsMs = if (d.ts != null) d.ts.getTime else nullStampMs
               maxTsMs = math.max(maxTsMs, tsMs)
               if (!cur.exists(_._1 == d.doc_id)) {
                 val shD = d.sh.toSet
@@ -290,14 +299,151 @@ object StreamingAssembly {
       .toDF("cur_id", "ant_id", "score")
   }
 
+  case class OooBandState(nextSeq: Int, lastTurn: Int, lastStart: Int,
+      band: List[BufM], pending: List[MIn])
+
+  /** Out-of-order-tolerant streaming band pairing (round-4 verdict #6):
+    * same contract as [[streamingBandPairs]], but arrivals are BUFFERED in
+    * per-conversation state and released in `(turn_idx, start)` order only
+    * once the watermark has passed their event time — so a turn that arrives
+    * before an earlier turn of its conversation no longer steals that turn's
+    * `m_seq`. A mention that arrives AFTER the release frontier has moved
+    * past its position (late beyond the watermark) is emitted on a side
+    * channel (`block_key = "late"`, `cur_id` = its mention id, seqs = -1)
+    * instead of being mis-sequenced; consumers filter `block_key === "conv"`
+    * for the pair stream. Conversations that go quiet flush their remaining
+    * buffer in order on the event-time timeout (conversation end).
+    *
+    * State is bounded: the band buffer is trimmed to the band width as
+    * before, and the pending buffer holds only mentions newer than the
+    * watermark — exactly the rows any watermarked operator must retain. */
+  def streamingBandPairsOrdered(spark: SparkSession, mentionStream: DataFrame,
+      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      horizonMs: Long = 600000L) = {
+    import spark.implicits._
+    val in = mentionStream
+      .withWatermark("ts", watermark)
+      .select(col("conv_id"), col("mention_id"), col("turn_idx"), col("start"),
+        col("norm"), col("head_key"), col("toks"), col("mtype"),
+        col("closed_class"), col("role"), col("number"), col("gender"), col("ts"))
+      .as[MIn]
+    in.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (conv: String, rows: Iterator[MIn], state: GroupState[OooBandState]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[BandPair]
+          var st = state.getOption.getOrElse(OooBandState(0, -1, -1, Nil, Nil))
+          def release(m: MIn): Unit = {
+            val seq = st.nextSeq
+            st.band.foreach { a =>
+              if (seq - a.m_seq <= maxConvDist)
+                out += BandPair(a.mention_id, m.mention_id, "conv",
+                  conv, conv, a.m_seq, seq,
+                  a.norm, m.norm, a.head_key, m.head_key, a.toks, m.toks,
+                  a.mtype, m.mtype, a.closed_class, m.closed_class,
+                  a.role, m.role, a.number, m.number, a.gender, m.gender, m.ts)
+            }
+            st = st.copy(nextSeq = seq + 1, lastTurn = m.turn_idx, lastStart = m.start,
+              band = BufM(m.mention_id, seq, m.norm, m.head_key, m.toks, m.mtype,
+                m.closed_class, m.role, m.number, m.gender) ::
+                st.band.filter(a => seq + 1 - a.m_seq <= maxConvDist))
+          }
+          if (state.hasTimedOut) {
+            // conversation end: flush whatever is still buffered, in order
+            st.pending.sortBy(m => (m.turn_idx, m.start)).foreach(release)
+            state.remove()
+            out.iterator
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var maxTsMs = 0L
+            rows.foreach { m =>
+              if (m.ts != null) maxTsMs = math.max(maxTsMs, m.ts.getTime)
+              if (m.turn_idx < st.lastTurn ||
+                (m.turn_idx == st.lastTurn && m.start <= st.lastStart)) {
+                // beyond-watermark late: the frontier already released past
+                // this position — side channel, never a wrong m_seq
+                out += BandPair("", m.mention_id, "late", conv, conv, -1, -1,
+                  m.norm, m.norm, m.head_key, m.head_key, m.toks, m.toks,
+                  m.mtype, m.mtype, m.closed_class, m.closed_class,
+                  m.role, m.role, m.number, m.number, m.gender, m.gender, m.ts)
+              } else st = st.copy(pending = m :: st.pending)
+            }
+            // release the prefix of pending whose event time the watermark
+            // has passed (null-ts rows release immediately)
+            val (ready, hold) = st.pending.partition(m =>
+              m.ts == null || m.ts.getTime <= wm)
+            st = st.copy(pending = hold)
+            ready.sortBy(m => (m.turn_idx, m.start)).foreach(release)
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(wm, maxTsMs) + horizonMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** [[streamingBandScores]] over the out-of-order-tolerant pairer — late
+    * side-channel rows are filtered before the stateless scoring leg. */
+  def streamingBandScoresOrdered(spark: SparkSession, mentionStream: DataFrame,
+      weights: graft.pipeline.Scoring.Weights = graft.pipeline.Scoring.DefaultWeights,
+      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      horizonMs: Long = 600000L): DataFrame =
+    graft.pipeline.Scoring.score(graft.pipeline.Scoring.featurize(
+      streamingBandPairsOrdered(spark, mentionStream, maxConvDist, watermark,
+        horizonMs).toDF().filter(col("block_key") === "conv")), weights)
+      .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"), col("ts"))
+
   case class TurnEvent(conv_id: String, turn_idx: Int, text: String)
   case class SeqState(nextSeq: Int)
   case class SequencedTurn(conv_id: String, turn_idx: Int, m_seq: Int)
 
+  case class TurnEventTs(conv_id: String, turn_idx: Int, text: String,
+      ts: java.sql.Timestamp)
+  case class OooSeqState(nextSeq: Int, lastTurn: Int, pending: List[TurnEventTs])
+
+  /** Out-of-order-tolerant [[sequenceTurns]]: arrivals buffer in state and
+    * are released in `turn_idx` order once the watermark passes their event
+    * time; quiet conversations flush in order on event-time timeout. A turn
+    * arriving after the frontier passed its index is emitted with
+    * `m_seq = -1` (side channel) instead of stealing a sequence number. */
+  def sequenceTurnsOrdered(spark: SparkSession, stream: DataFrame,
+      watermark: String = "10 minutes", horizonMs: Long = 600000L) = {
+    import spark.implicits._
+    stream.select(col("conv_id"), col("turn_idx"), col("text"), col("ts"))
+      .withWatermark("ts", watermark).as[TurnEventTs]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (convId: String, turns: Iterator[TurnEventTs], state: GroupState[OooSeqState]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[SequencedTurn]
+          var st = state.getOption.getOrElse(OooSeqState(0, -1, Nil))
+          def release(t: TurnEventTs): Unit = {
+            out += SequencedTurn(convId, t.turn_idx, st.nextSeq)
+            st = st.copy(nextSeq = st.nextSeq + 1, lastTurn = t.turn_idx)
+          }
+          if (state.hasTimedOut) {
+            st.pending.sortBy(_.turn_idx).foreach(release)
+            state.remove(); out.iterator
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var maxTsMs = 0L
+            turns.foreach { t =>
+              if (t.ts != null) maxTsMs = math.max(maxTsMs, t.ts.getTime)
+              if (t.turn_idx <= st.lastTurn) out += SequencedTurn(convId, t.turn_idx, -1)
+              else st = st.copy(pending = t :: st.pending)
+            }
+            val (ready, hold) = st.pending.partition(t =>
+              t.ts == null || t.ts.getTime <= wm)
+            st = st.copy(pending = hold)
+            ready.sortBy(_.turn_idx).foreach(release)
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(wm, maxTsMs) + horizonMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Per-conversation running sequence numbers via flatMapGroupsWithState —
     * the streaming analog of the canonical-order window (W1). Turns must
-    * arrive in order per conversation (file source preserves batch order;
-    * out-of-order handling would buffer by watermark). */
+    * arrive in order per conversation (file source preserves batch order);
+    * [[sequenceTurnsOrdered]] is the out-of-order-tolerant variant. */
   def sequenceTurns(spark: SparkSession, stream: DataFrame) = {
     import spark.implicits._
     stream.select(col("conv_id"), col("turn_idx"), col("text")).as[TurnEvent]

@@ -132,4 +132,21 @@ class SinksSpec extends SparkSuite {
     assert(oracle("p1") === "g:7" && oracle("p2") === "g:7")
     assert(oracle("p3") === "p3", "unaligned mention becomes a singleton")
   }
+
+  test("C5 divergence repair: duplicate gold extents resolve deterministically, no join fan-out") {
+    // the reference's wsj_0990 sanitizing case (CorefDoc.scala:69-82): the
+    // same gold extent appears twice (here with CONFLICTING entities); the
+    // aligned prediction must get exactly one, deterministic, cluster row
+    import spark.implicits._
+    val pred = Seq(("p1", "c0", 0, 1, 1), ("p2", "c0", 1, 2, 2))
+      .toDF("mention_id", "conv_id", "turn_idx", "start", "end")
+    val gold = Seq(("c0", 0, 1, 1, 9), ("c0", 0, 1, 1, 12), ("c0", 1, 2, 2, 12))
+      .toDF("conv_id", "turn_idx", "start", "end", "entity_id")
+    val oracle = Eval.oraclePredClustering(pred, gold)
+    assert(oracle.count() === 2L, "one row per predicted mention despite the duplicate gold extent")
+    val m = oracle.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // min over the STRING form: "12" < "9" lexicographically
+    assert(m("p1") === "g:12", s"lexicographically-least entity must win, got ${m("p1")}")
+    assert(m("p2") === "g:12")
+  }
 }
