@@ -49,6 +49,11 @@ object SparkEntry {
     "c4_dense_relabel" -> (Queries.c4DenseRelabel _),
     "c5_oracle_clusters" -> (Queries.c5OracleClusters _),
     "w2_det_order" -> (Queries.w2DetOrder _),
+    "f6_pronouns" -> (Queries.f6Pronouns _),
+    "f8_f10_containment" -> (Queries.f8f10Containment _),
+    "u2_folds" -> (Queries.u2Folds _),
+    "b6_ner_domains" -> (Queries.b6NerDomains _),
+    "a3_likelihood" -> (Queries.a3Likelihood _),
     "f7_f11_properties" -> (Queries.f7f11Properties _),
     "a5_lexcounts" -> (Queries.lexCountsQ _),
     "a5b_lex_bundle" -> (Queries.a5bLexBundle _),
@@ -322,6 +327,76 @@ object SparkEntry {
       """SELECT mention_id,
         |  CAST(ROW_NUMBER() OVER (ORDER BY md5(mention_id)) - 1 AS BIGINT) AS shuffle_rank
         |FROM mentions""".stripMargin),
+
+    "f6_pronouns" -> ErOracle.qAll(
+      """SELECT mention_id,
+        |  CASE WHEN norm IN ('they', 'them', 'their', 'theirs') THEN 'they'
+        |       WHEN norm IN ('he', 'him', 'his') THEN 'he'
+        |       WHEN norm IN ('she', 'her', 'hers') THEN 'she'
+        |       WHEN norm IN ('it', 'its') THEN 'it'
+        |       WHEN norm IN ('i', 'me', 'my', 'mine') THEN 'i'
+        |       WHEN norm IN ('we', 'us', 'our', 'ours') THEN 'we'
+        |       WHEN norm IN ('you', 'your', 'yours') THEN 'you'
+        |       ELSE norm END AS canon,
+        |  CASE WHEN norm IN ('i', 'me', 'my', 'mine', 'we', 'us', 'our', 'ours') THEN 'first'
+        |       WHEN norm IN ('you', 'your', 'yours') THEN 'second'
+        |       WHEN norm IN ('they', 'them', 'their', 'theirs', 'he', 'him', 'his',
+        |                     'she', 'her', 'hers', 'it', 'its') THEN 'third'
+        |       ELSE 'unknown' END AS person
+        |FROM mentions WHERE mtype = 'PRONOMINAL'""".stripMargin),
+
+    "f8_f10_containment" -> ErOracle.qAll(
+      """,
+        |fsides AS (
+        |  SELECT conv_id, turn_idx, mention_id, start, "end",
+        |    string_split(norm, ' ') AS toks
+        |  FROM mentions
+        |)
+        |SELECT a.mention_id AS id_a, b.mention_id AS id_b,
+        |  CAST(CASE WHEN ((a.start >= b.start AND a."end" <= b."end")
+        |              OR (b.start >= a.start AND b."end" <= a."end"))
+        |         AND NOT (a.start = b.start AND a."end" = b."end")
+        |       THEN 1 ELSE 0 END AS INT) AS iwi,
+        |  CAST(CASE WHEN list_contains(b.toks, a.toks[len(a.toks)])
+        |         OR list_contains(a.toks, b.toks[len(b.toks)])
+        |       THEN 1 ELSE 0 END AS INT) AS fhc
+        |FROM fsides a JOIN fsides b
+        |  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        | AND a.mention_id < b.mention_id""".stripMargin),
+
+    "u2_folds" -> ErOracle.q(
+      """SELECT conv_id,
+        |  CAST((instr('0123456789abcdef', substr(md5(conv_id), 1, 1)) - 1) % 4 AS INT) AS fold
+        |FROM (SELECT DISTINCT conv_id FROM mentions)""".stripMargin),
+
+    "b6_ner_domains" -> ErOracle.qAll(ErOracle.nerCtes + ErOracle.nerFbCtes +
+      """,
+        |b6cut AS (
+        |  SELECT conv_id, turn_idx, pos, m_o_r, m_b_r, m_i_r,
+        |    greatest(m_o_r, m_b_r, m_i_r) * exp(-9.0) AS cut
+        |  FROM nmarg
+        |)
+        |SELECT conv_id, turn_idx, pos,
+        |  CAST(CASE WHEN m_o_r >= cut THEN 1 ELSE 0 END AS INT) AS keep_o,
+        |  CAST(CASE WHEN m_b_r >= cut THEN 1 ELSE 0 END AS INT) AS keep_b,
+        |  CAST(CASE WHEN m_i_r >= cut THEN 1 ELSE 0 END AS INT) AS keep_i
+        |FROM b6cut""".stripMargin),
+
+    "a3_likelihood" -> ErOracle.q(
+      """,
+        |a3per AS (
+        |  SELECT s.cur_id,
+        |    SUM(exp(round(s.score, 6))) + 1.0 AS z,
+        |    SUM(CASE WHEN ga.entity_id = gc.entity_id
+        |        THEN exp(round(s.score, 6)) ELSE 0.0 END) AS gm
+        |  FROM scoredall s
+        |  JOIN gold ga ON s.ant_id = ga.mention_id
+        |  JOIN gold gc ON s.cur_id = gc.mention_id
+        |  GROUP BY s.cur_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_mentions,
+        |  round(avg(-ln(CASE WHEN gm > 0 THEN gm / z ELSE 1.0 END)), 6) AS loss_r
+        |FROM a3per""".stripMargin),
 
     "f7_f11_properties" -> ErOracle.qAll(
       s""",

@@ -551,6 +551,81 @@ object Queries {
       graft.functions.semClass(element_at(split(col("norm"), " "), -1)).as("sem_class"))
   }
 
+  /** F6: pronoun canonicalization + grammatical person over the pronominal
+    * mentions (`PronounDictionary.scala:4-21`). */
+  def f6Pronouns(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = allPath(spark, sfDir)._1
+    m.filter(col("mtype") === "PRONOMINAL")
+      .select(col("mention_id"),
+        graft.functions.pronounCanonical(col("norm")).as("canon"),
+        graft.functions.pronounPerson(col("norm")).as("person"))
+  }
+
+  /** F8 + F10: iWi extent containment and fancy head containment over
+    * same-turn mention pairs of the all-generators path (`Mention.scala:
+    * 228-231`, `sem/FancyHeadMatcher.scala:127-150`); heads are the
+    * parse-free last token. */
+  def f8f10Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = allPath(spark, sfDir)._1
+    def side(sfx: String) = m.select(col("conv_id"), col("turn_idx"),
+      col("mention_id").as(s"id_$sfx"), col("start").as(s"start_$sfx"),
+      col("end").as(s"end_$sfx"), split(col("norm"), " ").as(s"toks_$sfx"))
+    side("a").join(side("b"), Seq("conv_id", "turn_idx"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.iWiContainment(col("turn_idx"), col("start_a"), col("end_a"),
+          col("turn_idx"), col("start_b"), col("end_b")).cast("int").as("iwi"),
+        (graft.functions.fancyHeadContainment(
+            element_at(col("toks_a"), -1), col("toks_b")) ||
+          graft.functions.fancyHeadContainment(
+            element_at(col("toks_b"), -1), col("toks_a")))
+          .cast("int").as("fhc"))
+  }
+
+  /** U2: deterministic k-fold partitioning of conversations (portable md5
+    * face of [[graft.train.Trainer.foldOf]]; the engine fast path hashes the
+    * same key with xxhash64). */
+  def u2Folds(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).mentions.select(col("conv_id")).distinct()
+      .select(col("conv_id"),
+        graft.train.Trainer.foldOf(col("conv_id"), 4, "md5").as("fold"))
+
+  /** B6: NER label-domain pruning — labels within e^-9 of the per-token best
+    * forward-backward marginal survive (`README.md:156-158` posterior
+    * threshold). Computed over 6dp-rounded marginals so both engines
+    * threshold identical inputs. */
+  def b6NerDomains(spark: SparkSession, sfDir: String): DataFrame = {
+    val fb = graft.ner.Ner.forwardBackward(spark,
+      graft.ner.Ner.emissions(Transcripts.load(spark, sfDir)))
+      .select(col("conv_id"), col("turn_idx"), col("pos"),
+        round(col("m_o"), 6).as("m_o"), round(col("m_b"), 6).as("m_b"),
+        round(col("m_i"), 6).as("m_i"))
+    graft.ner.Ner.marginalDomains(fb, -9.0)
+      .select(col("conv_id"), col("turn_idx"), col("pos"),
+        array_contains(col("domain"), "O").cast("int").as("keep_o"),
+        array_contains(col("domain"), "B").cast("int").as("keep_b"),
+        array_contains(col("domain"), "I").cast("int").as("keep_i"))
+  }
+
+  /** A3: gold-antecedent log-likelihood of the decode universe under the
+    * dense model (the ranking objective's loss at the shipped weights,
+    * implicit zero-score new-entity arc; `DocumentInferencerBasic
+    * .computeLikelihood`). Scores rounded to 6dp before exp so both engines
+    * sum identical terms. */
+  def a3Likelihood(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val g = gold(spark, sfDir)
+    val per = r.scored
+      .select(col("ant_id"), col("cur_id"), round(col("score"), 6).as("s"))
+      .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(g.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .groupBy(col("cur_id"))
+      .agg((sum(exp(col("s"))) + lit(1.0)).as("z"),
+        sum(when(col("e_a") === col("e_c"), exp(col("s"))).otherwise(0.0)).as("gm"))
+      .select((-log(when(col("gm") > 0, col("gm")).otherwise(lit(1.0)) / col("z"))).as("l"))
+    per.agg(count(lit(1)).as("n_mentions"), round(avg(col("l")), 6).as("loss_r"))
+  }
+
   /** A16: rollup / grouping-sets analog (the reference's hand-rolled
     * property-prefix subdivision counters, `CorefEvaluator.scala:333-339`). */
   def rollupQ(spark: SparkSession, sfDir: String): DataFrame =

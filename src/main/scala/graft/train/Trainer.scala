@@ -1,6 +1,6 @@
 package graft.train
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.pipeline.Scoring
 
@@ -355,10 +355,19 @@ object Trainer {
     * conv), one ranking model per fold trained on the OTHER folds — every
     * mention is then scored by a model that never saw its conversation
     * (unbiased coarse scores for pruning). */
+  /** U2 fold assignment: deterministic conversation-hash fold.
+    * `impl = "xxhash64"` is the engine fast path; `"md5"` is the portable
+    * face (identical in Spark and DuckDB — same md5-nibble formula as the
+    * skew salts), used by the oracle-checked `u2_folds` query. */
+  def foldOf(conv: Column, k: Int, impl: String = "xxhash64"): Column = impl match {
+    case "md5" => pmod(call_function("instr", lit("0123456789abcdef"),
+      substring(md5(conv.cast("binary")), 1, 1)) - 1, lit(k)).cast("int")
+    case _ => pmod(xxhash64(conv), lit(k)).cast("int")
+  }
+
   def kFoldModels(labeled: DataFrame, k: Int = 4, epochs: Int = 20,
       eta: Double = 1.0, lossFn: LossFn = LossFn.Zero): Seq[(Int, Scoring.Weights)] = {
-    val withFold = labeled.withColumn("fold",
-      pmod(xxhash64(col("conv_id_c")), lit(k)).cast("int"))
+    val withFold = labeled.withColumn("fold", foldOf(col("conv_id_c"), k))
     (0 until k).map { f =>
       f -> trainRanking(withFold.filter(col("fold") =!= f), epochs, eta,
         lossFn = lossFn)._1
@@ -369,8 +378,7 @@ object Trainer {
     * covers all pairs exactly once. */
   def scoreOutOfFold(labeled: DataFrame, models: Seq[(Int, Scoring.Weights)]): DataFrame = {
     val k = models.size
-    val withFold = labeled.withColumn("fold",
-      pmod(xxhash64(col("conv_id_c")), lit(k)).cast("int"))
+    val withFold = labeled.withColumn("fold", foldOf(col("conv_id_c"), k))
     models.map { case (f, w) =>
       Scoring.score(withFold.filter(col("fold") === f), w)
     }.reduce(_ unionByName _)
