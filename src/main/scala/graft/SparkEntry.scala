@@ -44,6 +44,7 @@ object SparkEntry {
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
     "a10_muc" -> (Queries.mucQ _),
     "a10_bcub" -> (Queries.bcubQ _),
+    "a10_ceafe" -> (Queries.a10CeafeQ _),
     "a14_top_weights" -> (Queries.a14TopWeights _),
     "c3_nonsingletons" -> (Queries.c3NonSingletons _),
     "c4_dense_relabel" -> (Queries.c4DenseRelabel _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "u2_folds" -> (Queries.u2Folds _),
     "b6_ner_domains" -> (Queries.b6NerDomains _),
     "a3_likelihood" -> (Queries.a3Likelihood _),
+    "a7_mention_prf" -> (Queries.a7MentionPrf _),
     "f7_f11_properties" -> (Queries.f7f11Properties _),
     "a5_lexcounts" -> (Queries.lexCountsQ _),
     "a5b_lex_bundle" -> (Queries.a5bLexBundle _),
@@ -398,6 +400,29 @@ object SparkEntry {
         |  round(avg(-ln(CASE WHEN gm > 0 THEN gm / z ELSE 1.0 END)), 6) AS loss_r
         |FROM a3per""".stripMargin),
 
+    "a7_mention_prf" -> ErOracle.qAll {
+      val prons = graft.pipeline.Mentions.Pronouns.map(p => s"'$p'").mkString(", ")
+      s""",
+        |identext AS (
+        |  SELECT conv_id, turn_idx, pos AS start, pos AS "end" FROM toks
+        |  WHERE regexp_matches(tok, '^(?:[A-Za-z]+[#-])?[0-9]+$$') OR lower(tok) IN ($prons)
+        |),
+        |a7c AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM identext i JOIN mentions m
+        |       ON i.conv_id = m.conv_id AND i.turn_idx = m.turn_idx
+        |      AND i.start = m.start AND i."end" = m."end") AS tp,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM identext) AS n_pred,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mentions) AS n_gold
+        |)
+        |SELECT tp, n_pred, n_gold,
+        |  round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision_r,
+        |  round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall_r,
+        |  round(2.0 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_gold)
+        |    / ((CAST(tp AS DOUBLE) / n_pred) + (CAST(tp AS DOUBLE) / n_gold)), 6) AS f1_r
+        |FROM a7c""".stripMargin
+    },
+
     "f7_f11_properties" -> ErOracle.qAll(
       s""",
         |fprops AS (
@@ -495,6 +520,40 @@ object SparkEntry {
         |              GROUP BY g.entity_id) gs ON cell.entity_id = gs.entity_id)),
         | (SELECT CAST(count(*) AS DOUBLE) AS n
         |  FROM clusters c JOIN gold g ON c.mention_id = g.mention_id)""".stripMargin),
+
+    // CEAFe closed form: on this corpus every conversation carries exactly
+    // one gold entity (entity_id = the conv prefix), so the optimal
+    // cluster↔entity matching degenerates to "best φ4 cluster per
+    // conversation" — SQL-expressible, and value-identical to the engine's
+    // general Hungarian matching on this input (the general path is gated by
+    // CeafSpec on a multi-entity fixture).
+    "a10_ceafe" -> ErOracle.q(
+      """,
+        |ceaf0 AS (
+        |  SELECT substr(mention_id, 1, length(mention_id) - 13) AS conv, cluster_id
+        |  FROM clusters
+        |),
+        |ceafc AS (
+        |  SELECT conv, cluster_id, CAST(count(*) AS BIGINT) AS csz
+        |  FROM ceaf0 GROUP BY conv, cluster_id
+        |),
+        |ceafg AS (
+        |  SELECT conv, CAST(count(*) AS BIGINT) AS gsz FROM ceaf0 GROUP BY conv
+        |),
+        |ceafp AS (
+        |  SELECT c.conv, max(2.0 * c.csz / (c.csz + g.gsz)) AS phi,
+        |         CAST(count(*) AS BIGINT) AS np
+        |  FROM ceafc c JOIN ceafg g ON c.conv = g.conv
+        |  GROUP BY c.conv
+        |)
+        |SELECT
+        |  CAST(SUM(np) AS BIGINT) AS n_pred_clusters,
+        |  CAST(count(*) AS BIGINT) AS n_gold_entities,
+        |  round(SUM(phi) / SUM(np), 6) AS ceafe_precision_r,
+        |  round(SUM(phi) / count(*), 6) AS ceafe_recall_r,
+        |  round(2.0 * (SUM(phi) / SUM(np)) * (SUM(phi) / count(*))
+        |    / ((SUM(phi) / SUM(np)) + (SUM(phi) / count(*))), 6) AS ceafe_f1_r
+        |FROM ceafp""".stripMargin),
 
     "a5_lexcounts" -> Transcripts.withCte(
       """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (

@@ -626,6 +626,39 @@ object Queries {
     per.agg(count(lit(1)).as("n_mentions"), round(avg(col("l")), 6).as("loss_r"))
   }
 
+  /** A7: mention-detection P/R/F1 of the identifier-path generator against
+    * the all-generators mention universe — the harness face of
+    * [[graft.pipeline.Eval.mentionPRF]] (`CorefDoc.scala:104-109`; in the
+    * reference, pred extents vs gold annotation extents — in-sandbox the
+    * all-generators path is the wider universe the identifier path is
+    * audited against). */
+  def a7MentionPrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = pipeline(spark, sfDir).mentions
+    val goldM = allPath(spark, sfDir)._1
+    graft.pipeline.Eval.mentionPRF(pred, goldM)
+      .select(col("tp"), col("n_pred"), col("n_gold"),
+        round(col("precision"), 6).as("precision_r"),
+        round(col("recall"), 6).as("recall_r"),
+        round(col("f1"), 6).as("f1_r"))
+  }
+
+  /** A10' CEAFe (Luo 2005 φ4) of the pipeline clustering against gold — the
+    * third CoNLL metric, which the reference outsources to the external
+    * `scorer.pl` (`CorefEvaluator.scala:463-484`); computed natively by
+    * [[graft.pipeline.Eval.ceafe]] (exact per-conversation Hungarian
+    * matching). The DuckDB oracle uses the closed form valid on this corpus
+    * (one gold entity per conversation ⇒ the optimal matching picks the
+    * best-φ4 cluster); the general matching is gated by CeafSpec on a
+    * multi-entity fixture where greedy assignment is provably suboptimal. */
+  def a10CeafeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    graft.pipeline.Eval.ceafe(r.clusters, gold(spark, sfDir))
+      .select(col("n_pred_clusters"), col("n_gold_entities"),
+        round(col("precision"), 6).as("ceafe_precision_r"),
+        round(col("recall"), 6).as("ceafe_recall_r"),
+        round(col("f1"), 6).as("ceafe_f1_r"))
+  }
+
   /** A16: rollup / grouping-sets analog (the reference's hand-rolled
     * property-prefix subdivision counters, `CorefEvaluator.scala:333-339`). */
   def rollupQ(spark: SparkSession, sfDir: String): DataFrame =

@@ -153,6 +153,108 @@ object Eval {
         coalesce(concat(lit("g:"), col("entity_id")), col("mention_id")).as("cluster_id"))
   }
 
+  /** CEAFe (Luo 2005, φ4): entity-based CEAF — optimal one-to-one matching
+    * between predicted clusters and gold entities per conversation, summed
+    * corpus-wide. The reference delegates this metric to the external CoNLL
+    * `scorer.pl` (`CorefConllScorer`, `CorefEvaluator.scala:463-484` — "Our
+    * MUC and BCUB agree with those from the CoNLL scorer"); here it is
+    * computed natively: per-conversation overlap matrices are tiny (tens of
+    * clusters), so an exact O(n³) Hungarian assignment inside `mapGroups`
+    * distributes over conversations with no driver-side work.
+    *
+    * φ4(K,R) = 2·|K∩R| / (|K|+|R|); Φ = Σ_conv max-matching Σφ4;
+    * P = Φ/|K_total|, R = Φ/|R_total|, F1 = 2PR/(P+R).
+    */
+  def ceafe(predClusters: DataFrame, goldClusters: DataFrame): DataFrame = {
+    val spark = predClusters.sparkSession
+    import spark.implicits._
+    val joined = predClusters.select(col("mention_id"), col("cluster_id").cast("string"))
+      .join(goldClusters.select(col("mention_id"), col("entity_id").cast("string")), "mention_id")
+      .select(graft.functions.convOfMentionId(col("mention_id")).as("conv_id"),
+        col("cluster_id"), col("entity_id"))
+      .as[(String, String, String)]
+    val per = joined.groupByKey(_._1).mapGroups { (conv, it) =>
+      val rows = it.toArray
+      val pIdx = rows.map(_._2).distinct.sorted.zipWithIndex.toMap
+      val gIdx = rows.map(_._3).distinct.sorted.zipWithIndex.toMap
+      val np = pIdx.size; val ng = gIdx.size
+      val pSize = new Array[Int](np); val gSize = new Array[Int](ng)
+      val ovl = Array.ofDim[Int](np, ng)
+      rows.foreach { case (_, c, e) =>
+        val i = pIdx(c); val j = gIdx(e)
+        pSize(i) += 1; gSize(j) += 1; ovl(i)(j) += 1
+      }
+      // φ4 weight matrix, smaller side as rows (the assignment matches every
+      // row; weights are ≥ 0 so a full row assignment is an optimal matching)
+      val w =
+        if (np <= ng) Array.tabulate(np, ng)((i, j) => 2.0 * ovl(i)(j) / (pSize(i) + gSize(j)))
+        else Array.tabulate(ng, np)((j, i) => 2.0 * ovl(i)(j) / (pSize(i) + gSize(j)))
+      (conv, maxAssignment(w), np.toLong, ng.toLong)
+    }.toDF("conv_id", "phi", "np", "ng")
+    per.agg(
+        sum(col("phi")).as("phi_sum"),
+        sum(col("np")).as("n_pred_clusters"),
+        sum(col("ng")).as("n_gold_entities"))
+      .withColumn("precision", col("phi_sum") / col("n_pred_clusters"))
+      .withColumn("recall", col("phi_sum") / col("n_gold_entities"))
+      .withColumn("f1",
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+      .select(col("n_pred_clusters"), col("n_gold_entities"),
+        col("precision"), col("recall"), col("f1"))
+  }
+
+  /** Exact max-weight assignment of every row of `a` (n×m, n ≤ m) to a
+    * distinct column: the classic O(n²m) Hungarian algorithm with potentials,
+    * run on negated weights (min-cost form). Returns the matched weight sum
+    * read directly off `a`, so per-entry values reach the caller bit-exact. */
+  private[graft] def maxAssignment(a: Array[Array[Double]]): Double = {
+    val n = a.length
+    if (n == 0) return 0.0
+    val m = a(0).length
+    require(n <= m, s"maxAssignment needs rows <= cols, got ${n}x$m")
+    val u = new Array[Double](n + 1); val v = new Array[Double](m + 1)
+    val p = new Array[Int](m + 1); val way = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      p(0) = i
+      var j0 = 0
+      val minv = Array.fill(m + 1)(Double.MaxValue)
+      val used = new Array[Boolean](m + 1)
+      var found = false
+      while (!found) {
+        used(j0) = true
+        val i0 = p(j0); var delta = Double.MaxValue; var j1 = -1
+        var j = 1
+        while (j <= m) {
+          if (!used(j)) {
+            val cur = -a(i0 - 1)(j - 1) - u(i0) - v(j)
+            if (cur < minv(j)) { minv(j) = cur; way(j) = j0 }
+            if (minv(j) < delta) { delta = minv(j); j1 = j }
+          }
+          j += 1
+        }
+        j = 0
+        while (j <= m) {
+          if (used(j)) { u(p(j)) += delta; v(j) += delta }
+          else minv(j) -= delta
+          j += 1
+        }
+        j0 = j1
+        if (p(j0) == 0) found = true
+      }
+      var done = false
+      while (!done) {
+        val j1 = way(j0); p(j0) = p(j1); j0 = j1
+        if (j0 == 0) done = true
+      }
+      i += 1
+    }
+    var s = 0.0
+    var j = 1
+    while (j <= m) { if (p(j) != 0) s += a(p(j) - 1)(j - 1); j += 1 }
+    s
+  }
+
   /** Mention-detection P/R/F1 (A7, `CorefDoc.scala:104-109`): pred vs gold
     * mention extents keyed by (conv_id, turn_idx, start, end). */
   def mentionPRF(predMentions: DataFrame, goldMentions: DataFrame): DataFrame =

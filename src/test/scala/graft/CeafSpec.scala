@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Eval
+
+/** CEAFe (Luo 2005 φ4) gates.
+  *
+  * The reference outsources CEAFe to the external CoNLL `scorer.pl`
+  * (`CorefEvaluator.scala:463-484`); [[Eval.ceafe]] computes it natively
+  * with an exact per-conversation Hungarian matching. These specs pin:
+  *  1. the assignment kernel against a matrix where greedy
+  *     (best-pair-first) matching is provably suboptimal;
+  *  2. end-to-end CEAFe on a hand-computed multi-entity fixture — the case
+  *     the degenerate one-entity-per-conversation oracle corpus never
+  *     exercises;
+  *  3. the perfect-clustering identity (P = R = F1 = 1).
+  */
+class CeafSpec extends SparkSuite {
+
+  test("maxAssignment beats greedy on an adversarial matrix") {
+    // greedy picks 0.9 first, forcing 0.9 + 0.1 = 1.0;
+    // the optimal assignment is 0.8 + 0.85 = 1.65
+    val w = Array(Array(0.9, 0.8), Array(0.85, 0.1))
+    assert(math.abs(Eval.maxAssignment(w) - 1.65) < 1e-12)
+  }
+
+  test("maxAssignment on rectangular matrices matches brute force") {
+    // 2x4: exhaustive over ordered column pairs
+    val a = Array(Array(0.2, 0.7, 0.1, 0.4), Array(0.6, 0.9, 0.3, 0.05))
+    val brute = (for {
+      j0 <- a(0).indices; j1 <- a(0).indices if j1 != j0
+    } yield a(0)(j0) + a(1)(j1)).max
+    assert(math.abs(Eval.maxAssignment(a) - brute) < 1e-12)
+    // 1-row: the max entry
+    assert(Eval.maxAssignment(Array(Array(0.3, 0.8, 0.5))) == 0.8)
+    // empty: zero
+    assert(Eval.maxAssignment(Array.empty[Array[Double]]) == 0.0)
+  }
+
+  test("CEAFe on a multi-entity conversation matches the hand computation") {
+    import spark.implicits._
+    // one conversation, two gold entities, two pred clusters:
+    //   K1 = {m1, m2, m3}  K2 = {m4, m5}
+    //   R1 = {m1, m2, m4, m5}  R2 = {m3}
+    // φ4:  K1R1 = 2*2/(3+4) = 4/7   K1R2 = 2*1/(3+1) = 1/2
+    //      K2R1 = 2*2/(2+4) = 2/3   K2R2 = 0
+    // optimal matching = K1R2 + K2R1 = 1/2 + 2/3 = 7/6
+    //   (greedy-by-best-pair picks K2R1 first, then K1R2 — same here; the
+    //    adversarial-kernel spec above covers the case where greedy loses)
+    // P = (7/6)/2, R = (7/6)/2, F1 = 7/12
+    def mid(i: Int) = f"conv#${0}%06d${i}%06d"
+    val pred = Seq(
+      (mid(1), "k1"), (mid(2), "k1"), (mid(3), "k1"),
+      (mid(4), "k2"), (mid(5), "k2")).toDF("mention_id", "cluster_id")
+    val gold = Seq(
+      (mid(1), "r1"), (mid(2), "r1"), (mid(4), "r1"), (mid(5), "r1"),
+      (mid(3), "r2")).toDF("mention_id", "entity_id")
+    val r = Eval.ceafe(pred, gold).collect()(0)
+    assert(r.getAs[Long]("n_pred_clusters") == 2L)
+    assert(r.getAs[Long]("n_gold_entities") == 2L)
+    assert(math.abs(r.getAs[Double]("precision") - 7.0 / 12.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall") - 7.0 / 12.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f1") - 7.0 / 12.0) < 1e-12)
+  }
+
+  test("CEAFe of a perfect clustering is exactly 1.0 across conversations") {
+    import spark.implicits._
+    def mid(c: String, i: Int) = f"$c#${0}%06d${i}%06d"
+    val rows = for {
+      c <- Seq("a", "b", "c"); e <- 0 until 3; i <- 0 until (e + 1)
+    } yield (mid(c, e * 10 + i), s"$c-e$e")
+    val pred = rows.toDF("mention_id", "cluster_id")
+    val gold = pred.withColumnRenamed("cluster_id", "entity_id")
+    val r = Eval.ceafe(pred, gold).collect()(0)
+    assert(r.getAs[Double]("precision") == 1.0 && r.getAs[Double]("recall") == 1.0
+      && r.getAs[Double]("f1") == 1.0)
+  }
+}
