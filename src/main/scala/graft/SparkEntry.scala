@@ -11,6 +11,82 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.clustersQ(spark, "/root/testdata/sf0.001")
 
+  // -- shared A10 oracle bodies (muc/bcub/ceafe verbatim; conll composes) --
+
+  private val mucBody: String =
+    """SELECT
+      | round(CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE), 6) AS muc_precision_r,
+      | round(CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE), 6) AS muc_recall_r,
+      | round(2.0 * (CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))
+      |     * (CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE))
+      |   / ((CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))
+      |     + (CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE))), 6) AS muc_f1_r
+      |FROM
+      | (SELECT CAST(SUM(sz - parts) AS BIGINT) AS num_r, CAST(SUM(sz - 1) AS BIGINT) AS den_r
+      |  FROM (SELECT g.entity_id, count(*) AS sz, count(DISTINCT c.cluster_id) AS parts
+      |        FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+      |        GROUP BY g.entity_id)),
+      | (SELECT CAST(SUM(sz - parts) AS BIGINT) AS num_p, CAST(SUM(sz - 1) AS BIGINT) AS den_p
+      |  FROM (SELECT c.cluster_id, count(*) AS sz, count(DISTINCT g.entity_id) AS parts
+      |        FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+      |        GROUP BY c.cluster_id))""".stripMargin
+
+  private val bcubBody: String =
+    """SELECT
+      | round(sum_p / n, 6) AS bcub_precision_r,
+      | round(sum_r / n, 6) AS bcub_recall_r,
+      | round(2.0 * (sum_p / n) * (sum_r / n) / ((sum_p / n) + (sum_r / n)), 6) AS bcub_f1_r
+      |FROM
+      | (SELECT SUM(ovl * ovl / CAST(csz AS DOUBLE)) AS sum_p,
+      |         SUM(ovl * ovl / CAST(gsz AS DOUBLE)) AS sum_r
+      |  FROM (SELECT cell.cluster_id, cell.entity_id, cell.ovl, cs.csz, gs.gsz
+      |        FROM (SELECT c.cluster_id, g.entity_id, CAST(count(*) AS BIGINT) AS ovl
+      |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+      |              GROUP BY c.cluster_id, g.entity_id) cell
+      |        JOIN (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS csz
+      |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+      |              GROUP BY c.cluster_id) cs ON cell.cluster_id = cs.cluster_id
+      |        JOIN (SELECT g.entity_id, CAST(count(*) AS BIGINT) AS gsz
+      |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
+      |              GROUP BY g.entity_id) gs ON cell.entity_id = gs.entity_id)),
+      | (SELECT CAST(count(*) AS DOUBLE) AS n
+      |  FROM clusters c JOIN gold g ON c.mention_id = g.mention_id)""".stripMargin
+
+  // CEAFe closed form: on this corpus every conversation carries exactly
+  // one gold entity (entity_id = the conv prefix), so the optimal
+  // cluster↔entity matching degenerates to "best φ4 cluster per
+  // conversation" — SQL-expressible, and value-identical to the engine's
+  // general Hungarian matching on this input (the general path is gated by
+  // CeafSpec on a multi-entity fixture).
+  private val ceafeCtes: String =
+    """ceaf0 AS (
+      |  SELECT substr(mention_id, 1, length(mention_id) - 13) AS conv, cluster_id
+      |  FROM clusters
+      |),
+      |ceafc AS (
+      |  SELECT conv, cluster_id, CAST(count(*) AS BIGINT) AS csz
+      |  FROM ceaf0 GROUP BY conv, cluster_id
+      |),
+      |ceafg AS (
+      |  SELECT conv, CAST(count(*) AS BIGINT) AS gsz FROM ceaf0 GROUP BY conv
+      |),
+      |ceafp AS (
+      |  SELECT c.conv, max(2.0 * c.csz / (c.csz + g.gsz)) AS phi,
+      |         CAST(count(*) AS BIGINT) AS np
+      |  FROM ceafc c JOIN ceafg g ON c.conv = g.conv
+      |  GROUP BY c.conv
+      |)""".stripMargin
+
+  private val ceafeBody: String =
+    """SELECT
+      |  CAST(SUM(np) AS BIGINT) AS n_pred_clusters,
+      |  CAST(count(*) AS BIGINT) AS n_gold_entities,
+      |  round(SUM(phi) / SUM(np), 6) AS ceafe_precision_r,
+      |  round(SUM(phi) / count(*), 6) AS ceafe_recall_r,
+      |  round(2.0 * (SUM(phi) / SUM(np)) * (SUM(phi) / count(*))
+      |    / ((SUM(phi) / SUM(np)) + (SUM(phi) / count(*))), 6) AS ceafe_f1_r
+      |FROM ceafp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Queries.q1Agg _),
     "w7_turn_assembly" -> (Queries.w7TurnAssembly _),
@@ -45,6 +121,7 @@ object SparkEntry {
     "a10_muc" -> (Queries.mucQ _),
     "a10_bcub" -> (Queries.bcubQ _),
     "a10_ceafe" -> (Queries.a10CeafeQ _),
+    "a10_conll" -> (Queries.a10ConllQ _),
     "a14_top_weights" -> (Queries.a14TopWeights _),
     "c3_nonsingletons" -> (Queries.c3NonSingletons _),
     "c4_dense_relabel" -> (Queries.c4DenseRelabel _),
@@ -482,78 +559,24 @@ object SparkEntry {
          | ) gp
          |)""".stripMargin),
 
-    "a10_muc" -> ErOracle.q(
-      """SELECT
-        | round(CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE), 6) AS muc_precision_r,
-        | round(CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE), 6) AS muc_recall_r,
-        | round(2.0 * (CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))
-        |     * (CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE))
-        |   / ((CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))
-        |     + (CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE))), 6) AS muc_f1_r
-        |FROM
-        | (SELECT CAST(SUM(sz - parts) AS BIGINT) AS num_r, CAST(SUM(sz - 1) AS BIGINT) AS den_r
-        |  FROM (SELECT g.entity_id, count(*) AS sz, count(DISTINCT c.cluster_id) AS parts
-        |        FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
-        |        GROUP BY g.entity_id)),
-        | (SELECT CAST(SUM(sz - parts) AS BIGINT) AS num_p, CAST(SUM(sz - 1) AS BIGINT) AS den_p
-        |  FROM (SELECT c.cluster_id, count(*) AS sz, count(DISTINCT g.entity_id) AS parts
-        |        FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
-        |        GROUP BY c.cluster_id))""".stripMargin),
+    "a10_muc" -> ErOracle.q(mucBody),
 
-    "a10_bcub" -> ErOracle.q(
-      """SELECT
-        | round(sum_p / n, 6) AS bcub_precision_r,
-        | round(sum_r / n, 6) AS bcub_recall_r,
-        | round(2.0 * (sum_p / n) * (sum_r / n) / ((sum_p / n) + (sum_r / n)), 6) AS bcub_f1_r
-        |FROM
-        | (SELECT SUM(ovl * ovl / CAST(csz AS DOUBLE)) AS sum_p,
-        |         SUM(ovl * ovl / CAST(gsz AS DOUBLE)) AS sum_r
-        |  FROM (SELECT cell.cluster_id, cell.entity_id, cell.ovl, cs.csz, gs.gsz
-        |        FROM (SELECT c.cluster_id, g.entity_id, CAST(count(*) AS BIGINT) AS ovl
-        |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
-        |              GROUP BY c.cluster_id, g.entity_id) cell
-        |        JOIN (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS csz
-        |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
-        |              GROUP BY c.cluster_id) cs ON cell.cluster_id = cs.cluster_id
-        |        JOIN (SELECT g.entity_id, CAST(count(*) AS BIGINT) AS gsz
-        |              FROM clusters c JOIN gold g ON c.mention_id = g.mention_id
-        |              GROUP BY g.entity_id) gs ON cell.entity_id = gs.entity_id)),
-        | (SELECT CAST(count(*) AS DOUBLE) AS n
-        |  FROM clusters c JOIN gold g ON c.mention_id = g.mention_id)""".stripMargin),
+    "a10_bcub" -> ErOracle.q(bcubBody),
 
-    // CEAFe closed form: on this corpus every conversation carries exactly
-    // one gold entity (entity_id = the conv prefix), so the optimal
-    // cluster↔entity matching degenerates to "best φ4 cluster per
-    // conversation" — SQL-expressible, and value-identical to the engine's
-    // general Hungarian matching on this input (the general path is gated by
-    // CeafSpec on a multi-entity fixture).
-    "a10_ceafe" -> ErOracle.q(
-      """,
-        |ceaf0 AS (
-        |  SELECT substr(mention_id, 1, length(mention_id) - 13) AS conv, cluster_id
-        |  FROM clusters
-        |),
-        |ceafc AS (
-        |  SELECT conv, cluster_id, CAST(count(*) AS BIGINT) AS csz
-        |  FROM ceaf0 GROUP BY conv, cluster_id
-        |),
-        |ceafg AS (
-        |  SELECT conv, CAST(count(*) AS BIGINT) AS gsz FROM ceaf0 GROUP BY conv
-        |),
-        |ceafp AS (
-        |  SELECT c.conv, max(2.0 * c.csz / (c.csz + g.gsz)) AS phi,
-        |         CAST(count(*) AS BIGINT) AS np
-        |  FROM ceafc c JOIN ceafg g ON c.conv = g.conv
-        |  GROUP BY c.conv
-        |)
-        |SELECT
-        |  CAST(SUM(np) AS BIGINT) AS n_pred_clusters,
-        |  CAST(count(*) AS BIGINT) AS n_gold_entities,
-        |  round(SUM(phi) / SUM(np), 6) AS ceafe_precision_r,
-        |  round(SUM(phi) / count(*), 6) AS ceafe_recall_r,
-        |  round(2.0 * (SUM(phi) / SUM(np)) * (SUM(phi) / count(*))
-        |    / ((SUM(phi) / SUM(np)) + (SUM(phi) / count(*))), 6) AS ceafe_f1_r
-        |FROM ceafp""".stripMargin),
+    // CoNLL score = mean of the three rounded F1s (`CorefEvaluator
+    // .computeRenderCoNLL`, `CorefEvaluator.scala:477-484` — the headline
+    // metric of the reference's papers, averaged over MUC, B³, CEAFe).
+    "a10_conll" -> ErOracle.q(
+      s""",
+        |$ceafeCtes,
+        |mucv AS ($mucBody),
+        |bcv AS ($bcubBody),
+        |cev AS ($ceafeBody)
+        |SELECT m.muc_f1_r, b.bcub_f1_r, c.ceafe_f1_r,
+        |  round((m.muc_f1_r + b.bcub_f1_r + c.ceafe_f1_r) / 3.0, 6) AS conll_f1_r
+        |FROM mucv m, bcv b, cev c""".stripMargin),
+
+    "a10_ceafe" -> ErOracle.q(s",\n$ceafeCtes\n$ceafeBody"),
 
     "a5_lexcounts" -> Transcripts.withCte(
       """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (

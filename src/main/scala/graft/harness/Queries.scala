@@ -659,6 +659,18 @@ object Queries {
         round(col("f1"), 6).as("ceafe_f1_r"))
   }
 
+  /** A10'' CoNLL score — the mean of the three rounded coref F1s (MUC, B³,
+    * CEAFe), the headline metric the reference renders via
+    * `computeRenderCoNLL` (`CorefEvaluator.scala:477-484`). Composed from
+    * the already-verified per-metric queries (1-row cross joins). */
+  def a10ConllQ(spark: SparkSession, sfDir: String): DataFrame =
+    mucQ(spark, sfDir).select(col("muc_f1_r"))
+      .crossJoin(bcubQ(spark, sfDir).select(col("bcub_f1_r")))
+      .crossJoin(a10CeafeQ(spark, sfDir).select(col("ceafe_f1_r")))
+      .select(col("muc_f1_r"), col("bcub_f1_r"), col("ceafe_f1_r"),
+        round((col("muc_f1_r") + col("bcub_f1_r") + col("ceafe_f1_r")) / 3.0, 6)
+          .as("conll_f1_r"))
+
   /** A16: rollup / grouping-sets analog (the reference's hand-rolled
     * property-prefix subdivision counters, `CorefEvaluator.scala:333-339`). */
   def rollupQ(spark: SparkSession, sfDir: String): DataFrame =
