@@ -75,16 +75,27 @@ object Bench {
     // quadratic salted expansion is eval-universe-only, not benched here)
     val (scoredN, tS) = time {
       lazy val counts = SparseFeatures.normCounts(mentions)
-      val sScored = (sparseWeights match {
-        case Some(w) => SparseFeatures.scoreSurfacePairsSparse(sPairs, surfaces, counts, w)
-        case None => Scoring.scoreSurfacePairs(sPairs, surfaces, cfg.weights)
+      // model load (collect-to-map for broadcast-size models) is timed as
+      // part of the scoring stage — it's work the fast plan does that the
+      // join plan doesn't
+      val wmap = sparseWeights.flatMap(SparseFeatures.collectWeights(_))
+      val sScored = ((sparseWeights, wmap) match {
+        case (_, Some(m)) =>
+          SparseFeatures.scoreSurfacePairsSparseFast(sPairs, surfaces, counts, m)
+        case (Some(w), _) =>
+          SparseFeatures.scoreSurfacePairsSparse(sPairs, surfaces, counts, w)
+        case _ => Scoring.scoreSurfacePairs(sPairs, surfaces, cfg.weights)
       }).cache()
       val nSurf = sScored.count()
       val bandPairs = Blocking.convBandPairs(mentions, cfg.blocking)
-      val band = (sparseWeights match {
-        case Some(w) => SparseFeatures.scorePairsSparse(bandPairs, mentions, counts, w)
+      val band = ((sparseWeights, wmap) match {
+        case (_, Some(m)) =>
+          SparseFeatures.scorePairsSparseFast(bandPairs, mentions, counts, m)
+            .select(col("ant_id"), col("cur_id"), lit("conv").as("block_key"), col("score"))
+        case (Some(w), _) =>
+          SparseFeatures.scorePairsSparse(bandPairs, mentions, counts, w)
           .select(col("ant_id"), col("cur_id"), lit("conv").as("block_key"), col("score"))
-        case None => Scoring.scorePairs(bandPairs, mentions, cfg.weights)
+        case _ => Scoring.scorePairs(bandPairs, mentions, cfg.weights)
           .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       })
       val linked = sScored.filter(col("score") > cfg.linkThreshold)
@@ -92,10 +103,12 @@ object Bench {
       val bridge = Blocking.bridgePairs(linked, mentions, cfg.blocking,
         extraCols = Seq("score"))
         .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
-      val selfSc = sparseWeights match {
-        case Some(w) => SparseFeatures.selfScoresSparse(surfaces, counts, w)
+      val selfSc = (sparseWeights, wmap) match {
+        case (_, Some(m)) => SparseFeatures.selfScoresSparseFast(surfaces, counts, m)
           .select(col("norm"), col("score"))
-        case None => Scoring.selfScores(surfaces, cfg.weights)
+        case (Some(w), _) => SparseFeatures.selfScoresSparse(surfaces, counts, w)
+          .select(col("norm"), col("score"))
+        case _ => Scoring.selfScores(surfaces, cfg.weights)
       }
       val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking, Some(surfaces),
           keepInBand = sparseWeights.nonEmpty)

@@ -101,6 +101,7 @@ object SparkEntry {
     "a6_feature_dict" -> (Queries.a6FeatureDict _),
     "p10_sparse_scores" -> (Queries.p10SparseScores _),
     "p11_sparse_surface" -> (Queries.p11SparseSurface _),
+    "p11b_sparse_fast" -> (Queries.p11bSparseSurfaceFast _),
     "a2_backptrs" -> (Queries.backptrsQ _),
     "a1_marginals" -> (Queries.a1Marginals _),
     "b2_pruned_pairs" -> (Queries.b2Pruned _),
@@ -214,6 +215,12 @@ object SparkEntry {
       "\nSELECT ant_id, cur_id, n_feats, score_r FROM sscores"),
 
     "p11_sparse_surface" -> ErOracle.q(ErOracle.sparseCtes + ErOracle.surfSparseCtes +
+      "\nSELECT norm_a, norm_b, block_key, score_r FROM sp11"),
+
+    // identical SQL to p11 by design: the Spark side computes these scores
+    // via the broadcast SparseWeightSum expression instead of the weight
+    // join, so the MATCH is the oracle proof of the fast path's exactness
+    "p11b_sparse_fast" -> ErOracle.q(ErOracle.sparseCtes + ErOracle.surfSparseCtes +
       "\nSELECT norm_a, norm_b, block_key, score_r FROM sp11"),
 
     "a1_marginals" -> ErOracle.q(

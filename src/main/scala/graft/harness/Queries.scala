@@ -469,6 +469,22 @@ object Queries {
         round(col("score"), 6).as("score_r"))
   }
 
+  /** P11b: the SAME surface-pure sparse scores as [[p11SparseSurface]], but
+    * computed by the broadcast fast path ([[graft.functions.SparseWeightSum]]
+    * — collected model, in-projection hash lookup, no weight join). The
+    * oracle is the identical relational SQL as `p11_sparse_surface`, so a
+    * MATCH pins the expression's integer sums to the join plan exactly. */
+  def p11bSparseSurfaceFast(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val (_, _, weights) = sparsePath(spark, sfDir)
+    val wmap = SparseFeatures.collectWeights(weights)
+      .getOrElse(sys.error("harness sparse model must fit the broadcast cutoff"))
+    SparseFeatures.scoreSurfacePairsSparseFast(r.surfacePairs, r.surfaces,
+        SparseFeatures.normCounts(r.mentions), wmap)
+      .select(col("norm_a"), col("norm_b"), col("block_key"),
+        round(col("score"), 6).as("score_r"))
+  }
+
   def mucQ(spark: SparkSession, sfDir: String): DataFrame = {
     val r = pipeline(spark, sfDir)
     Eval.muc(r.clusters, gold(spark, sfDir))

@@ -107,15 +107,19 @@ object Dedup {
     * connected components over the verified near-dup pairs, canonical doc =
     * component minimum, output `(doc_id, canonical_id)` for every doc that
     * belongs to a non-trivial component (drop-list = rows with
-    * `doc_id != canonical_id`). Reuses the pipeline's hash-to-min CC loop
-    * ([[graft.pipeline.Clustering.connectedComponents]]) — near-dup
-    * components are shallow (diameter ~2-3), so the loop converges in a few
-    * rounds; ids stay longs end to end. */
+    * `doc_id != canonical_id`). Reuses the pipeline's HYBRID components
+    * solver ([[graft.pipeline.Clustering.hybridComponents]]): near-dup
+    * graphs after verification are tiny relative to the corpus, so they
+    * almost always take the bounded driver union-find (skipping the
+    * checkpointed loop's per-iteration action overhead entirely); an
+    * over-threshold graph falls back to the distributed hash-to-min loop.
+    * Ids stay longs end to end; canonical id = component minimum either
+    * way (oracle `dd_canonical` pins the equality). */
   def canonicalize(pairs: DataFrame): DataFrame = {
     val nodes = pairs.select(col("doc_a").as("id"))
       .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    graft.pipeline.Clustering.connectedComponents(nodes, edges)
+    graft.pipeline.Clustering.hybridComponents(pairs.sparkSession, nodes, edges)
       .select(col("mention_id").as("doc_id"), col("cluster_id").as("canonical_id"))
   }
 

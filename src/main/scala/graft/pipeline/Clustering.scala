@@ -153,38 +153,7 @@ object Clustering {
       .localCheckpoint(true)
     val encNodes = enc.select(col("nid").as("id"))
 
-    // hybrid: after union-find contraction the cross-conversation graph is
-    // usually orders of magnitude smaller than the mention set. Below the
-    // threshold, solve it driver-side with union-by-min (identical result to
-    // the hash-to-min loop: cluster id = component min) and skip the
-    // iterative rounds entirely; above it, run the distributed
-    // checkpointed loop. At 10^12 turns the contracted graph can still be
-    // huge — the threshold keeps the driver path safe, not assumed.
-    val nCross = encEdges.limit(maxDriverEdges + 1).count()
-    val rootClustersN =
-      if (nCross <= maxDriverEdges) {
-        val edges = encEdges.select(col("src"), col("dst")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = parent.getOrElseUpdate(x, x)
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        edges.foreach { case (a, b) =>
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        val lookup = parent.keysIterator.map(k => (k, find(k))).toSeq
-        val sparkSes = spark
-        import sparkSes.implicits._
-        val mapped = lookup.toDF("id", "cluster_id")
-        encNodes.join(broadcast(mapped), Seq("id"), "left")
-          .select(col("id").as("mention_id"),
-            coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      } else connectedComponents(encNodes, encEdges, checkpoint = checkpoint)
+    val rootClustersN = hybridComponents(spark, encNodes, encEdges, checkpoint)
 
     // decode nid → mention-id string for both the member and its label
     val dec = enc.select(col("nid"), col("id"))
@@ -204,6 +173,46 @@ object Clustering {
     * integer-encoded ids, 500k long edges is ≤ ~30 MB of driver heap
     * (bounded, with the distributed loop as the over-threshold fallback). */
   val maxDriverEdges: Int = 500000
+
+  /** Hybrid connected components over a LONG-id graph: below
+    * [[maxDriverEdges]] the graph is solved driver-side with union-by-min
+    * (identical result to the hash-to-min loop: cluster id = component
+    * minimum) and the iterative rounds are skipped entirely; above it, the
+    * distributed checkpointed loop runs. The size probe is
+    * `limit(max+1).count()` so an over-threshold graph costs one bounded
+    * scan, never a full count. Shared by the ER clustering stage (contracted
+    * cross-conversation graph) and near-dup canonicalization
+    * ([[graft.ops.Dedup.canonicalize]] — near-dup components are tiny, so
+    * the driver path removes ~6-8 s of per-iteration action overhead there).
+    * Returns `(mention_id, cluster_id)` like [[connectedComponents]]. */
+  def hybridComponents(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      checkpoint: (Int, DataFrame) => DataFrame = (_, df) => df.localCheckpoint(true))
+    : DataFrame = {
+    val nEdges = edges.limit(maxDriverEdges + 1).count()
+    if (nEdges <= maxDriverEdges) {
+      val es = edges.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val lookup = parent.keysIterator.map(k => (k, find(k))).toSeq
+      val sparkSes = spark
+      import sparkSes.implicits._
+      val mapped = lookup.toDF("id", "cluster_id")
+      nodes.join(broadcast(mapped), Seq("id"), "left")
+        .select(col("id").as("mention_id"),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    } else connectedComponents(nodes, edges, checkpoint = checkpoint)
+  }
 
   /** C3: drop singleton clusters (CoNLL postprocessing,
     * `OrderedClusteringBound.scala:8-11`). */

@@ -31,7 +31,14 @@ object Pipeline {
       sparseWeights: Option[DataFrame] = None,
       /** Caller-supplied stable tag identifying [[sparseWeights]] for the
         * resume-lineage token (a DataFrame can't be hashed into it). */
-      sparseTag: String = "") {
+      sparseTag: String = "",
+      /** Sparse models at or under this many features are collected and
+        * scored by in-projection hash lookup
+        * ([[SparseFeatures.collectWeights]]); larger models stay on the
+        * shuffle-hash weight-join plan. Excluded from [[token]] — both plans
+        * produce bit-identical scores (integer-exact sums), so snapshots
+        * remain valid across the cutoff. */
+      sparseBroadcastMax: Int = SparseFeatures.BroadcastMaxFeatures) {
     /** Deterministic config token for lineage. */
     def token: String = {
       val s = s"$blocking|${weights.values.mkString(",")}|$linkThreshold|" +
@@ -91,12 +98,22 @@ object Pipeline {
       "scoringMode=sparse requires Config.sparseWeights")
     // F5 backoff counts — one cheap aggregation over the cached mentions
     lazy val counts = SparseFeatures.normCounts(mentions)
+    // broadcast-size sparse models are collected ONCE and scored by
+    // in-projection lookup in all three legs; over-cutoff models stay on the
+    // weight-join plans (bit-identical scores either way)
+    lazy val wmap = if (sparse)
+      SparseFeatures.collectWeights(cfg.sparseWeights.get, cfg.sparseBroadcastMax)
+    else None
     val surfacePairs = stage("surface_pairs", tok)(
       Blocking.surfacePairs(surfaces, cfg.blocking))
     val surfaceScores = stage("surface_scores", tok)(
-      if (sparse)
-        SparseFeatures.scoreSurfacePairsSparse(surfacePairs, surfaces, counts,
-          cfg.sparseWeights.get)
+      if (sparse) wmap match {
+        case Some(m) =>
+          SparseFeatures.scoreSurfacePairsSparseFast(surfacePairs, surfaces, counts, m)
+        case None =>
+          SparseFeatures.scoreSurfacePairsSparse(surfacePairs, surfaces, counts,
+            cfg.sparseWeights.get)
+      }
       else Scoring.scoreSurfacePairs(surfacePairs, surfaces, cfg.weights))
     // mention-level scored pairs, three legs (all linear in mentions +
     // linked surface pairs — no quadratic expansion anywhere):
@@ -112,10 +129,14 @@ object Pipeline {
       val bandPairs = Blocking.convBandPairs(mentions, cfg.blocking)
       val band =
         if (sparse)
-          SparseFeatures.scorePairsSparse(bandPairs, mentions, counts,
-            cfg.sparseWeights.get)
-            .select(col("ant_id"), col("cur_id"),
-              lit("conv").as("block_key"), col("score"))
+          (wmap match {
+            case Some(m) =>
+              SparseFeatures.scorePairsSparseFast(bandPairs, mentions, counts, m)
+            case None =>
+              SparseFeatures.scorePairsSparse(bandPairs, mentions, counts,
+                cfg.sparseWeights.get)
+          }).select(col("ant_id"), col("cur_id"),
+            lit("conv").as("block_key"), col("score"))
         else Scoring.scorePairs(bandPairs, mentions, cfg.weights)
           .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       val linked = surfaceScores.filter(col("score") > cfg.linkThreshold)
@@ -125,7 +146,11 @@ object Pipeline {
       // surfaces (cached) already carries n_mentions — share it instead of
       // re-aggregating the counts inside the chain leg
       val selfSc =
-        if (sparse) SparseFeatures.selfScoresSparse(surfaces, counts, cfg.sparseWeights.get)
+        if (sparse) wmap match {
+          case Some(m) => SparseFeatures.selfScoresSparseFast(surfaces, counts, m)
+          case None =>
+            SparseFeatures.selfScoresSparse(surfaces, counts, cfg.sparseWeights.get)
+        }
         else Scoring.selfScores(surfaces, cfg.weights)
       // sparse mode keeps in-band chain edges: the dense "band scores them
       // strictly higher" argument doesn't survive trained conjunction

@@ -147,6 +147,17 @@ object SparseFeatures {
     *               ('x' when the pair is unattested) */
   def featureStrings(pairsAttr: DataFrame, counts: DataFrame,
       sem: Option[DataFrame], hearst: Option[DataFrame]): DataFrame = {
+    val (df, base) = pairFeatureFrame(pairsAttr, counts, sem, hearst)
+    df.select(col("ant_id"), col("cur_id"),
+      explode(threeAxisArray(base)).as("f"))
+  }
+
+  /** Shared prep for the mention-pair template set: the joined frame plus the
+    * BASE feature-string columns (pre-conjunction). Both the exploding
+    * ([[featureStrings]]) and the map-lookup ([[scorePairsSparseFast]]) paths
+    * build from here so the template set cannot drift between them. */
+  private def pairFeatureFrame(pairsAttr: DataFrame, counts: DataFrame,
+      sem: Option[DataFrame], hearst: Option[DataFrame]): (DataFrame, Seq[Column]) = {
     var df = withCounts(pairsAttr, counts)
     val extra = scala.collection.mutable.ArrayBuffer.empty[Column]
     sem.foreach { s =>
@@ -165,12 +176,17 @@ object SparseFeatures {
       extra += concat(lit("hearst="), when(col("hcnt").isNull, lit("x"))
         .otherwise(floor(log(col("hcnt") + 1)).cast("int").cast("string")))
     }
-    val base = baseTemplates ++ extra
+    (df, baseTemplates ++ extra)
+  }
+
+  /** The P1 conjunction scheme as one array column: every base feature bare,
+    * `&t=`-conjoined with the current mention's type, and `&tt=`-conjoined
+    * with both types. */
+  private def threeAxisArray(base: Seq[Column]): Column = {
     val conj = base.map(f => concat(f, lit("&t="), col("mtype_c")))
     val conj2 = base.map(f =>
       concat(f, lit("&tt="), col("mtype_a"), lit("|"), col("mtype_c")))
-    df.select(col("ant_id"), col("cur_id"),
-      explode(array((base ++ conj ++ conj2): _*)).as("f"))
+    array((base ++ conj ++ conj2): _*)
   }
 
   /** Surface-pure exploded feature strings `(norm_a, norm_b, block_key, f)`
@@ -182,6 +198,14 @@ object SparseFeatures {
     * band path's training, which is what makes the coarse-to-fine gate and
     * the band scores commensurable in sparse mode. */
   def surfaceFeatureStrings(surfacePairs: DataFrame, surfaces: DataFrame,
+      counts: DataFrame): DataFrame =
+    surfaceFeatureFrame(surfacePairs, surfaces, counts)
+      .select(col("norm_a"), col("norm_b"), col("block_key"),
+        explode(array(baseTemplates: _*)).as("f"))
+
+  /** Shared prep for the surface-pure template set (see
+    * [[surfaceFeatureStrings]] for the semantics). */
+  private def surfaceFeatureFrame(surfacePairs: DataFrame, surfaces: DataFrame,
       counts: DataFrame): DataFrame = {
     val attrs = surfaces.select(col("norm"), col("head_key"), col("toks"))
     val a = attrs.toDF("norm_a", "head_key_a", "toks_a")
@@ -189,8 +213,7 @@ object SparseFeatures {
     val joined = Scoring.withSurfaceOnlyAttrs(
       surfacePairs.join(a, "norm_a").join(c, "norm_b")
         .withColumn("norm_c", col("norm_b")))
-    withCounts(joined, counts).select(col("norm_a"), col("norm_b"), col("block_key"),
-      explode(array(baseTemplates: _*)).as("f"))
+    withCounts(joined, counts)
   }
 
   /** A6 feature dictionary: dense ids 0..n-1 in feature-string sort order.
@@ -301,4 +324,83 @@ object SparseFeatures {
     scoreWithWeights(
       featureStrings(Scoring.attachAttrs(pairs, mentions), counts),
       weights, Seq("ant_id", "cur_id"))
+
+  // ---- broadcast-model fast path ------------------------------------------
+
+  /** Features up to which a trained sparse model is collected and scored by
+    * in-projection hash lookup ([[graft.functions.SparseWeightSum]]) instead
+    * of the explode → weight-join → re-aggregate plan. 4M entries ≈ a few
+    * hundred MB of task-binary payload at most — comfortably broadcastable;
+    * beyond it the engine stays on the shuffle-hash join path, which is the
+    * 10^9-feature design (the reference's packed model is likewise an
+    * in-memory array on every worker, `PairwiseScorer.scala:10-35`). */
+  val BroadcastMaxFeatures: Int = 4000000
+
+  /** Collect a weight table `(f, w_i)` into a [[graft.functions.SparseWeightMap]]
+    * when it is small enough to broadcast; `None` (→ caller stays on the join
+    * plan) otherwise. The size probe is `limit(max+1).count()` so an
+    * over-limit table costs one bounded scan, not a full count. */
+  def collectWeights(weights: DataFrame,
+      maxFeatures: Int = BroadcastMaxFeatures): Option[graft.functions.SparseWeightMap] = {
+    if (weights.limit(maxFeatures + 1).count() > maxFeatures) None
+    else {
+      val rows = weights.select(col("f"), col("w_i")).collect()
+      val names = new Array[String](rows.length)
+      val w = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        names(i) = rows(i).getString(0)
+        w(i) = rows(i).getLong(1)
+        i += 1
+      }
+      Some(new graft.functions.SparseWeightMap(names, w))
+    }
+  }
+
+  /** `Σ w_i / 1e5` of an array-of-feature-strings column against a collected
+    * model — the whole sparse score as ONE codegen'd expression. */
+  def weightSum(feats: Column, wmap: graft.functions.SparseWeightMap): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SparseWeightSum(
+        org.apache.spark.sql.graft.ColumnBridge.expression(feats), wmap))
+      .cast("double") / WeightScale.toDouble
+
+  /** [[scorePairsSparse]] on a collected model: no explode, no weight join,
+    * no re-aggregation — a narrow projection per candidate pair.
+    * Output and row set are bit-identical to the join path (integer-exact
+    * sums; band pairs are distinct by construction, so the join path's
+    * `groupBy(pair)` never merges rows). SparseSpec pins the equality. */
+  def scorePairsSparseFast(pairs: DataFrame, mentions: DataFrame,
+      counts: DataFrame, wmap: graft.functions.SparseWeightMap): DataFrame = {
+    val (df, base) = pairFeatureFrame(
+      Scoring.attachAttrs(pairs, mentions), counts, None, None)
+    df.select(col("ant_id"), col("cur_id"),
+      weightSum(threeAxisArray(base), wmap).as("score"))
+  }
+
+  /** The full three-axis sparse score as a single column over an
+    * attached-attrs pair frame that ALREADY carries the `n_a`/`n_c` backoff
+    * counts — a stateless projection, so it runs UNCHANGED on a pair STREAM
+    * ([[graft.streaming.StreamingAssembly.streamingBandScoresSparse]]), the
+    * same way the dense path shares `Scoring.featurize`/`score` between
+    * batch and stream. */
+  def sparseScoreCol(wmap: graft.functions.SparseWeightMap): Column =
+    weightSum(threeAxisArray(baseTemplates), wmap)
+
+  /** [[scoreSurfacePairsSparse]] on a collected model (bare templates). */
+  def scoreSurfacePairsSparseFast(surfacePairs: DataFrame, surfaces: DataFrame,
+      counts: DataFrame, wmap: graft.functions.SparseWeightMap): DataFrame =
+    surfaceFeatureFrame(surfacePairs, surfaces, counts)
+      .select(col("norm_a"), col("norm_b"), col("block_key"),
+        weightSum(array(baseTemplates: _*), wmap).as("score"))
+
+  /** [[selfScoresSparse]] on a collected model. */
+  def selfScoresSparseFast(surfaces: DataFrame, counts: DataFrame,
+      wmap: graft.functions.SparseWeightMap): DataFrame = {
+    val self = surfaces.filter(col("n_mentions") >= 2)
+      .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
+        lit("x:self").as("block_key"))
+    scoreSurfacePairsSparseFast(self, surfaces, counts, wmap)
+      .select(col("norm_a").as("norm"), col("block_key"), col("score"))
+  }
 }

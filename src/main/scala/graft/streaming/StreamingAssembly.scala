@@ -254,6 +254,30 @@ object StreamingAssembly {
         horizonMs).toDF()), weights)
       .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"), col("ts"))
 
+  /** Streaming band scoring under the SPARSE lexicalized model: the
+    * broadcast fast scorer ([[graft.pipeline.SparseFeatures.sparseScoreCol]])
+    * is a pure projection, so the flagship model runs on the pair stream
+    * with no stream-side join against the weight table at all. The F5
+    * backoff counts are a STATIC table (training-corpus statistics) joined
+    * broadcast-left: surfaces the training corpus never saw get count 0 and
+    * back off to their word shape — the honest cold-start semantics.
+    * Output `(ant_id, cur_id, block_key, score, ts)`; scores are identical
+    * to the batch band leg on replay (StreamingSpec pins it). */
+  def streamingBandScoresSparse(spark: SparkSession, mentionStream: DataFrame,
+      counts: DataFrame, wmap: graft.functions.SparseWeightMap,
+      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      horizonMs: Long = 600000L): DataFrame =
+    streamingBandPairs(spark, mentionStream, maxConvDist, watermark, horizonMs)
+      .toDF()
+      .join(broadcast(counts.select(col("norm").as("norm_a"),
+        col("n_norm").as("n_a"))), Seq("norm_a"), "left")
+      .join(broadcast(counts.select(col("norm").as("norm_c"),
+        col("n_norm").as("n_c"))), Seq("norm_c"), "left")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_c", coalesce(col("n_c"), lit(0L)))
+      .select(col("ant_id"), col("cur_id"), col("block_key"),
+        graft.pipeline.SparseFeatures.sparseScoreCol(wmap).as("score"), col("ts"))
+
   case class ScoredArc(cur_id: String, ant_id: String, score: Double,
       ts: java.sql.Timestamp)
   case class BestArc(ant_id: String, score: Double)

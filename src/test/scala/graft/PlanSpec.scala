@@ -34,6 +34,34 @@ class PlanSpec extends SparkSuite {
     assert(!hasCartesian(df))
   }
 
+  test("fast sparse band scoring is a pure projection: no aggregate, no weight join") {
+    import org.apache.spark.sql.functions.col
+    // pin the inputs (mentions + F5 counts) so the asserted plan is the
+    // SCORING stage alone, not the upstream extraction/count aggregates
+    val m = graft.pipeline.Mentions.extractIdentifier(
+      graft.sources.Transcripts.load(spark, sf)).localCheckpoint(true)
+    val counts = graft.pipeline.SparseFeatures.normCounts(m).localCheckpoint(true)
+    val pairs = graft.pipeline.Blocking.convBandPairs(m)
+    val pairsAttr = graft.pipeline.Scoring.attachAttrs(pairs, m)
+    val feats = graft.pipeline.SparseFeatures.featureStrings(pairsAttr, counts)
+    val labels = pairsAttr.select(col("ant_id"), col("cur_id"),
+      (col("head_key_a") === col("head_key_c")).cast("double").as("label"))
+    val w = graft.pipeline.SparseFeatures.logOddsWeights(feats, labels)
+    val wmap = graft.pipeline.SparseFeatures.collectWeights(w).get
+    val fast = graft.pipeline.SparseFeatures.scorePairsSparseFast(pairs, m, counts, wmap)
+    val plan = fast.queryExecution.executedPlan.toString
+    // the join plan carries explode + HashAggregate x2 (partial+final) + the
+    // weight join; the broadcast fast plan must have NONE of them — that IS
+    // the optimization, asserted structurally so a regression can't hide
+    // behind a warm benchmark
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      "fast sparse scoring must not aggregate")
+    assert(!plan.contains("Generate"), "fast sparse scoring must not explode")
+    assert(plan.contains("sparseweightsum") || plan.contains("SparseWeightSum"),
+      s"fast plan must score via the SparseWeightSum expression")
+    assert(!hasCartesian(fast))
+  }
+
   test("pipeline scored pairs: no cross join, windows all partitioned") {
     val r = Queries.pipeline(spark, sf)
     assert(!hasCartesian(r.scored))

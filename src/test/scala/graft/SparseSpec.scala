@@ -244,6 +244,46 @@ class SparseSpec extends SparkSuite {
     surfaces.unpersist(); mentions.unpersist(); transcripts.unpersist()
   }
 
+  test("broadcast fast scorers are BIT-identical to the weight-join scorers (all three legs)") {
+    val (_, mentions, gold) = fix
+    val universe = Blocking.candidatePairs(mentions).cache()
+    val pairsAttr = Scoring.attachAttrs(universe, mentions)
+    val counts = SparseFeatures.normCounts(mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr, counts).localCheckpoint(true)
+    val labels = universe.select(col("ant_id"), col("cur_id"))
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
+    val w = SparseFeatures.logOddsWeights(feats, labels).cache()
+    val wmap = SparseFeatures.collectWeights(w).get
+    val cfgB = Blocking.Config()
+    val surfaces = Blocking.surfaceTable(mentions).cache()
+    val sPairs = Blocking.surfacePairs(surfaces, cfgB).cache()
+    val bandPairs = Blocking.convBandPairs(mentions, cfgB)
+
+    // integer-exact sums ⇒ the double scores must match exactly, not just to
+    // a rounding tolerance — compare with no round()
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Long =
+      a.except(b).count() + b.except(a).count()
+
+    val bandJoin = SparseFeatures.scorePairsSparse(bandPairs, mentions, counts, w)
+    val bandFast = SparseFeatures.scorePairsSparseFast(bandPairs, mentions, counts, wmap)
+    assert(diff(bandJoin, bandFast) == 0, "band leg: fast != join")
+
+    val surfJoin = SparseFeatures.scoreSurfacePairsSparse(sPairs, surfaces, counts, w)
+    val surfFast = SparseFeatures.scoreSurfacePairsSparseFast(sPairs, surfaces, counts, wmap)
+    assert(diff(surfJoin, surfFast) == 0, "surface leg: fast != join")
+
+    val selfJoin = SparseFeatures.selfScoresSparse(surfaces, counts, w)
+    val selfFast = SparseFeatures.selfScoresSparseFast(surfaces, counts, wmap)
+    assert(diff(selfJoin, selfFast) == 0, "self-score leg: fast != join")
+
+    // over-cutoff model falls back to the join plan
+    assert(SparseFeatures.collectWeights(w, maxFeatures = 10).isEmpty,
+      "collectWeights must refuse a model over the cutoff")
+    surfaces.unpersist(); sPairs.unpersist()
+  }
+
   test("scoringMode=sparse: FULL pipeline (band+bridge+chains) with the trained sparse model >= trained dense pipeline F1") {
     val (transcripts, mentions, gold) = fix
     val universe = Blocking.candidatePairs(mentions).cache()

@@ -143,6 +143,48 @@ class StreamingSpec extends SparkSuite {
       s"streaming decode must equal batch backpointers (${streamedBptr.size} vs ${batchBptr.size})")
   }
 
+  test("streaming SPARSE band scoring == batch sparse band scores on replay") {
+    import graft.pipeline.{Mentions, Blocking, Scoring, SparseFeatures}
+    val transcripts = spark.read.parquet(dir)
+    val m = Mentions.extractIdentifier(transcripts).cache()
+    val cfg = Blocking.Config()
+    val counts = SparseFeatures.normCounts(m).cache()
+    val bandPairs = Blocking.convBandPairs(m, cfg)
+    // deterministic model: log-odds against a head-match pseudo-label — any
+    // fixed weight table works, the test pins stream == batch under it
+    val pairsAttr = Scoring.attachAttrs(bandPairs, m)
+    val feats = SparseFeatures.featureStrings(pairsAttr, counts)
+    val labels = pairsAttr.select(col("ant_id"), col("cur_id"),
+      (col("head_key_a") === col("head_key_c")).cast("double").as("label"))
+    val wmap = SparseFeatures.collectWeights(
+      SparseFeatures.logOddsWeights(feats, labels)).get
+    val batchScores = SparseFeatures.scorePairsSparseFast(bandPairs, m, counts, wmap)
+      .select(col("ant_id"), col("cur_id"), col("score")).cache()
+
+    val md = Files.createTempDirectory("graft-sband").toString
+    m.select("conv_id", "mention_id", "turn_idx", "start", "norm", "head_key",
+      "toks", "mtype", "closed_class", "role", "number", "gender", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(md)
+    val stream = spark.readStream.schema(
+      "conv_id STRING, mention_id STRING, turn_idx INT, start INT, norm STRING, " +
+        "head_key STRING, toks ARRAY<STRING>, mtype STRING, closed_class BOOLEAN, " +
+        "role STRING, number STRING, gender STRING, ts TIMESTAMP").parquet(md)
+    val q = StreamingAssembly.streamingBandScoresSparse(spark, stream, counts,
+      wmap, maxConvDist = cfg.maxConvDist)
+      .writeStream.format("memory").queryName("stream_sband")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("stream_sband")
+      .select(col("ant_id"), col("cur_id"), col("score"))
+    val nBatch = batchScores.count()
+    assert(nBatch > 0)
+    assert(streamed.count() === nBatch)
+    // integer-exact sums ⇒ EXACT double equality, no rounding
+    assert(streamed.exceptAll(batchScores).count() === 0L &&
+      batchScores.exceptAll(streamed).count() === 0L,
+      "streamed sparse band scores must equal the batch sparse band scores exactly")
+  }
+
   test("END-TO-END raw transcript stream -> mentions -> band scores == batch") {
     import graft.pipeline.{Mentions, Blocking, Scoring}
     // the full streaming chain from RAW transcripts: extract (stateless) →
