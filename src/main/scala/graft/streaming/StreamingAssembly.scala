@@ -266,17 +266,35 @@ object StreamingAssembly {
   def streamingBandScoresSparse(spark: SparkSession, mentionStream: DataFrame,
       counts: DataFrame, wmap: graft.functions.SparseWeightMap,
       maxConvDist: Int = 10, watermark: String = "10 minutes",
-      horizonMs: Long = 600000L): DataFrame =
-    streamingBandPairs(spark, mentionStream, maxConvDist, watermark, horizonMs)
+      horizonMs: Long = 600000L): DataFrame = {
+    val cb = graft.pipeline.SparseFeatures.surfaceSideCols(counts)
+    def cold(side: String): DataFrame => DataFrame = df => df
+      // cold-start fallbacks for surfaces the static table never saw: count
+      // 0 (→ shape backoff), shape/class/initials computed on the stream
+      // side — the same functions surfaceSideCols applies statically
+      .withColumn(s"n_$side", coalesce(col(s"n_$side"), lit(0L)))
+      .withColumn(s"backed_$side",
+        coalesce(col(s"backed_$side"),
+          graft.functions.wordShapePortable(col(s"norm_$side"))))
+      .withColumn(s"scls_$side", coalesce(col(s"scls_$side"),
+        graft.functions.semClass(
+          element_at(split(col(s"norm_$side"), " "), -1))))
+      .withColumn(s"inits_$side", coalesce(col(s"inits_$side"),
+        array_join(transform(split(col(s"norm_$side"), " "),
+          x => substring(x, 1, 1)), "")))
+    val joined = streamingBandPairs(spark, mentionStream, maxConvDist,
+        watermark, horizonMs)
       .toDF()
-      .join(broadcast(counts.select(col("norm").as("norm_a"),
-        col("n_norm").as("n_a"))), Seq("norm_a"), "left")
-      .join(broadcast(counts.select(col("norm").as("norm_c"),
-        col("n_norm").as("n_c"))), Seq("norm_c"), "left")
-      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
-      .withColumn("n_c", coalesce(col("n_c"), lit(0L)))
+      .join(broadcast(cb.select(col("norm").as("norm_a"), col("n_norm").as("n_a"),
+        col("backed").as("backed_a"), col("scls").as("scls_a"),
+        col("inits").as("inits_a"))), Seq("norm_a"), "left")
+      .join(broadcast(cb.select(col("norm").as("norm_c"), col("n_norm").as("n_c"),
+        col("backed").as("backed_c"), col("scls").as("scls_c"),
+        col("inits").as("inits_c"))), Seq("norm_c"), "left")
+    cold("c")(cold("a")(joined))
       .select(col("ant_id"), col("cur_id"), col("block_key"),
         graft.pipeline.SparseFeatures.sparseScoreCol(wmap).as("score"), col("ts"))
+  }
 
   case class ScoredArc(cur_id: String, ant_id: String, score: Double,
       ts: java.sql.Timestamp)
