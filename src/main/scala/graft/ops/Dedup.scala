@@ -116,10 +116,15 @@ object Dedup {
     * Ids stay longs end to end; canonical id = component minimum either
     * way (oracle `dd_canonical` pins the equality). */
   def canonicalize(pairs: DataFrame): DataFrame = {
-    val nodes = pairs.select(col("doc_a").as("id"))
-      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    graft.pipeline.Clustering.hybridComponents(pairs.sparkSession, nodes, edges)
+    // pin the verified pair list ONCE: the hybrid solver's size probe, the
+    // driver collect and the node derivation each consume it, and without
+    // the checkpoint every consumer re-runs the (expensive) upstream
+    // candidate+verify chain. The pair list is tiny by construction.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val nodes = p.select(col("doc_a").as("id"))
+      .unionByName(p.select(col("doc_b").as("id"))).distinct()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.pipeline.Clustering.hybridComponents(p.sparkSession, nodes, edges)
       .select(col("mention_id").as("doc_id"), col("cluster_id").as("canonical_id"))
   }
 

@@ -387,6 +387,19 @@ object SparseFeatures {
         org.apache.spark.sql.graft.ColumnBridge.expression(feats), wmap))
       .cast("double") / WeightScale.toDouble
 
+  /** `Σ w_i / 1e5` over the full three-axis conjunction scheme, probing the
+    * `&t=`/`&tt=` conjunctions INSIDE the expression
+    * ([[graft.functions.SparseWeightSumConj]]) — the row carries only the
+    * 22 base strings; the 44 conjunction strings are built transiently per
+    * probe and never materialized. */
+  def weightSumConj(base: Seq[Column], mtypeA: Column, mtypeC: Column,
+      wmap: graft.functions.SparseWeightMap): Column = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    br.column(graft.functions.SparseWeightSumConj(
+        base.map(br.expression), br.expression(mtypeA), br.expression(mtypeC), wmap))
+      .cast("double") / WeightScale.toDouble
+  }
+
   /** [[scorePairsSparse]] on a collected model: no explode, no weight join,
     * no re-aggregation — a narrow projection per candidate pair.
     * Output and row set are bit-identical to the join path (integer-exact
@@ -397,7 +410,7 @@ object SparseFeatures {
     val (df, base) = pairFeatureFrame(
       Scoring.attachAttrs(pairs, mentions), counts, None, None)
     df.select(col("ant_id"), col("cur_id"),
-      weightSum(threeAxisArray(base), wmap).as("score"))
+      weightSumConj(base, col("mtype_a"), col("mtype_c"), wmap).as("score"))
   }
 
   /** The full three-axis sparse score as a single column over an
@@ -407,7 +420,7 @@ object SparseFeatures {
     * same way the dense path shares `Scoring.featurize`/`score` between
     * batch and stream. */
   def sparseScoreCol(wmap: graft.functions.SparseWeightMap): Column =
-    weightSum(threeAxisArray(baseTemplates), wmap)
+    weightSumConj(baseTemplates, col("mtype_a"), col("mtype_c"), wmap)
 
   /** [[scoreSurfacePairsSparse]] on a collected model (bare templates). */
   def scoreSurfacePairsSparseFast(surfacePairs: DataFrame, surfaces: DataFrame,

@@ -60,6 +60,13 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("sparseweightsum") || plan.contains("SparseWeightSum"),
       s"fast plan must score via the SparseWeightSum expression")
     assert(!hasCartesian(fast))
+    // and the expression must actually CODEGEN — a janino failure would
+    // silently fall back to interpreted eval and erase the perf win
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(fast.limit(5).collect().length > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
   test("pipeline scored pairs: no cross join, windows all partitioned") {
