@@ -1,4 +1,6 @@
 package graft
+// (extensions test at the bottom builds a second session over the shared
+// SparkContext via the documented clear/restore dance)
 // (F6 person/canonicalization tests appended at the bottom of the suite)
 
 import org.apache.spark.sql.functions._
@@ -182,5 +184,34 @@ class FunctionsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m("they") === "third")
     assert(m("customer#000000007") === "unknown")
+  }
+
+  test("GraftExtensions: spark.sql.extensions config registers the SQL surface") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a FRESH session over the same SparkContext with the extensions
+      // applied — no graft.functions.register call anywhere. (The
+      // spark.sql.extensions STATIC conf can't be injected over an existing
+      // context in-test; `withExtensions` drives the exact same
+      // applyExtensions path that conf resolves to on spark-submit.)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne prev, "must build a new session, not reuse the suite's")
+      val q = """SELECT jaro_winkler('martha', 'marhta') AS jw,
+                |       token_jaccard(array('a','b'), array('b','c')) AS tj""".stripMargin
+      val r = s2.sql(q).collect()(0)
+      // same answers as the imperative-registration route on the shared session
+      val exp = prev.sql(q).collect()(0)
+      assert(r.getDouble(0) === exp.getDouble(0) && r.getDouble(0) > 0.9)
+      assert(r.getDouble(1) === exp.getDouble(1) &&
+        math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
   }
 }
