@@ -87,15 +87,17 @@ object Bench {
         case _ => Scoring.scoreSurfacePairs(sPairs, surfaces, cfg.weights)
       }).cache()
       val nSurf = sScored.count()
-      val bandPairs = Blocking.convBandPairs(mentions, cfg.blocking)
+      val bandAttr = Blocking.convBandPairsAttr(mentions, cfg.blocking)
       val band = ((sparseWeights, wmap) match {
         case (_, Some(m)) =>
-          SparseFeatures.scorePairsSparseFast(bandPairs, mentions, counts, m)
+          SparseFeatures.scoreAttachedSparseFast(bandAttr, counts, m)
             .select(col("ant_id"), col("cur_id"), lit("conv").as("block_key"), col("score"))
         case (Some(w), _) =>
-          SparseFeatures.scorePairsSparse(bandPairs, mentions, counts, w)
-          .select(col("ant_id"), col("cur_id"), lit("conv").as("block_key"), col("score"))
-        case _ => Scoring.scorePairs(bandPairs, mentions, cfg.weights)
+          SparseFeatures.scoreWithWeights(
+              SparseFeatures.featureStrings(bandAttr, counts), w,
+              Seq("ant_id", "cur_id"))
+            .select(col("ant_id"), col("cur_id"), lit("conv").as("block_key"), col("score"))
+        case _ => Scoring.scorePairsAttr(bandAttr, cfg.weights)
           .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       })
       val linked = sScored.filter(col("score") > cfg.linkThreshold)

@@ -160,6 +160,32 @@ object Blocking {
       .select(col("ant_id"), col("cur_id"), lit("conv").as("block_key"))
   }
 
+  /** [[convBandPairs]] with BOTH mentions' scoring attributes carried
+    * through the conversation self-join — the band-scoring input in ONE
+    * equi-join. The ids-only variant feeds [[graft.pipeline.Scoring
+    * .attachAttrs]], which re-joins the (much larger) pair table against
+    * mentions twice; at band width w each mention-side shuffle here moves
+    * the 100k-mention attr table once, where attachAttrs shuffles the ~w×
+    * pair table twice. Output = `attachAttrs(convBandPairs(m), m)` exactly
+    * (same rows, same columns), pinned by spec. */
+  def convBandPairsAttr(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
+    val attrs = mentions.select(
+      col("mention_id"), col("conv_id"), col("m_seq"), col("norm"),
+      col("head_key"), col("toks"), col("mtype"), col("closed_class"),
+      col("role"), col("number"), col("gender"))
+    val a = attrs.toDF(attrs.columns.map(_ + "_a"): _*)
+      .withColumnRenamed("mention_id_a", "ant_id")
+      .withColumn("conv_id", col("conv_id_a"))
+    val c = attrs.toDF(attrs.columns.map(_ + "_c"): _*)
+      .withColumnRenamed("mention_id_c", "cur_id")
+      .withColumn("conv_id", col("conv_id_c"))
+    a.join(c, Seq("conv_id"))
+      .filter(col("m_seq_c") > col("m_seq_a") &&
+        col("m_seq_c") - col("m_seq_a") <= cfg.maxConvDist)
+      .drop("conv_id")
+      .withColumn("block_key", lit("conv"))
+  }
+
   /** Per-surface open-class mention counts `(norm, n_mentions)` — the skew
     * statistic every expansion path keys its salting decision on. */
   def mentionCounts(mentions: DataFrame): DataFrame =

@@ -126,18 +126,22 @@ object Pipeline {
     //    as the full clique because every clique edge would carry the
     //    identical surface-level score).
     val scored = stage("scores", tok) {
-      val bandPairs = Blocking.convBandPairs(mentions, cfg.blocking)
+      // the band leg carries both mentions' attrs through the ONE conv_id
+      // self-join (convBandPairsAttr) — the ids-only + attachAttrs shape
+      // shuffled the ~10×-larger pair table against mentions twice more
+      val bandAttr = Blocking.convBandPairsAttr(mentions, cfg.blocking)
       val band =
         if (sparse)
           (wmap match {
             case Some(m) =>
-              SparseFeatures.scorePairsSparseFast(bandPairs, mentions, counts, m)
+              SparseFeatures.scoreAttachedSparseFast(bandAttr, counts, m)
             case None =>
-              SparseFeatures.scorePairsSparse(bandPairs, mentions, counts,
-                cfg.sparseWeights.get)
+              SparseFeatures.scoreWithWeights(
+                SparseFeatures.featureStrings(bandAttr, counts),
+                cfg.sparseWeights.get, Seq("ant_id", "cur_id"))
           }).select(col("ant_id"), col("cur_id"),
             lit("conv").as("block_key"), col("score"))
-        else Scoring.scorePairs(bandPairs, mentions, cfg.weights)
+        else Scoring.scorePairsAttr(bandAttr, cfg.weights)
           .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       val linked = surfaceScores.filter(col("score") > cfg.linkThreshold)
         .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))

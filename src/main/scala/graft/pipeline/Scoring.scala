@@ -219,7 +219,13 @@ object Scoring {
   /** Full scoring stage: pairs + mentions → scored pairs. */
   def scorePairs(pairs: DataFrame, mentions: DataFrame,
       w: Weights = DefaultWeights): DataFrame =
-    score(featurize(attachAttrs(pairs, mentions)), w)
+    scorePairsAttr(attachAttrs(pairs, mentions), w)
+
+  /** [[scorePairs]] over an ALREADY-attribute-attached pair table (e.g.
+    * [[Blocking.convBandPairsAttr]] output — one equi-join instead of
+    * pairs-side re-joins). */
+  def scorePairsAttr(pairsAttr: DataFrame, w: Weights = DefaultWeights): DataFrame =
+    score(featurize(pairsAttr), w)
       .select(col("ant_id"), col("cur_id"), col("block_key"),
         col("conv_id_a"), col("conv_id_c"),
         col("f_head_match"), col("f_exact_match"), col("f_containment"),

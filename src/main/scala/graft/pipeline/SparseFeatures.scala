@@ -406,9 +406,14 @@ object SparseFeatures {
     * sums; band pairs are distinct by construction, so the join path's
     * `groupBy(pair)` never merges rows). SparseSpec pins the equality. */
   def scorePairsSparseFast(pairs: DataFrame, mentions: DataFrame,
-      counts: DataFrame, wmap: graft.functions.SparseWeightMap): DataFrame = {
-    val (df, base) = pairFeatureFrame(
-      Scoring.attachAttrs(pairs, mentions), counts, None, None)
+      counts: DataFrame, wmap: graft.functions.SparseWeightMap): DataFrame =
+    scoreAttachedSparseFast(Scoring.attachAttrs(pairs, mentions), counts, wmap)
+
+  /** [[scorePairsSparseFast]] over an ALREADY-attribute-attached pair table
+    * ([[Blocking.convBandPairsAttr]] output). */
+  def scoreAttachedSparseFast(pairsAttr: DataFrame, counts: DataFrame,
+      wmap: graft.functions.SparseWeightMap): DataFrame = {
+    val (df, base) = pairFeatureFrame(pairsAttr, counts, None, None)
     df.select(col("ant_id"), col("cur_id"),
       weightSumConj(base, col("mtype_a"), col("mtype_c"), wmap).as("score"))
   }
