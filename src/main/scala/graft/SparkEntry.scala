@@ -109,6 +109,9 @@ object SparkEntry {
     "s5_model" -> (Queries.s5Model _),
     "s5b_sparse_model" -> (Queries.s5bSparseModel _),
     "l2_link_titles" -> (Queries.l2LinkTitles _),
+    "l6_title_given_surface" -> (Queries.l6TitleGivenSurfaceQ _),
+    "l6_dump_stats" -> (Queries.l6DumpStatsQ _),
+    "l6_link_titles" -> (Queries.l6LinkTitlesQ _),
     "a12_wiki_eval" -> (Queries.a12WikiEval _),
     "l5_query_denotation" -> (Queries.l5QueryDenotation _),
     "a12b_wiki_eval_l5" -> (Queries.a12bWikiEvalL5 _),
@@ -117,6 +120,7 @@ object SparkEntry {
     "g3_ner_marginals" -> (Queries.g3NerMarginals _),
     "a11_ner_f1" -> (Queries.a11NerF1 _),
     "c1_clusters" -> (Queries.clustersQ _),
+    "c2_incremental_edit" -> (Queries.c2IncrementalEditQ _),
     "a8_pairwise_f1" -> (Queries.pairwiseF1Q _),
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
     "a10_muc" -> (Queries.mucQ _),
@@ -238,6 +242,49 @@ object SparkEntry {
 
     "l2_link_titles" -> ErOracle.q(ErOracle.linkingCtes +
       "\nSELECT mention_id, title, prio, CAST(cnt AS INT) AS cnt FROM llinks"),
+
+    // L6: dump distillation — the full title-given-surface DB.
+    "l6_title_given_surface" ->
+      s"WITH ${ErOracle.wikiDumpCtes}\nSELECT surface, title, cnt FROM wdict",
+
+    // L6: per-page wide stats pinning redirects/aux/links/categories at once.
+    // (concatenated, NOT interpolated into a stripMargin template — the CTE
+    // text contains line-leading `||` that stripMargin would mangle)
+    "l6_dump_stats" -> (s"WITH ${ErOracle.wikiDumpCtes}\n" + """SELECT d.title,
+      |  coalesce(r.dst, '') AS redirect_to,
+      |  CAST(CASE WHEN x.title IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_disambig,
+      |  CAST(coalesce(l.n_links, 0) AS BIGINT) AS n_links,
+      |  CAST(coalesce(c.n_categories, 0) AS BIGINT) AS n_categories
+      |FROM wdump d
+      |LEFT JOIN wred r ON d.title = r.src
+      |LEFT JOIN (SELECT from_title, count(*) AS n_links
+      |           FROM (SELECT DISTINCT from_title, title FROM wrlinks)
+      |           GROUP BY 1) l ON d.title = l.from_title
+      |LEFT JOIN (SELECT from_title AS title, count(*) AS n_categories
+      |           FROM wanch WHERE target LIKE 'Category:%'
+      |           GROUP BY 1) c ON d.title = c.title
+      |LEFT JOIN (SELECT title FROM wdump
+      |           WHERE title LIKE '% (disambiguation)'
+      |              OR text LIKE '{{disambiguation}}%') x ON d.title = x.title"""
+      .stripMargin),
+
+    // L6→L2: link through the DISTILLED dictionary (same expansion/argmax
+    // SQL as l2, dict + redirects swapped for the dump-derived ones).
+    "l6_link_titles" -> ErOracle.q(ErOracle.linkingCtes + ",\n" +
+      ErOracle.wikiDumpCtes + "," +
+      """
+        |whits AS (
+        |  SELECT q.mention_id, q.prio, d.title, d.cnt
+        |  FROM lqueries q JOIN wdict d ON q.query = d.surface
+        |),
+        |wbest AS (
+        |  SELECT mention_id, title AS title0, prio, cnt FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id
+        |      ORDER BY prio ASC, cnt DESC, title ASC) AS rk FROM whits
+        |  ) WHERE rk = 1
+        |)
+        |SELECT b.mention_id, coalesce(r.dst, b.title0) AS title, b.prio, b.cnt
+        |FROM wbest b LEFT JOIN wred r ON b.title0 = r.src""".stripMargin),
 
     "a12_wiki_eval" -> ErOracle.q(ErOracle.linkingCtes +
       """,
@@ -378,6 +425,35 @@ object SparkEntry {
 
     "c1_clusters" -> ErOracle.q(
       "SELECT mention_id, cluster_id FROM clusters"),
+
+    // C2: the oracle re-clusters the EDITED backpointer table from scratch
+    // (fresh ancestor chase), so a hash MATCH proves the Spark side's
+    // incremental recompute (touched clusters only) equals a full rebuild.
+    "c2_incremental_edit" -> ErOracle.q(
+      """,
+        |convmin AS (
+        |  SELECT conv_id, min(mention_id) AS new_ant FROM mentions GROUP BY conv_id
+        |),
+        |edits AS (
+        |  SELECT b.cur_id, cm.new_ant
+        |  FROM backptrs b
+        |  JOIN mentions m ON b.cur_id = m.mention_id
+        |  JOIN convmin cm ON m.conv_id = cm.conv_id
+        |  WHERE md5(b.cur_id) LIKE '0%'
+        |),
+        |backptrs2 AS MATERIALIZED (
+        |  SELECT b.cur_id, coalesce(e.new_ant, b.ant_id) AS ant_id
+        |  FROM backptrs b LEFT JOIN edits e ON b.cur_id = e.cur_id
+        |  WHERE coalesce(e.new_ant, b.ant_id) <> b.cur_id
+        |),
+        |anc2 AS (
+        |  SELECT cur_id AS id, ant_id AS anc FROM backptrs2
+        |  UNION
+        |  SELECT a.id, b.ant_id AS anc FROM anc2 a JOIN backptrs2 b ON a.anc = b.cur_id
+        |)
+        |SELECT m.mention_id, coalesce(min(a.anc), m.mention_id) AS cluster_id
+        |FROM mentions m LEFT JOIN anc2 a ON m.mention_id = a.id
+        |GROUP BY m.mention_id""".stripMargin),
 
     "a14_top_weights" -> {
       val vals = graft.pipeline.Scoring.FeatureNames.zipWithIndex

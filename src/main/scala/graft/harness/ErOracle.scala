@@ -552,6 +552,56 @@ object ErOracle {
        |  FROM l5choice c LEFT JOIN lred r ON c.title0 = r.src
        |)""".stripMargin
 
+  /** L6 wiki-dump distillation CTEs — mirrors graft.wiki.WikiDump: the
+    * deterministic synthetic markup dump over customer ⨯ nation, the
+    * `#REDIRECT` table, anchor extraction (`[[Target]]` / `[[Target|text]]`)
+    * and one-hop-resolved non-category links. Standalone (no ER chain
+    * needed); prefix with "WITH " or append to a chain body with ",". */
+  val wikiDumpCtes: String =
+    """wdump AS (
+      |  SELECT 'Customer_' || CAST(c_custkey AS STRING) AS title,
+      |    'Customer based in [[Nation_' || CAST(c_nationkey AS STRING)
+      |    || '|nation number ' || CAST(c_nationkey AS STRING)
+      |    || ']]. See also [[Customer_' || CAST((c_custkey * 7 + 3) % 97 AS STRING)
+      |    || ']] and [[' ||
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'Cust_' || CAST(c_custkey AS STRING)
+      |         ELSE 'Customer_' || CAST(c_custkey AS STRING) END
+      |    || '|' || lower(c_name) || ']]. [[Category:Segment_' || c_mktsegment || ']]' AS text
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT DISTINCT 'Nation_' || CAST(c_nationkey AS STRING),
+      |         'A nation page. [[Category:Nations]]' FROM customer
+      |  UNION ALL
+      |  SELECT 'Cust_' || CAST(c_custkey AS STRING),
+      |         '#REDIRECT [[Customer_' || CAST(c_custkey AS STRING) || ']]'
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT DISTINCT c_mktsegment || ' (disambiguation)',
+      |         '{{disambiguation}} [[Customer_0]] [[Nation_0]]' FROM customer
+      |),
+      |wred AS (
+      |  SELECT title AS src, regexp_extract(text, '\[\[([^\]|]+)', 1) AS dst
+      |  FROM wdump WHERE text LIKE '#REDIRECT%'
+      |),
+      |wanch AS (
+      |  SELECT from_title, parts[1] AS target,
+      |    CASE WHEN len(parts) >= 2 THEN parts[2] ELSE parts[1] END AS anchor
+      |  FROM (
+      |    SELECT title AS from_title, string_split(substr(m, 3, len(m) - 4), '|') AS parts
+      |    FROM (SELECT title, unnest(regexp_extract_all(text, '\[\[[^\]]+\]\]')) AS m
+      |          FROM wdump WHERE text NOT LIKE '#REDIRECT%')
+      |  )
+      |),
+      |wrlinks AS (
+      |  SELECT a.from_title, coalesce(r.dst, a.target) AS title, a.anchor
+      |  FROM wanch a LEFT JOIN wred r ON a.target = r.src
+      |  WHERE a.target NOT LIKE 'Category:%'
+      |),
+      |wdict AS (
+      |  SELECT lower(anchor) AS surface, title, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM wrlinks GROUP BY 1, 2
+      |)""".stripMargin
+
   /** Sparse lexicalized feature CTEs (P1/A6/F5/P8/P9 sparse path) — mirrors
     * graft.pipeline.SparseFeatures over the conversation-band pair universe:
     * feature-string explode (bare + `&t=` + `&tt=` conjunction axes, incl.

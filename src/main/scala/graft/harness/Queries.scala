@@ -226,6 +226,28 @@ object Queries {
       .select(col("mention_id"), col("title"), col("prio"), col("cnt"))
   }
 
+  /** L6: wiki-dump distillation — the title-given-surface DB distilled from
+    * the deterministic synthetic markup dump (graft.wiki.WikiDump). */
+  def l6TitleGivenSurfaceQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.wiki.WikiDump.titleGivenSurface(
+        graft.wiki.WikiDump.synthDump(spark, sfDir))
+      .select(col("surface"), col("title"), col("cnt"))
+
+  /** L6: one wide per-page row pinning all four distilled DBs (redirects,
+    * aux/disambiguation, links, categories). */
+  def l6DumpStatsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.wiki.WikiDump.dumpStats(graft.wiki.WikiDump.synthDump(spark, sfDir))
+
+  /** L6→L2: the distilled dictionary drops into the SAME linking path as the
+    * hand-built one — end-to-end dump → titleGivenSurface → link. */
+  def l6LinkTitlesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dump = graft.wiki.WikiDump.synthDump(spark, sfDir)
+    graft.linking.Linking.link(pipeline(spark, sfDir).mentions,
+        graft.wiki.WikiDump.titleGivenSurface(dump),
+        graft.wiki.WikiDump.redirects(dump))
+      .select(col("mention_id"), col("title"), col("prio"), col("cnt"))
+  }
+
   /** A12: wikification accuracy vs gold titles. */
   def a12WikiEval(spark: SparkSession, sfDir: String): DataFrame = {
     val (dict, red) = linkDict(spark, sfDir)
@@ -305,6 +327,25 @@ object Queries {
 
   def clustersQ(spark: SparkSession, sfDir: String): DataFrame =
     pipeline(spark, sfDir).clusters.select("mention_id", "cluster_id")
+
+  /** C2: incremental cluster edit. Deterministic edit batch: every
+    * backpointer whose cur-id md5 starts with '0' (≈1/16 of links) is
+    * re-pointed to its conversation's minimum mention id (a detach when the
+    * mention IS the conversation minimum). The oracle re-clusters the edited
+    * backpointer table from scratch, so a hash MATCH proves the incremental
+    * path (touched clusters only) equals a full recompute. */
+  def c2IncrementalEditQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val bp = r.backptrs.select(col("cur_id"), col("ant_id"))
+    val convMin = r.mentions.groupBy(col("conv_id"))
+      .agg(min(col("mention_id")).as("new_ant_id"))
+    val edits = bp.filter(md5(col("cur_id")).startsWith("0"))
+      .join(r.mentions.select(col("mention_id").as("cur_id"), col("conv_id")), "cur_id")
+      .join(convMin, "conv_id")
+      .select(col("cur_id"), col("new_ant_id"))
+    Clustering.editBackpointers(
+      spark, r.clusters.select("mention_id", "cluster_id"), bp, edits)
+  }
 
   def pairwiseF1Q(spark: SparkSession, sfDir: String): DataFrame = {
     val r = pipeline(spark, sfDir)

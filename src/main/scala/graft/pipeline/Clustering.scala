@@ -214,6 +214,60 @@ object Clustering {
     } else connectedComponents(nodes, edges, checkpoint = checkpoint)
   }
 
+  /** C2: incremental cluster edit
+    * (`OrderedClusteringFromBackpointers.changeBackpointerGetClusters`,
+    * `OrderedClustering.scala:102-143`). The reference re-points one
+    * mention's backpointer and recomputes only the two affected clusters by
+    * frontier expansion; relationally that is: the touched components are
+    * exactly the edited mention's current cluster and the new antecedent's
+    * cluster (removal can only split the former; the new edge can only merge
+    * into the latter), so re-run connected components on the touched members
+    * with the edited edge set and union with the untouched rows. Work is
+    * proportional to the touched clusters, never the corpus — the touched-id
+    * set is broadcast and untouched rows pass through an anti-join unscanned
+    * by the CC loop.
+    *
+    * `edits` rows are `(cur_id, new_ant_id)`; `new_ant_id == cur_id`
+    * detaches the mention (reference: `backpointers(i) == i`). An edit for a
+    * mention with no existing backpointer adds a fresh link (outer join).
+    * Cluster ids stay the component-min convention, so the result is
+    * bit-identical to a full [[cluster]] run over the edited backpointer
+    * table — the C2 spec and the `c2_incremental_edit` oracle both pin that.
+    */
+  def editBackpointers(
+      spark: SparkSession,
+      clusters: DataFrame, // (mention_id, cluster_id) — current clustering
+      backptrs: DataFrame, // (cur_id, ant_id)
+      edits: DataFrame)    // (cur_id, new_ant_id)
+    : DataFrame = {
+    val e = edits.select(col("cur_id"), col("new_ant_id")).localCheckpoint(true)
+    val touched = e.select(col("cur_id").as("mention_id"))
+      .unionByName(e.select(col("new_ant_id").as("mention_id")))
+      .distinct()
+      .join(clusters, "mention_id")
+      .select(col("cluster_id")).distinct()
+      .localCheckpoint(true)
+    val members = clusters.join(broadcast(touched), Seq("cluster_id"))
+      .select(col("mention_id")).localCheckpoint(true)
+    // edited backpointers restricted to touched members: existing rows
+    // re-pointed, detaches dropped, brand-new links kept via the outer join
+    val edited = backptrs.select(col("cur_id"), col("ant_id"))
+      .join(e, Seq("cur_id"), "full_outer")
+      .select(col("cur_id"),
+        coalesce(col("new_ant_id"), col("ant_id")).as("ant_id"))
+      .filter(col("ant_id") =!= col("cur_id"))
+    // membership filter on the cur side only: an unedited edge's ant shares
+    // cur's component, and an edited edge's ant is touched by construction.
+    // No forced broadcast — a large edit batch makes `members` large, and
+    // AQE picks the broadcast side when it is in fact small.
+    val subEdges = edited.join(
+      members.select(col("mention_id").as("cur_id")), "cur_id")
+    val recomputed = cluster(spark, members, subEdges)
+    clusters.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select(col("mention_id"), col("cluster_id"))
+      .unionByName(recomputed.select(col("mention_id"), col("cluster_id")))
+  }
+
   /** C3: drop singleton clusters (CoNLL postprocessing,
     * `OrderedClusteringBound.scala:8-11`). */
   def dropSingletons(clusters: DataFrame): DataFrame = {

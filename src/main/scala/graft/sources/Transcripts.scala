@@ -78,7 +78,7 @@ object Transcripts {
 
   /** Register every driver parquet table that the harness queries use. */
   def registerBase(spark: SparkSession, sfDir: String): Unit = {
-    Seq("events", "customer", "documents", "embeddings", "lineitem", "orders").foreach { t =>
+    Seq("events", "customer", "nation", "documents", "embeddings", "lineitem", "orders").foreach { t =>
       val p = s"$sfDir/$t.parquet"
       if (new java.io.File(p).exists())
         spark.read.parquet(p).createOrReplaceTempView(t)

@@ -1,0 +1,153 @@
+package graft.wiki
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** L6: Wikipedia dump distillation (`wiki/WikipediaInterface.scala:24-135`).
+  *
+  * The reference crunches a raw XML dump into five serialized databases —
+  * title-given-surface counts (`WikipediaTitleGivenSurfaceDB`), redirects
+  * (`WikipediaRedirectsDB`), categories (`WikipediaCategoryDB`), page links
+  * (`WikipediaLinkDB`) and the disambiguation-page aux set
+  * (`WikipediaAuxDB`) — in one single-JVM pass over the dump. Re-expressed
+  * Spark-first, distillation is a parse-then-aggregate pipeline that is
+  * embarrassingly parallel over pages: a regexp anchor extraction (one
+  * generator per page), a redirect-resolution left join (the redirect table
+  * is the small side — broadcast), and one `groupBy (surface, title)` with
+  * map-side partial aggregation. Nothing in it is quadratic, so the same
+  * plan distills a full 100-TB dump: the only shuffles are the final
+  * aggregations, keyed on content-derived columns.
+  *
+  * No dump exists in this sandbox, so [[synthDump]] derives a deterministic
+  * markup corpus from the `customer`/`nation` tables (same device as the
+  * link dictionary in `harness/Queries.linkDict`): article pages with plain
+  * `[[Target]]` and piped `[[Target|anchor]]` links plus
+  * `[[Category:…]]` tags, `#REDIRECT` pages for every 7th customer, and one
+  * `… (disambiguation)` page per market segment. The DuckDB oracle
+  * re-synthesizes and re-distills the identical corpus, so the
+  * `l6_title_given_surface` / `l6_dump_stats` rows are hash-checked
+  * end-to-end, and `l6_link_titles` proves the distilled DB drops into
+  * [[graft.linking.Linking.link]] unchanged (same `(surface, title, cnt)` /
+  * `(src, dst)` shapes as the hand-built dictionary).
+  */
+object WikiDump {
+
+  /** Markup anchor: `[[Target]]` or `[[Target|anchor text]]`. The pattern is
+    * RE2-portable (no backrefs) so Spark and DuckDB parse identically. */
+  val AnchorPattern = """\[\[[^\]]+\]\]"""
+
+  /** Deterministic synthetic dump `(title, text)` from customer ⨯ nation.
+    * Every page body is a concat of literals and columns — trivially
+    * mirrored in SQL. */
+  def synthDump(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Transcripts.registerBase(spark, sfDir)
+    val c = spark.table("customer")
+    val k = col("c_custkey").cast("string")
+    val nk = col("c_nationkey").cast("string")
+    // the customer-name anchor must resolve to the customer's OWN page:
+    // multiples of 7 route through their Cust_<k> redirect to exercise L3.
+    val nameTarget = when(col("c_custkey") % 7 === 0, concat(lit("Cust_"), k))
+      .otherwise(concat(lit("Customer_"), k))
+    val articles = c.select(
+      concat(lit("Customer_"), k).as("title"),
+      concat(
+        lit("Customer based in [[Nation_"), nk,
+        lit("|nation number "), nk, lit("]]. See also [[Customer_"),
+        ((col("c_custkey") * 7 + 3) % 97).cast("string"),
+        lit("]] and [["), nameTarget, lit("|"), lower(col("c_name")),
+        lit("]]. [[Category:Segment_"), col("c_mktsegment"), lit("]]")
+      ).as("text"))
+    val nations = c.select(col("c_nationkey")).distinct().select(
+      concat(lit("Nation_"), col("c_nationkey").cast("string")).as("title"),
+      lit("A nation page. [[Category:Nations]]").as("text"))
+    val redirectPages = c.filter(col("c_custkey") % 7 === 0)
+      .select(
+        concat(lit("Cust_"), k).as("title"),
+        concat(lit("#REDIRECT [[Customer_"), k, lit("]]")).as("text"))
+    val disambig = c.select(col("c_mktsegment")).distinct()
+      .select(
+        concat(col("c_mktsegment"), lit(" (disambiguation)")).as("title"),
+        lit("{{disambiguation}} [[Customer_0]] [[Nation_0]]").as("text"))
+    articles.unionByName(nations).unionByName(redirectPages).unionByName(disambig)
+  }
+
+  /** Redirect table `(src, dst)`: pages whose body is a `#REDIRECT` stanza,
+    * dst = the stanza's target. */
+  def redirects(dump: DataFrame): DataFrame =
+    dump.filter(col("text").startsWith("#REDIRECT"))
+      .select(col("title").as("src"),
+        regexp_extract(col("text"), """\[\[([^\]|]+)""", 1).as("dst"))
+
+  /** Anchor rows `(from_title, target, anchor)` from every non-redirect
+    * page — category tags included (split downstream). Piped anchors take
+    * the pipe text; bare anchors default to the target string (the
+    * reference's surface-of-a-bare-link convention). */
+  def anchors(dump: DataFrame): DataFrame = {
+    val parts = split(col("inner"), "\\|")
+    dump.filter(!col("text").startsWith("#REDIRECT"))
+      .select(col("title").as("from_title"),
+        explode(regexp_extract_all(col("text"), lit(AnchorPattern), lit(0))).as("m"))
+      .withColumn("inner", expr("substring(m, 3, length(m) - 4)"))
+      .select(col("from_title"),
+        element_at(parts, 1).as("target"),
+        when(size(parts) >= 2, element_at(parts, 2))
+          .otherwise(element_at(parts, 1)).as("anchor"))
+  }
+
+  /** Non-category anchors with the target resolved one redirect hop
+    * (`WikipediaRedirectsDB.followRedirect`): broadcast left join — the
+    * redirect table is always tiny relative to the anchor stream. */
+  private def resolvedLinks(dump: DataFrame): DataFrame =
+    anchors(dump).filter(!col("target").startsWith("Category:"))
+      .join(broadcast(redirects(dump).select(col("src").as("target"), col("dst"))),
+        Seq("target"), "left")
+      .select(col("from_title"), coalesce(col("dst"), col("target")).as("title"),
+        col("anchor"))
+
+  /** The title-given-surface DB `(surface, title, cnt)`
+    * (`WikipediaTitleGivenSurfaceDB`, a `CounterMap[surface, title]`):
+    * lowered anchor text → resolved target counts. Drop-in replacement for
+    * the hand-built link dictionary. */
+  def titleGivenSurface(dump: DataFrame): DataFrame =
+    resolvedLinks(dump)
+      .groupBy(lower(col("anchor")).as("surface"), col("title"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Page-link DB `(from_title, title)` distinct (`WikipediaLinkDB`). */
+  def links(dump: DataFrame): DataFrame =
+    resolvedLinks(dump).select(col("from_title"), col("title")).distinct()
+
+  /** Category DB `(title, category)` (`WikipediaCategoryDB`). */
+  def categories(dump: DataFrame): DataFrame =
+    anchors(dump).filter(col("target").startsWith("Category:"))
+      .select(col("from_title").as("title"),
+        expr("substring(target, 10)").as("category"))
+
+  /** Aux (disambiguation) titles (`WikipediaAuxDB.isDisambiguation`). */
+  def auxTitles(dump: DataFrame): DataFrame =
+    dump.filter(col("title").endsWith(" (disambiguation)") ||
+        col("text").startsWith("{{disambiguation}}"))
+      .select(col("title"))
+
+  /** One wide stats row per page — the four DBs joined back to the page
+    * list (redirect target, disambig flag, distinct out-links, categories).
+    * Exists so a single oracle row pins all of the distillation legs. */
+  def dumpStats(dump: DataFrame): DataFrame = {
+    val linkCounts = links(dump)
+      .groupBy(col("from_title").as("title")).agg(count(lit(1)).as("n_links"))
+    val catCounts = categories(dump)
+      .groupBy(col("title")).agg(count(lit(1)).as("n_categories"))
+    val aux = auxTitles(dump).withColumn("is_disambig", lit(true))
+    val red = redirects(dump).select(col("src").as("title"), col("dst"))
+    dump.select(col("title"))
+      .join(red, Seq("title"), "left")
+      .join(linkCounts, Seq("title"), "left")
+      .join(catCounts, Seq("title"), "left")
+      .join(aux, Seq("title"), "left")
+      .select(col("title"),
+        coalesce(col("dst"), lit("")).as("redirect_to"),
+        coalesce(col("is_disambig"), lit(false)).cast("int").as("is_disambig"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"),
+        coalesce(col("n_categories"), lit(0L)).as("n_categories"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Clustering
+
+/** C2 incremental cluster edit
+  * (`OrderedClusteringFromBackpointers.changeBackpointerGetClusters`,
+  * reference `coref/OrderedClustering.scala:102-143`): the incremental path
+  * (recompute touched clusters only) must be bit-identical to a full
+  * re-clustering over the edited backpointer table, across all three edit
+  * kinds the reference supports — re-point, detach, fresh link.
+  */
+class ClusterEditSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mid(conv: String, turn: Int, start: Int): String =
+    conv + "#" + f"$turn%06d" + f"$start%06d"
+
+  private def toSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("incremental edit == full recompute (re-point, detach, fresh link)") {
+    val ids = Seq(
+      mid("cA", 0, 0), mid("cA", 0, 5), mid("cA", 1, 2), // chain A
+      mid("cB", 0, 0), mid("cB", 0, 7),                  // pair B
+      mid("cC", 0, 0), mid("cC", 1, 1), mid("cC", 2, 2), // pair C + singleton
+      mid("cD", 0, 0), mid("cD", 0, 9))                  // pair D (untouched)
+    val mentions = ids.toDF("mention_id")
+    val bp = Seq(
+      (mid("cA", 0, 5), mid("cA", 0, 0)),
+      (mid("cA", 1, 2), mid("cA", 0, 5)),
+      (mid("cB", 0, 7), mid("cB", 0, 0)),
+      (mid("cC", 1, 1), mid("cC", 0, 0)),
+      (mid("cD", 0, 9), mid("cD", 0, 0))).toDF("cur_id", "ant_id")
+    val clusters0 = Clustering.cluster(spark, mentions, bp).localCheckpoint(true)
+
+    val edits = Seq(
+      // re-point: splits chain A's tail off and merges it into cluster B
+      (mid("cA", 1, 2), mid("cB", 0, 0)),
+      // detach: backpointers(i) == i drops the link, splitting cluster B
+      (mid("cB", 0, 7), mid("cB", 0, 7)),
+      // fresh link: cC#2,2 had no backpointer row at all
+      (mid("cC", 2, 2), mid("cC", 0, 0))).toDF("cur_id", "new_ant_id")
+
+    val bpEdited = Seq(
+      (mid("cA", 0, 5), mid("cA", 0, 0)),
+      (mid("cA", 1, 2), mid("cB", 0, 0)),
+      (mid("cC", 1, 1), mid("cC", 0, 0)),
+      (mid("cC", 2, 2), mid("cC", 0, 0)),
+      (mid("cD", 0, 9), mid("cD", 0, 0))).toDF("cur_id", "ant_id")
+
+    val full = Clustering.cluster(spark, mentions, bpEdited)
+    val inc = Clustering.editBackpointers(spark, clusters0, bp, edits)
+    assert(toSet(inc) == toSet(full))
+
+    // the untouched cluster D passes through with its id intact
+    val dRows = toSet(inc).filter(_._1.startsWith("cD"))
+    assert(dRows == Set(
+      (mid("cD", 0, 0), mid("cD", 0, 0)),
+      (mid("cD", 0, 9), mid("cD", 0, 0))))
+  }
+
+  test("empty edit batch is the identity") {
+    val mentions = Seq(mid("cA", 0, 0), mid("cA", 0, 5)).toDF("mention_id")
+    val bp = Seq((mid("cA", 0, 5), mid("cA", 0, 0))).toDF("cur_id", "ant_id")
+    val clusters0 = Clustering.cluster(spark, mentions, bp).localCheckpoint(true)
+    val edits = spark.emptyDataset[(String, String)].toDF("cur_id", "new_ant_id")
+    val out = Clustering.editBackpointers(spark, clusters0, bp, edits)
+    assert(toSet(out) == toSet(clusters0))
+  }
+}
