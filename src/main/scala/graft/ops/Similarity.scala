@@ -91,7 +91,12 @@ object Similarity {
     * OpsSpec against [[bruteTopK]] on a planted-neighbor corpus. */
   def annLsh(corpus: DataFrame, k: Int = 5, queryMod: Int = 50,
       bits: Int = 8, seed: Long = 42L, tables: Int = 4): DataFrame = {
-    val keyed = lshKeys(corpus, bits, tables, seed)
+    // pin the bucket keys: both the query side and the candidate side
+    // consume `keyed`, and without the checkpoint each consumer re-evaluates
+    // the tables×bits×Dim sign-plane expression tree (plus the corpus norm)
+    // from the scan — measured ~2× on the ops bench. Id+bucket rows only, so
+    // the pinned footprint is tiny at any corpus size.
+    val keyed = lshKeys(corpus, bits, tables, seed).localCheckpoint(true)
     val qIds = keyed.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("bucket"))
     val candIds = qIds
