@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipeline.Clustering
+
+/** Streaming cluster maintenance (ST × C1/C2).
+  *
+  * Folds the [[StreamingAssembly.streamingDecode]] emission stream into a
+  * live `(mention_id, cluster_id)` table one microbatch at a time. The
+  * reference's incremental cluster edit (`OrderedClustering.scala:102-143`)
+  * is the kernel: each microbatch reduces to (1) registering ids never seen
+  * before as singleton clusters and (2) ONE [[Clustering.editBackpointers]]
+  * call carrying the batch's final per-mention links. A decode re-emission
+  * (a better antecedent arriving in a later batch) is exactly a C2
+  * re-point; a first-time emission is a C2 fresh link.
+  *
+  * Exactness: the backpointer graph is a forest — every mention carries at
+  * most one out-edge — so arrivals that don't re-point can only append to a
+  * component or lower its min-id label, never merge two pre-existing
+  * clusters; re-points go through the C2 kernel, which is spec- and
+  * oracle-pinned (`c2_incremental_edit`) bit-identical to a full recompute.
+  * The streaming table therefore equals the batch clustering of the arcs
+  * decoded so far after EVERY microbatch, not only at end of stream
+  * (StreamingSpec asserts per-batch).
+  *
+  * Scale: per-batch work is proportional to the touched clusters (the C2
+  * contract) — untouched rows pass through an anti-join unscanned by the CC
+  * loop. State is two id-pair tables pinned via localCheckpoint, with the
+  * previous batch's blocks released once the new pins materialize (the
+  * distributed trainer's hygiene pattern — state storage is O(corpus), not
+  * O(corpus × batches)). At warehouse scale the same fold writes through
+  * [[graft.io.TableIO]] (`commit` per batch or every N batches), so the
+  * maintenance job resumes from the last committed snapshot with lineage;
+  * like the trainer, an update owns the session's persistent-RDD set while
+  * it runs (single-writer maintenance job).
+  */
+object StreamingClusters {
+
+  /** Live state: `clusters` = (mention_id, cluster_id), `backptrs` =
+    * (cur_id, ant_id), both localCheckpoint-pinned; `pins` = the RDD ids
+    * backing them (released when the next update supersedes this state). */
+  case class State(clusters: DataFrame, backptrs: DataFrame,
+      pins: Set[Int], batches: Long)
+
+  def empty(spark: SparkSession): State = {
+    import spark.implicits._
+    State(
+      Seq.empty[(String, String)].toDF("mention_id", "cluster_id"),
+      Seq.empty[(String, String)].toDF("cur_id", "ant_id"),
+      Set.empty, 0L)
+  }
+
+  /** Collapse one microbatch of decode emissions to its final link per
+    * mention: best score, ties to the lowest antecedent id — the decode
+    * rule itself, so folding emissions is insensitive to their order
+    * within the batch. */
+  private def finalLinks(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cur_id"))
+      .orderBy(col("score").desc, col("ant_id").asc)
+    batch.select(col("cur_id"), col("ant_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cur_id"), col("ant_id").as("new_ant_id"))
+  }
+
+  /** One microbatch fold (pure batch function): register unseen ids as
+    * singletons, then apply the batch's links as one C2 edit. */
+  def update(spark: SparkSession, st: State, batchDecoded: DataFrame): State = {
+    val sc = spark.sparkContext
+    def pinned(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val before = pinned()
+    val edits = finalLinks(batchDecoded).localCheckpoint(true)
+    if (edits.isEmpty) {
+      release(pinned() -- before)
+      return st.copy(batches = st.batches + 1)
+    }
+    // every id the batch mentions that the state has never seen becomes a
+    // singleton cluster first, so the C2 kernel always edits a complete
+    // universe (its touched-set lookup joins against `clusters`)
+    val ids = edits.select(col("cur_id").as("mention_id"))
+      .unionByName(edits.select(col("new_ant_id").as("mention_id")))
+      .distinct()
+    // pinned: the C2 kernel reads the cluster table from several sides
+    // (touched lookup, member expansion, untouched anti-join)
+    val registered = st.clusters.unionByName(
+      ids.join(st.clusters, Seq("mention_id"), "left_anti")
+        .select(col("mention_id"), col("mention_id").as("cluster_id")))
+      .localCheckpoint(true)
+
+    // editBackpointers pins its internals eagerly during the call; snapshot
+    // the pin set before taking the new state pins so the internals (plus
+    // `edits`) can be attributed and released afterwards
+    val edited = Clustering.editBackpointers(spark, registered, st.backptrs, edits)
+    val interm = pinned() -- before
+    val clusters2 = edited.localCheckpoint(true)
+    val backptrs2 = st.backptrs
+      .join(edits, Seq("cur_id"), "full_outer")
+      .select(col("cur_id"),
+        coalesce(col("new_ant_id"), col("ant_id")).as("ant_id"))
+      .filter(col("ant_id") =!= col("cur_id"))
+      .localCheckpoint(true)
+    val pins2 = pinned() -- before -- interm
+    release(interm ++ st.pins)
+    State(clusters2, backptrs2, pins2, st.batches + 1)
+  }
+
+  /** Attach the fold to a (streaming) decode emission DataFrame via
+    * `foreachBatch`. Returns the started query and a live handle to the
+    * current state; `onBatch` fires after each fold (metrics, TableIO
+    * commits, per-batch assertions in tests). */
+  def maintain(spark: SparkSession, decoded: DataFrame,
+      onBatch: State => Unit = _ => (),
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+    : (StreamingQuery, AtomicReference[State]) = {
+    val ref = new AtomicReference[State](empty(spark))
+    val w0 = decoded.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = update(spark, ref.get(), batch)
+        ref.set(next)
+        onBatch(next)
+      }
+    val q = trigger.fold(w0)(w0.trigger).start()
+    (q, ref)
+  }
+}

@@ -384,4 +384,93 @@ class StreamingSpec extends SparkSuite {
       "streaming dedup must keep exactly one row per distinct text")
     assert(spark.table("stream_dedup").count() === batchHashes.size.toLong)
   }
+
+  test("streaming cluster maintenance == batch clustering after EVERY microbatch") {
+    import graft.pipeline.{Mentions, Blocking, Scoring, Decode, Clustering}
+    import graft.streaming.StreamingClusters
+    import spark.implicits._
+    // denser corpus than the shared fixture: enough band arcs that the
+    // ascending-score replay spans genuinely multi-arc mentions
+    val cd = Files.createTempDirectory("graft-sclust-in").toString
+    ErFixture.transcriptsDF(spark,
+        ErFixture.generate(entities = 12, convs = 60, seed = 23L))
+      .repartition(3).write.mode("overwrite").parquet(cd)
+    val m = Mentions.extractIdentifier(spark.read.parquet(cd)).cache()
+    val cfg = Blocking.Config()
+    val scored = Scoring.scorePairs(Blocking.convBandPairs(m, cfg), m)
+      .select(col("ant_id"), col("cur_id"), col("score")).cache()
+    // ascending-score replay: a mention's best arc lands in its LAST wave,
+    // so earlier waves link it provisionally and later waves re-point it —
+    // the C2 edit path must fire, not just fresh links
+    val arcs = scored.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1, t._2))
+    assert(arcs.length > 30)
+
+    // drive the fold with the decode emission contract (emit on improvement,
+    // score > threshold, ties to the lowest ant — streamingDecode's rule)
+    val slices = arcs.grouped((arcs.length + 3) / 4).toSeq
+    var best = Map.empty[String, (String, Double)]
+    var seen = Set.empty[String]
+    var st = StreamingClusters.empty(spark)
+    var repoints = 0
+    for (slice <- slices) {
+      // streamingDecode emits at most ONE row per mention per microbatch —
+      // the batch-final best — never the intra-batch superseded links
+      val preBest = best
+      for ((ant, cur, score) <- slice) {
+        val better = score > 0.0 && (best.get(cur) match {
+          case None => true
+          case Some((bAnt, bS)) => score > bS || (score == bS && ant < bAnt)
+        })
+        if (better) best += cur -> ((ant, score))
+      }
+      val emissions = best.iterator
+        .filter { case (c, v) => !preBest.get(c).contains(v) }
+        .map { case (c, (a, s)) => (c, a, s) }.toSeq
+      repoints += emissions.count(e => preBest.contains(e._1))
+      seen ++= emissions.iterator.flatMap(e => Seq(e._1, e._2))
+      st = StreamingClusters.update(spark, st,
+        emissions.toSeq.toDF("cur_id", "ant_id", "score"))
+      // exactness after EVERY batch: incremental == full recompute over
+      // everything decoded so far (including ants a later wave superseded)
+      val expected = Clustering.cluster(spark,
+          seen.toSeq.toDF("mention_id"),
+          best.toSeq.map { case (c, (a, _)) => (c, a) }.toDF("cur_id", "ant_id"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val got = st.clusters.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === expected, s"divergence after microbatch ${st.batches}")
+    }
+    assert(repoints > 0, "the replay must exercise at least one C2 re-point")
+    assert(st.batches === slices.length.toLong)
+
+    // end-to-end: arc stream -> streamingDecode -> foreachBatch fold
+    val sd = Files.createTempDirectory("graft-sclust").toString
+    scored.select(col("ant_id"), col("cur_id"), lit("b").as("block_key"),
+        col("score"), to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(sd)
+    val arcStream = spark.readStream.schema(
+      "ant_id STRING, cur_id STRING, block_key STRING, score DOUBLE, ts TIMESTAMP")
+      .parquet(sd)
+    val decoded = StreamingAssembly.streamingDecode(spark, arcStream, 0.0)
+    val (q, ref) = StreamingClusters.maintain(spark, decoded,
+      trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination(180000)
+    val fin = ref.get()
+    val streamBp = fin.backptrs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batchBp = Decode.backpointers(scored, 0.0)
+      .select("cur_id", "ant_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamBp === batchBp,
+      "maintained backpointer table must equal the batch decode")
+    val full = Clustering.cluster(spark,
+        fin.clusters.select(col("mention_id")), fin.backptrs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val live = fin.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(live === full,
+      "incrementally maintained clusters must equal a full recompute")
+  }
 }
