@@ -113,15 +113,53 @@ object StreamingClusters {
     State(clusters2, backptrs2, pins2, st.batches + 1)
   }
 
+  /** Commit the state through [[graft.io.TableIO]] — the Iceberg-shaped
+    * seam, so the maintenance job is resumable with per-partition lineage +
+    * counters (north rule). Both tables carry the SAME lineage token
+    * `<tag>@batch-<n>`: a crash between the two commits leaves the stages'
+    * latest lineages disagreeing, and [[loadState]] walks back to the
+    * newest batch present in BOTH — a torn commit resumes one batch
+    * earlier instead of pairing a clusters table with a foreign
+    * backpointer table. */
+  def commitState(io: graft.io.TableIO, st: State, tag: String): String = {
+    val lin = s"$tag@batch-${st.batches}"
+    io.commit("stream_clusters", st.clusters, lin)
+    io.commit("stream_backptrs", st.backptrs, lin)
+    lin
+  }
+
+  /** Load the newest consistent committed state: the largest batch id whose
+    * lineage token (under `tag`) is committed in BOTH stages, row counts
+    * verified against their manifests (TableIO resume semantics). */
+  def loadState(spark: SparkSession, io: graft.io.TableIO, tag: String): Option[State] = {
+    val Lin = (java.util.regex.Pattern.quote(tag) + "@batch-(\\d+)").r
+    def committed(stage: String): Map[Long, Int] =
+      (0 to io.latestSnapshot(stage).getOrElse(-1)).flatMap { k =>
+        io.manifest(stage, k).flatMap { m =>
+          """"lineage":"([^"]*)"""".r.findFirstMatchIn(m).map(_.group(1))
+        }.collect { case Lin(n) => n.toLong -> k }
+      }.toMap // later snapshots win per batch id
+    val c = committed("stream_clusters")
+    val b = committed("stream_backptrs")
+    (c.keySet intersect b.keySet).maxOption.flatMap { n =>
+      val lin = s"$tag@batch-$n"
+      for {
+        cl <- io.readIfCurrent(spark, "stream_clusters", lin, Some(c(n)))
+        bp <- io.readIfCurrent(spark, "stream_backptrs", lin, Some(b(n)))
+      } yield State(cl, bp, Set.empty, n)
+    }
+  }
+
   /** Attach the fold to a (streaming) decode emission DataFrame via
     * `foreachBatch`. Returns the started query and a live handle to the
     * current state; `onBatch` fires after each fold (metrics, TableIO
     * commits, per-batch assertions in tests). */
   def maintain(spark: SparkSession, decoded: DataFrame,
       onBatch: State => Unit = _ => (),
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      initial: Option[State] = None)
     : (StreamingQuery, AtomicReference[State]) = {
-    val ref = new AtomicReference[State](empty(spark))
+    val ref = new AtomicReference[State](initial.getOrElse(empty(spark)))
     val w0 = decoded.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -473,4 +473,44 @@ class StreamingSpec extends SparkSuite {
     assert(live === full,
       "incrementally maintained clusters must equal a full recompute")
   }
+
+  test("streaming cluster state commits + resumes through TableIO; torn commit walks back") {
+    import graft.streaming.StreamingClusters
+    import graft.io.TableIO
+    import spark.implicits._
+    def fold(st: StreamingClusters.State, rows: Seq[(String, String, Double)]) =
+      StreamingClusters.update(spark, st,
+        rows.toDF("cur_id", "ant_id", "score"))
+    val b1 = Seq(("b", "a", 1.0), ("c", "b", 1.0))   // {a,b,c}
+    val b2 = Seq(("e", "d", 1.0))                     // {d,e}
+    val b3 = Seq(("d", "c", 2.0))                     // merge via C2 fresh link
+    val io = new TableIO(Files.createTempDirectory("graft-sclust-io").toString)
+
+    var st = StreamingClusters.empty(spark)
+    st = fold(st, b1); st = fold(st, b2)
+    StreamingClusters.commitState(io, st, "t1")
+    val inMem = fold(st, b3)
+    val inMemSet = inMem.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inMemSet === Set("a", "b", "c", "d", "e").map(x => (x, "a")))
+
+    // resume from disk, replay only batch 3 — identical result
+    val loaded = StreamingClusters.loadState(spark, io, "t1")
+    assert(loaded.isDefined && loaded.get.batches === 2L)
+    val resumed = fold(loaded.get, b3)
+    val resumedSet = resumed.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(resumedSet === inMemSet,
+      "resume from the committed state + replay must equal the uninterrupted fold")
+
+    // torn commit: only ONE stage advances to batch 3 — loadState must walk
+    // back to the newest batch committed in BOTH stages
+    io.commit("stream_clusters", inMem.clusters, "t1@batch-3")
+    val afterTorn = StreamingClusters.loadState(spark, io, "t1")
+    assert(afterTorn.isDefined && afterTorn.get.batches === 2L,
+      "a torn commit must resume one batch earlier, not pair mismatched tables")
+
+    // a foreign tag never resolves
+    assert(StreamingClusters.loadState(spark, io, "t2").isEmpty)
+  }
 }
