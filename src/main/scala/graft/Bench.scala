@@ -47,7 +47,7 @@ object Bench {
     * vs `Pipeline.run`'s cached plan. */
   private def benchPipeline(spark: SparkSession, sfDir: String,
       sparseWeights: Option[org.apache.spark.sql.DataFrame] = None)
-      : (Map[String, Double], Long) = {
+      : (Map[String, Double], Long, Double) = {
     import org.apache.spark.sql.functions.{col, lit}
     val cfg = Pipeline.Config(mentionGenerator = "identifier")
     val sparse = sparseWeights.nonEmpty
@@ -129,11 +129,30 @@ object Bench {
       Clustering.cluster(spark, mentions, backptrs).count()
     }
     log("clustering done")
+    // streaming cluster maintenance (ST × C1/C2), dense pass only: fold the
+    // decoded backpointers in 4 conversation-sliced waves — the realistic
+    // arrival shape, each microbatch touching only its conversations'
+    // clusters — through StreamingClusters.update. Reported as the TOTAL of
+    // the 4 folds; per-batch ≈ total/4. Exactness vs batch C1 is spec-pinned
+    // (StreamingSpec), this key is the cost of maintaining it incrementally.
+    val tF = if (sparse) 0.0 else time {
+      import org.apache.spark.sql.functions.{pmod, xxhash64}
+      var st = graft.streaming.StreamingClusters.empty(spark)
+      for (w <- 0 until 4) {
+        st = graft.streaming.StreamingClusters.update(spark, st,
+          backptrs.filter(
+            pmod(xxhash64(graft.functions.convOfMentionId(col("cur_id"))), lit(4)) === w)
+            .select(col("cur_id"), col("ant_id"), col("score")))
+      }
+      st.pins.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(false)))
+    }._2
+    if (!sparse) log("stream cluster fold done")
     transcripts.unpersist(); mentions.unpersist(); sPairs.unpersist()
     scoredN._1.unpersist(); backptrs.unpersist()
     surfaces.unpersist(); scoredN._3.unpersist() // surfaces + surface scores
     (Map(s"mentions$sfx" -> tM, s"blocking$sfx" -> tB, s"scoring$sfx" -> tS,
-      s"decode$sfx" -> tD, s"clustering$sfx" -> tC), scoredN._2)
+      s"decode$sfx" -> tD, s"clustering$sfx" -> tC), scoredN._2, tF)
   }
 
   /** Child-JVM entry for the ops bench: fresh process, fresh heap, exits
@@ -405,18 +424,23 @@ object Bench {
     // are ±30%+ noisy (the round-2 artifact recorded a contended pass);
     // min-of-two is the same discipline the scaling children already use.
     val spark = session(cpus)
-    val ((stages1, pairsScored), tTotal1) = time(benchPipeline(spark, sfDir))
-    val ((stages2, _), tTotal2) = time(benchPipeline(spark, sfDir))
+    val ((stages1, pairsScored, tFold1), tTotal1) = time(benchPipeline(spark, sfDir))
+    val ((stages2, _, tFold2), tTotal2) = time(benchPipeline(spark, sfDir))
     stages1.toSeq.sortBy(_._1).foreach { case (k, v) =>
       log(f"pipeline stage $k: pass1 $v%.3f s, pass2 ${stages2(k)}%.3f s") }
     log(f"pipeline wall: pass1 $tTotal1%.3f s, pass2 $tTotal2%.3f s")
+    log(f"stream cluster fold (4 conv waves): pass1 $tFold1%.3f s, pass2 $tFold2%.3f s")
     val stages = stages1.map { case (k, v) => k -> math.min(v, stages2(k)) }
+    // the streaming fold is a SECOND consumer of the decode output, not a
+    // pipeline stage: its own key, excluded from total_sec AND from the
+    // wall/overhead accounting (each pass's wall has its own fold subtracted)
+    val tFold = math.min(tFold1, tFold2)
     // total_sec is accounted, not just a wall clock: sum of the reported
     // per-stage minimums, with everything the stage timers don't cover
     // (cache loads, counts between stages, unpersists) split out explicitly
     // so the artifact's total is auditable against its own stage breakdown
     val tStageSum = stages.values.sum
-    val tWall = math.min(tTotal1, tTotal2)
+    val tWall = math.min(tTotal1 - tFold1, tTotal2 - tFold2)
     val tOverhead = math.max(0.0, tWall - tStageSum)
     // sparse (flagship-model) pipeline pass — same stage timers, keys
     // suffixed `_sparse`; weight-table prep (the training chain) is untimed
@@ -424,8 +448,8 @@ object Bench {
     val wSparse = sparseWeightsFor(spark, sfDir)
     val nSparseFeats = wSparse.count()
     log(s"sparse weight table: $nSparseFeats features")
-    val ((stagesS1, pairsSparse), tS1) = time(benchPipeline(spark, sfDir, Some(wSparse)))
-    val ((stagesS2, _), tS2) = time(benchPipeline(spark, sfDir, Some(wSparse)))
+    val ((stagesS1, pairsSparse, _), tS1) = time(benchPipeline(spark, sfDir, Some(wSparse)))
+    val ((stagesS2, _, _), tS2) = time(benchPipeline(spark, sfDir, Some(wSparse)))
     stagesS1.toSeq.sortBy(_._1).foreach { case (k, v) =>
       log(f"pipeline stage $k: pass1 $v%.3f s, pass2 ${stagesS2(k)}%.3f s") }
     log(f"sparse pipeline wall: pass1 $tS1%.3f s, pass2 $tS2%.3f s")
@@ -442,7 +466,8 @@ object Bench {
 
     val pairsPerSec = pairsScored / stages("scoring")
     val allQ = (stages.map { case (k, v) => s"er_$k" -> v } ++
-        stagesS.map { case (k, v) => s"er_$k" -> v } ++ ops)
+        stagesS.map { case (k, v) => s"er_$k" -> v } ++ ops +
+        ("st_cluster_fold" -> tFold))
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     def runsJson(c: Int): String =
       levelTimes(c).map(t => f"$t%.3f").mkString("[", ",", "]")

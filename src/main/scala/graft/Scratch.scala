@@ -7,25 +7,58 @@ import graft.sources.Transcripts
 
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.register(spark)
-    val t = Transcripts.load(spark, "/root/testdata/sf0.001")
+    val sf = sys.env.getOrElse("SF", "/root/testdata/sf0.1")
+
+    // cost probe: streaming cluster fold at sf0.1 vs the batch clustering
+    val t = Transcripts.load(spark, sf)
+      .repartition(32, col("conv_id")).cache()
+    t.count()
     val res = Pipeline.run(spark, t, Pipeline.Config(mentionGenerator = "identifier"))
+    val m = res.mentions
+    val bptr = res.backptrs.localCheckpoint(true)
+    println(s"bptr rows=${bptr.count()}")
 
-    println("=== scan pushdown (documents filter) ===")
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .filter(col("doc_id") % 7 === 0).select("doc_id", "text")
-      .explain("formatted")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
 
-    println("=== surface scores plan ===")
-    res.surfaceScores.explain("formatted")
+    val batchClusters = time("batch C1 cluster") {
+      val c = Clustering.cluster(spark, m, bptr).localCheckpoint(true)
+      c.count(); c
+    }
 
-    println("=== scored (band + expansion) plan ===")
-    res.scored.explain("formatted")
+    // conversation-sliced waves: the realistic arrival shape — a batch
+    // touches only its own conversations' clusters (+ cross-conv chains).
+    // Two passes to see variance (the bench's min-of-two discipline).
+    import graft.streaming.StreamingClusters
+    val waves = 4
+    var st2 = StreamingClusters.empty(spark)
+    for (pass <- 1 to 2) {
+      st2 = StreamingClusters.empty(spark)
+      time(s"pass $pass: streaming fold total (4 conv waves)") {
+        for (w <- 0 until waves) {
+          val slice = bptr.filter(
+            pmod(xxhash64(graft.functions.convOfMentionId(col("cur_id"))), lit(waves)) === w)
+            .select(col("cur_id"), col("ant_id"), col("score"))
+          st2 = time(s"  conv wave $w") { StreamingClusters.update(spark, st2, slice) }
+        }
+      }
+      if (pass == 1) {
+        val diff = st2.clusters.join(batchClusters.withColumnRenamed("cluster_id", "b"),
+          Seq("mention_id")).filter(col("cluster_id") =!= col("b")).count()
+        println(s"label diff vs batch (on common ids)=$diff")
+        st2.pins.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(false)))
+      }
+    }
+    println(s"streaming clusters rows=${st2.clusters.count()}")
     spark.stop()
   }
 }

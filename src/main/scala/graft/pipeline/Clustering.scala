@@ -238,17 +238,27 @@ object Clustering {
       spark: SparkSession,
       clusters: DataFrame, // (mention_id, cluster_id) — current clustering
       backptrs: DataFrame, // (cur_id, ant_id)
-      edits: DataFrame)    // (cur_id, new_ant_id)
+      edits: DataFrame,    // (cur_id, new_ant_id)
+      editsPinned: Boolean = false) // caller already localCheckpoint'ed edits
     : DataFrame = {
-    val e = edits.select(col("cur_id"), col("new_ant_id")).localCheckpoint(true)
-    val touched = e.select(col("cur_id").as("mention_id"))
+    // fresh exprIds on every pinned intermediate: these checkpoints derive
+    // FROM `clusters` and join straight back against it, and a pinned
+    // LogicalRDD keeps its source plan's attribute ids — when `clusters` is
+    // itself a union/projection (StreamingClusters' lazy registered view)
+    // the analyzer's conflict dedup cannot rewrite the alias side, failing
+    // with "conflicting references". An alias round-trip re-ids the output.
+    def refresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val e0 = edits.select(col("cur_id"), col("new_ant_id"))
+    val e = if (editsPinned) e0 else e0.localCheckpoint(true)
+    val touched = refresh(e.select(col("cur_id").as("mention_id"))
       .unionByName(e.select(col("new_ant_id").as("mention_id")))
       .distinct()
       .join(clusters, "mention_id")
       .select(col("cluster_id")).distinct()
-      .localCheckpoint(true)
-    val members = clusters.join(broadcast(touched), Seq("cluster_id"))
-      .select(col("mention_id")).localCheckpoint(true)
+      .localCheckpoint(true))
+    val members = refresh(clusters.join(broadcast(touched), Seq("cluster_id"))
+      .select(col("mention_id")).localCheckpoint(true))
     // edited backpointers restricted to touched members: existing rows
     // re-pointed, detaches dropped, brand-new links kept via the outer join
     val edited = backptrs.select(col("cur_id"), col("ant_id"))
@@ -262,10 +272,55 @@ object Clustering {
     // AQE picks the broadcast side when it is in fact small.
     val subEdges = edited.join(
       members.select(col("mention_id").as("cur_id")), "cur_id")
-    val recomputed = cluster(spark, members, subEdges)
+    val recomputed = clusterTouched(spark, members, subEdges)
     clusters.join(broadcast(touched), Seq("cluster_id"), "left_anti")
       .select(col("mention_id"), col("cluster_id"))
       .unionByName(recomputed.select(col("mention_id"), col("cluster_id")))
+  }
+
+  /** Edge-count bound for solving the TOUCHED subgraph of an incremental
+    * edit driver-side. String ids are ~25-40 bytes vs the 8-byte longs of
+    * [[maxDriverEdges]], so the bound is tighter; 200k string edges is
+    * ≤ ~20 MB of driver heap. `private[graft] var` so the spec can force
+    * the over-bound fallback (the full contraction pipeline) on a small
+    * fixture. */
+  private[graft] var maxDriverEditEdges: Int = 200000
+
+  /** CC over the touched-members subgraph of [[editBackpointers]]. In the
+    * steady incremental regime the touched set is a handful of clusters, so
+    * the full [[cluster]] machinery (per-conversation union-find →
+    * contraction → integer encode → hybrid loop ≈ 6 pinned stages) is pure
+    * fixed overhead; a single bounded `take` + driver union-by-min replaces
+    * it with ONE job. `take` doubles as the size probe — if the fetch
+    * overflows [[maxDriverEditEdges]], fall back to the full contraction
+    * pipeline (bit-identical labels either way: cluster id = component-min
+    * mention_id string, which union-by-min preserves). */
+  private def clusterTouched(spark: SparkSession, members: DataFrame,
+      subEdges: DataFrame): DataFrame = {
+    val taken = subEdges.select(col("ant_id"), col("cur_id"))
+      .take(maxDriverEditEdges + 1)
+    if (taken.length > maxDriverEditEdges) cluster(spark, members, subEdges)
+    else {
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      taken.foreach { row =>
+        val ra = find(row.getString(0)); val rb = find(row.getString(1))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val sparkSes = spark
+      import sparkSes.implicits._
+      val mapped = parent.keysIterator.map(k => (k, find(k))).toSeq
+        .toDF("mention_id", "cluster_id")
+      members.join(broadcast(mapped), Seq("mention_id"), "left")
+        .select(col("mention_id"),
+          coalesce(col("cluster_id"), col("mention_id")).as("cluster_id"))
+    }
   }
 
   /** C3: drop singleton clusters (CoNLL postprocessing,

@@ -89,17 +89,20 @@ object StreamingClusters {
     val ids = edits.select(col("cur_id").as("mention_id"))
       .unionByName(edits.select(col("new_ant_id").as("mention_id")))
       .distinct()
-    // pinned: the C2 kernel reads the cluster table from several sides
-    // (touched lookup, member expansion, untouched anti-join)
-    val registered = st.clusters.unionByName(
-      ids.join(st.clusters, Seq("mention_id"), "left_anti")
-        .select(col("mention_id"), col("mention_id").as("cluster_id")))
+    // pin ONLY the new singletons (batch-sized); the registered view is a
+    // lazy union of two pinned tables — the C2 kernel's several reads scan
+    // checkpoint blocks either way, and the O(state) write that used to
+    // re-materialize the whole cluster table every batch is gone
+    val newSingletons = ids.join(st.clusters, Seq("mention_id"), "left_anti")
+      .select(col("mention_id"), col("mention_id").as("cluster_id"))
       .localCheckpoint(true)
+    val registered = st.clusters.unionByName(newSingletons)
 
     // editBackpointers pins its internals eagerly during the call; snapshot
     // the pin set before taking the new state pins so the internals (plus
-    // `edits`) can be attributed and released afterwards
-    val edited = Clustering.editBackpointers(spark, registered, st.backptrs, edits)
+    // `edits` and `newSingletons`) can be attributed and released afterwards
+    val edited = Clustering.editBackpointers(spark, registered, st.backptrs,
+      edits, editsPinned = true)
     val interm = pinned() -- before
     val clusters2 = edited.localCheckpoint(true)
     val backptrs2 = st.backptrs

@@ -60,6 +60,36 @@ class ClusterEditSpec extends SparkSuite {
       (mid("cD", 0, 9), mid("cD", 0, 0))))
   }
 
+  test("over-bound edit batch falls back to the full contraction pipeline, same labels") {
+    // force clusterTouched's take() to overflow so the distributed fallback
+    // runs on the same fixture; labels must match the driver fast path
+    val ids = Seq(
+      mid("cA", 0, 0), mid("cA", 0, 5), mid("cA", 1, 2),
+      mid("cB", 0, 0), mid("cB", 0, 7),
+      mid("cD", 0, 0), mid("cD", 0, 9))
+    val mentions = ids.toDF("mention_id")
+    val bp = Seq(
+      (mid("cA", 0, 5), mid("cA", 0, 0)),
+      (mid("cA", 1, 2), mid("cA", 0, 5)),
+      (mid("cB", 0, 7), mid("cB", 0, 0)),
+      (mid("cD", 0, 9), mid("cD", 0, 0))).toDF("cur_id", "ant_id")
+    val clusters0 = Clustering.cluster(spark, mentions, bp).localCheckpoint(true)
+    val edits = Seq((mid("cA", 1, 2), mid("cB", 0, 0))).toDF("cur_id", "new_ant_id")
+    val fast = Clustering.editBackpointers(spark, clusters0, bp, edits)
+    val saved = Clustering.maxDriverEditEdges
+    val slow = try {
+      Clustering.maxDriverEditEdges = 0
+      Clustering.editBackpointers(spark, clusters0, bp, edits)
+    } finally Clustering.maxDriverEditEdges = saved
+    assert(toSet(slow) == toSet(fast))
+    val full = Clustering.cluster(spark, mentions,
+      Seq((mid("cA", 0, 5), mid("cA", 0, 0)),
+        (mid("cA", 1, 2), mid("cB", 0, 0)),
+        (mid("cB", 0, 7), mid("cB", 0, 0)),
+        (mid("cD", 0, 9), mid("cD", 0, 0))).toDF("cur_id", "ant_id"))
+    assert(toSet(slow) == toSet(full))
+  }
+
   test("empty edit batch is the identity") {
     val mentions = Seq(mid("cA", 0, 0), mid("cA", 0, 5)).toDF("mention_id")
     val bp = Seq((mid("cA", 0, 5), mid("cA", 0, 0))).toDF("cur_id", "ant_id")
