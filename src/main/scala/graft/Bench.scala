@@ -202,6 +202,8 @@ object Bench {
         graft.ops.Similarity.corpus(embs)).count()),
       "sim_ann_ivf" -> med3("sim_ann_ivf")(graft.ops.Similarity.annIvf(
         graft.ops.Similarity.corpus(embs)).count()),
+      "dd_embedding" -> med3("dd_embedding")(graft.ops.Similarity.embeddingNearDup(
+        graft.ops.Similarity.corpus(embs)).count()),
       "ta_quality" -> med3("ta_quality")(graft.ops.TextAnalysis.quality(docs).count()))
     docs.unpersist()
     log("ops bench done")

@@ -121,6 +121,7 @@ object SparkEntry {
     "a11_ner_f1" -> (Queries.a11NerF1 _),
     "c1_clusters" -> (Queries.clustersQ _),
     "c2_incremental_edit" -> (Queries.c2IncrementalEditQ _),
+    "c2b_stream_fold" -> (Queries.c2bStreamFoldQ _),
     "a8_pairwise_f1" -> (Queries.pairwiseF1Q _),
     "b7_blocking_recall" -> (Queries.blockingRecallQ _),
     "a10_muc" -> (Queries.mucQ _),
@@ -424,6 +425,13 @@ object SparkEntry {
         |FROM spk""".stripMargin),
 
     "c1_clusters" -> ErOracle.q(
+      "SELECT mention_id, cluster_id FROM clusters"),
+
+    // ST × C1/C2: the Spark side folds the backpointers through the
+    // streaming cluster-maintenance kernel in 4 microbatch waves; the oracle
+    // is the SAME from-scratch clustering as c1_clusters — hash MATCH proves
+    // the incremental fold equals a batch rebuild.
+    "c2b_stream_fold" -> ErOracle.q(
       "SELECT mention_id, cluster_id FROM clusters"),
 
     // C2: the oracle re-clusters the EDITED backpointer table from scratch

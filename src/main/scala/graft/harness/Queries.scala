@@ -347,6 +347,33 @@ object Queries {
       spark, r.clusters.select("mention_id", "cluster_id"), bp, edits)
   }
 
+  /** ST × C1/C2: the streaming cluster-maintenance fold, run batch-side.
+    * The decoded backpointers arrive in 4 conversation-sliced waves (the
+    * realistic arrival shape) and fold through
+    * [[graft.streaming.StreamingClusters.update]] — singleton registration +
+    * one C2 edit per wave; mentions never decoded (true singletons) complete
+    * the universe at the end, exactly as the mention stream would. The
+    * oracle is the full from-scratch clustering (same SQL as `c1_clusters`),
+    * so a hash MATCH proves the incremental fold equals a batch rebuild
+    * through an independent engine, not just through our own spec. */
+  def c2bStreamFoldQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    val bp = r.backptrs.select(col("cur_id"), col("ant_id"), col("score"))
+    var st = graft.streaming.StreamingClusters.empty(spark)
+    for (w <- 0 until 4) {
+      st = graft.streaming.StreamingClusters.update(spark, st,
+        bp.filter(pmod(xxhash64(graft.functions.convOfMentionId(col("cur_id"))),
+          lit(4)) === w))
+    }
+    val folded = st.clusters.localCheckpoint(true)
+    st.pins.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(false)))
+    r.mentions.select(col("mention_id"))
+      .join(folded, Seq("mention_id"), "left_anti")
+      .select(col("mention_id"), col("mention_id").as("cluster_id"))
+      .unionByName(folded)
+  }
+
   def pairwiseF1Q(spark: SparkSession, sfDir: String): DataFrame = {
     val r = pipeline(spark, sfDir)
     Eval.pairwiseF1(candidateUniverse(spark, sfDir).select("ant_id", "cur_id"),

@@ -210,7 +210,10 @@ object Similarity {
     * unique id. */
   def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.99,
       bits: Int = 8, seed: Long = 42L, tables: Int = 4): DataFrame = {
-    val keyed = lshKeys(corpus, bits, tables, seed)
+    // pin the bucket keys like annLsh does: the self-join consumes `keyed`
+    // from both sides, and unpinned each side re-evaluates the
+    // tables×bits×Dim sign-plane expression tree from the scan
+    val keyed = lshKeys(corpus, bits, tables, seed).localCheckpoint(true)
     val cands = keyed.select(col("bucket"), col("vec_id").as("vec_a"))
       .join(keyed.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))

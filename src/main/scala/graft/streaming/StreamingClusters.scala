@@ -155,12 +155,17 @@ object StreamingClusters {
 
   /** Attach the fold to a (streaming) decode emission DataFrame via
     * `foreachBatch`. Returns the started query and a live handle to the
-    * current state; `onBatch` fires after each fold (metrics, TableIO
-    * commits, per-batch assertions in tests). */
+    * current state; `onBatch` fires after each fold (metrics, extra
+    * assertions in tests). `commitCadence = Some((io, tag, n))` commits the
+    * state through [[commitState]] every n-th fold — the built-in
+    * warehouse-scale checkpoint: restart with
+    * `initial = loadState(spark, io, tag)` and the job resumes from the
+    * last consistent committed batch (torn commits walk back one batch). */
   def maintain(spark: SparkSession, decoded: DataFrame,
       onBatch: State => Unit = _ => (),
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      initial: Option[State] = None)
+      initial: Option[State] = None,
+      commitCadence: Option[(graft.io.TableIO, String, Int)] = None)
     : (StreamingQuery, AtomicReference[State]) = {
     val ref = new AtomicReference[State](initial.getOrElse(empty(spark)))
     val w0 = decoded.writeStream
@@ -168,6 +173,9 @@ object StreamingClusters {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val next = update(spark, ref.get(), batch)
         ref.set(next)
+        commitCadence.foreach { case (io, tag, n) =>
+          if (n > 0 && next.batches % n == 0) commitState(io, next, tag)
+        }
         onBatch(next)
       }
     val q = trigger.fold(w0)(w0.trigger).start()

@@ -513,4 +513,37 @@ class StreamingSpec extends SparkSuite {
     // a foreign tag never resolves
     assert(StreamingClusters.loadState(spark, io, "t2").isEmpty)
   }
+
+  test("maintain commits state on the configured cadence; resume sees the last fold") {
+    import graft.streaming.StreamingClusters
+    import graft.io.TableIO
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sclust-cad").toString
+    // 4 single-row part files → 4 microbatches under maxFilesPerTrigger=1
+    // (file arrival order is not guaranteed, but each mention carries one
+    // out-edge exactly once, so the END state is order-insensitive)
+    Seq(
+      Seq(("b", "a", 1.0)), Seq(("c", "b", 1.0)),
+      Seq(("e", "d", 1.0)), Seq(("d", "c", 2.0))).foreach { rows =>
+      rows.toDF("cur_id", "ant_id", "score")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val io = new TableIO(Files.createTempDirectory("graft-sclust-cadio").toString)
+    val stream = spark.readStream
+      .schema("cur_id STRING, ant_id STRING, score DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val (q, ref) = StreamingClusters.maintain(spark, stream,
+      trigger = Some(Trigger.AvailableNow()),
+      commitCadence = Some((io, "cad", 2)))
+    q.awaitTermination(180000)
+    assert(ref.get().batches === 4L)
+    // cadence 2 over 4 folds → exactly two committed snapshots per stage
+    assert(io.latestSnapshot("stream_clusters") === Some(1))
+    assert(io.latestSnapshot("stream_backptrs") === Some(1))
+    val loaded = StreamingClusters.loadState(spark, io, "cad")
+    assert(loaded.isDefined && loaded.get.batches === 4L)
+    val set = loaded.get.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(set === Set("a", "b", "c", "d", "e").map(x => (x, "a")))
+  }
 }
