@@ -214,6 +214,19 @@ object Clustering {
     } else connectedComponents(nodes, edges, checkpoint = checkpoint)
   }
 
+  /** The backpointer table after applying `edits`: existing rows re-pointed,
+    * detaches (`new_ant_id == cur_id`) dropped, brand-new links kept via the
+    * outer join. Single definition shared by [[editBackpointers]] and the
+    * streaming maintenance fold ([[graft.streaming.StreamingClusters]]) so
+    * the merge semantics cannot drift between the clustering kernel and the
+    * maintained state. */
+  def mergeBackpointers(backptrs: DataFrame, edits: DataFrame): DataFrame =
+    backptrs.select(col("cur_id"), col("ant_id"))
+      .join(edits.select(col("cur_id"), col("new_ant_id")), Seq("cur_id"), "full_outer")
+      .select(col("cur_id"),
+        coalesce(col("new_ant_id"), col("ant_id")).as("ant_id"))
+      .filter(col("ant_id") =!= col("cur_id"))
+
   /** C2: incremental cluster edit
     * (`OrderedClusteringFromBackpointers.changeBackpointerGetClusters`,
     * `OrderedClustering.scala:102-143`). The reference re-points one
@@ -239,7 +252,11 @@ object Clustering {
       clusters: DataFrame, // (mention_id, cluster_id) — current clustering
       backptrs: DataFrame, // (cur_id, ant_id)
       edits: DataFrame,    // (cur_id, new_ant_id)
-      editsPinned: Boolean = false) // caller already localCheckpoint'ed edits
+      editsPinned: Boolean = false, // caller already localCheckpoint'ed edits
+      // merged backpointer table the caller already computed (and pinned)
+      // via [[mergeBackpointers]] — avoids running the O(state) full_outer
+      // merge twice when the caller also keeps the merged table as state
+      premerged: Option[DataFrame] = None)
     : DataFrame = {
     // fresh exprIds on every pinned intermediate: these checkpoints derive
     // FROM `clusters` and join straight back against it, and a pinned
@@ -259,13 +276,9 @@ object Clustering {
       .localCheckpoint(true))
     val members = refresh(clusters.join(broadcast(touched), Seq("cluster_id"))
       .select(col("mention_id")).localCheckpoint(true))
-    // edited backpointers restricted to touched members: existing rows
-    // re-pointed, detaches dropped, brand-new links kept via the outer join
-    val edited = backptrs.select(col("cur_id"), col("ant_id"))
-      .join(e, Seq("cur_id"), "full_outer")
-      .select(col("cur_id"),
-        coalesce(col("new_ant_id"), col("ant_id")).as("ant_id"))
-      .filter(col("ant_id") =!= col("cur_id"))
+    // edited backpointers restricted to touched members (refresh a caller-
+    // pinned premerged table: pinned LogicalRDDs keep their source exprIds)
+    val edited = premerged.map(refresh).getOrElse(mergeBackpointers(backptrs, e))
     // membership filter on the cur side only: an unedited edge's ant shares
     // cur's component, and an edited edge's ant is touched by construction.
     // No forced broadcast — a large edit batch makes `members` large, and

@@ -98,19 +98,20 @@ object StreamingClusters {
       .localCheckpoint(true)
     val registered = st.clusters.unionByName(newSingletons)
 
+    // ONE O(state) full_outer merge per batch: the merged table IS the next
+    // backpointer state AND the edge set the C2 kernel restricts to touched
+    // members (passed as `premerged` so the kernel doesn't re-run the merge)
+    val preMerge = pinned()
+    val backptrs2 = Clustering.mergeBackpointers(st.backptrs, edits)
+      .localCheckpoint(true)
+    val bp2Pins = pinned() -- preMerge
     // editBackpointers pins its internals eagerly during the call; snapshot
     // the pin set before taking the new state pins so the internals (plus
     // `edits` and `newSingletons`) can be attributed and released afterwards
     val edited = Clustering.editBackpointers(spark, registered, st.backptrs,
-      edits, editsPinned = true)
-    val interm = pinned() -- before
+      edits, editsPinned = true, premerged = Some(backptrs2))
+    val interm = pinned() -- before -- bp2Pins
     val clusters2 = edited.localCheckpoint(true)
-    val backptrs2 = st.backptrs
-      .join(edits, Seq("cur_id"), "full_outer")
-      .select(col("cur_id"),
-        coalesce(col("new_ant_id"), col("ant_id")).as("ant_id"))
-      .filter(col("ant_id") =!= col("cur_id"))
-      .localCheckpoint(true)
     val pins2 = pinned() -- before -- interm
     release(interm ++ st.pins)
     State(clusters2, backptrs2, pins2, st.batches + 1)
@@ -144,13 +145,17 @@ object StreamingClusters {
       }.toMap // later snapshots win per batch id
     val c = committed("stream_clusters")
     val b = committed("stream_backptrs")
-    (c.keySet intersect b.keySet).maxOption.flatMap { n =>
+    // walk back through every batch committed in BOTH stages, newest first:
+    // a pair whose snapshot fails row-count verification (torn/corrupt files)
+    // falls through to the next-older intact pair instead of failing the
+    // whole load and recomputing from batch 0
+    (c.keySet intersect b.keySet).toSeq.sortBy(-_).iterator.flatMap { n =>
       val lin = s"$tag@batch-$n"
-      for {
+      (for {
         cl <- io.readIfCurrent(spark, "stream_clusters", lin, Some(c(n)))
         bp <- io.readIfCurrent(spark, "stream_backptrs", lin, Some(b(n)))
-      } yield State(cl, bp, Set.empty, n)
-    }
+      } yield State(cl, bp, Set.empty, n)).iterator
+    }.nextOption()
   }
 
   /** Attach the fold to a (streaming) decode emission DataFrame via
@@ -158,27 +163,44 @@ object StreamingClusters {
     * current state; `onBatch` fires after each fold (metrics, extra
     * assertions in tests). `commitCadence = Some((io, tag, n))` commits the
     * state through [[commitState]] every n-th fold — the built-in
-    * warehouse-scale checkpoint: restart with
-    * `initial = loadState(spark, io, tag)` and the job resumes from the
-    * last consistent committed batch (torn commits walk back one batch). */
+    * warehouse-scale checkpoint.
+    *
+    * Resume contract: restart with `initial = loadState(spark, io, tag)`
+    * AND the same durable `checkpointLocation`. The engine's checkpoint
+    * stops the source replaying already-folded data from scratch (a temp
+    * checkpoint would re-deliver every past emission ON TOP of the loaded
+    * state, re-pointing mentions back to stale antecedents); the batch-id
+    * guard below absorbs the one in-flight batch foreachBatch re-delivers
+    * at-least-once. Exactly-once resume needs cadence 1 — with cadence n a
+    * crash can lose up to n-1 folds whose source offsets the engine already
+    * committed (their emissions will not be re-delivered). */
   def maintain(spark: SparkSession, decoded: DataFrame,
       onBatch: State => Unit = _ => (),
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       initial: Option[State] = None,
-      commitCadence: Option[(graft.io.TableIO, String, Int)] = None)
+      commitCadence: Option[(graft.io.TableIO, String, Int)] = None,
+      checkpointLocation: Option[String] = None)
     : (StreamingQuery, AtomicReference[State]) = {
     val ref = new AtomicReference[State](initial.getOrElse(empty(spark)))
     val w0 = decoded.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val next = update(spark, ref.get(), batch)
-        ref.set(next)
-        commitCadence.foreach { case (io, tag, n) =>
-          if (n > 0 && next.batches % n == 0) commitState(io, next, tag)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: `batches` counts folds 1:1 with engine batch ids
+        // from 0, so a batch the resumed state has already folded (its
+        // TableIO commit landed but the offset commit did not) is skipped
+        // instead of double-folded
+        if (batchId >= ref.get().batches) {
+          val next = update(spark, ref.get(), batch)
+          ref.set(next)
+          commitCadence.foreach { case (io, tag, n) =>
+            if (n > 0 && next.batches % n == 0) commitState(io, next, tag)
+          }
+          onBatch(next)
         }
-        onBatch(next)
       }
-    val q = trigger.fold(w0)(w0.trigger).start()
+    val w1 = checkpointLocation.fold(w0)(loc =>
+      w0.option("checkpointLocation", loc))
+    val q = trigger.fold(w1)(w1.trigger).start()
     (q, ref)
   }
 }
