@@ -357,8 +357,12 @@ object StreamingAssembly {
     * buffer in order on the event-time timeout (conversation end).
     *
     * State is bounded: the band buffer is trimmed to the band width as
-    * before, and the pending buffer holds only mentions newer than the
-    * watermark — exactly the rows any watermarked operator must retain. */
+    * before, and the pending buffer holds mentions until the watermark
+    * passes the event time of every earlier POSITION still held (release is
+    * a position-sorted prefix, so a ready row never overtakes a held
+    * earlier turn; null event times are stamped with the batch max ts) —
+    * at most one watermark horizon beyond what any watermarked operator
+    * retains, and the conversation-end timeout flushes the remainder. */
   def streamingBandPairsOrdered(spark: SparkSession, mentionStream: DataFrame,
       maxConvDist: Int = 10, watermark: String = "10 minutes",
       horizonMs: Long = 600000L) = {
@@ -396,9 +400,10 @@ object StreamingAssembly {
             out.iterator
           } else {
             val wm = state.getCurrentWatermarkMs()
-            var maxTsMs = 0L
-            rows.foreach { m =>
-              if (m.ts != null) maxTsMs = math.max(maxTsMs, m.ts.getTime)
+            val incoming = rows.toSeq
+            val maxTsMs = incoming.iterator.filter(_.ts != null)
+              .map(_.ts.getTime).foldLeft(0L)(math.max)
+            incoming.foreach { m =>
               if (m.turn_idx < st.lastTurn ||
                 (m.turn_idx == st.lastTurn && m.start <= st.lastStart)) {
                 // beyond-watermark late: the frontier already released past
@@ -407,14 +412,23 @@ object StreamingAssembly {
                   m.norm, m.norm, m.head_key, m.head_key, m.toks, m.toks,
                   m.mtype, m.mtype, m.closed_class, m.closed_class,
                   m.role, m.role, m.number, m.number, m.gender, m.gender, m.ts)
-              } else st = st.copy(pending = m :: st.pending)
+              } else {
+                // a null event time is stamped with the batch's max observed
+                // ts: it holds for the same watermark horizon as any other
+                // arrival instead of jumping the release queue
+                val s = if (m.ts != null) m
+                  else m.copy(ts = new java.sql.Timestamp(maxTsMs))
+                st = st.copy(pending = s :: st.pending)
+              }
             }
-            // release the prefix of pending whose event time the watermark
-            // has passed (null-ts rows release immediately)
-            val (ready, hold) = st.pending.partition(m =>
-              m.ts == null || m.ts.getTime <= wm)
-            st = st.copy(pending = hold)
-            ready.sortBy(m => (m.turn_idx, m.start)).foreach(release)
+            // in-order PREFIX release: rows leave only while the head of the
+            // (turn_idx, start) order is past the watermark, so a ready row
+            // never overtakes a still-held earlier position — the frontier
+            // is monotone and m_seq order equals position order
+            val sorted = st.pending.sortBy(m => (m.turn_idx, m.start))
+            val ready = sorted.takeWhile(_.ts.getTime <= wm)
+            st = st.copy(pending = sorted.drop(ready.length))
+            ready.foreach(release)
             state.update(st)
             state.setTimeoutTimestamp(math.max(wm, maxTsMs) + horizonMs)
             out.iterator
@@ -465,16 +479,25 @@ object StreamingAssembly {
             state.remove(); out.iterator
           } else {
             val wm = state.getCurrentWatermarkMs()
-            var maxTsMs = 0L
-            turns.foreach { t =>
-              if (t.ts != null) maxTsMs = math.max(maxTsMs, t.ts.getTime)
+            val incoming = turns.toSeq
+            val maxTsMs = incoming.iterator.filter(_.ts != null)
+              .map(_.ts.getTime).foldLeft(0L)(math.max)
+            incoming.foreach { t =>
               if (t.turn_idx <= st.lastTurn) out += SequencedTurn(convId, t.turn_idx, -1)
-              else st = st.copy(pending = t :: st.pending)
+              else {
+                // null-ts turns are stamped with the batch max ts (hold one
+                // horizon) rather than released ahead of held earlier turns
+                val s = if (t.ts != null) t
+                  else t.copy(ts = new java.sql.Timestamp(maxTsMs))
+                st = st.copy(pending = s :: st.pending)
+              }
             }
-            val (ready, hold) = st.pending.partition(t =>
-              t.ts == null || t.ts.getTime <= wm)
-            st = st.copy(pending = hold)
-            ready.sortBy(_.turn_idx).foreach(release)
+            // in-order prefix release (see streamingBandPairsOrdered): a
+            // ready turn never overtakes a held earlier turn_idx
+            val sorted = st.pending.sortBy(_.turn_idx)
+            val ready = sorted.takeWhile(_.ts.getTime <= wm)
+            st = st.copy(pending = sorted.drop(ready.length))
+            ready.foreach(release)
             state.update(st)
             state.setTimeoutTimestamp(math.max(wm, maxTsMs) + horizonMs)
             out.iterator

@@ -307,6 +307,48 @@ class StreamingSpec extends SparkSuite {
       s"M1/M2 must sequence 0/1 with M0 excluded, got $pairs")
   }
 
+  test("OUT-OF-ORDER: a null-ts later turn never overtakes a held earlier turn") {
+    val md = Files.createTempDirectory("graft-ooo-nullts").toString
+    val base = 1700000000000L
+    import spark.implicits._
+    def mrow(conv: String, id: String, turn: Int, ts: java.sql.Timestamp) =
+      ((conv, id, turn, 0, id.toLowerCase, id.toLowerCase, Seq(id), "PROPER",
+        false, "user", "unknown", "unknown", ts))
+    def wave(rows: Seq[(String, String, Int, Int, String, String, Seq[String],
+        String, Boolean, String, String, String, java.sql.Timestamp)]): Unit =
+      writeWave(rows.toDF("conv_id", "mention_id", "turn_idx", "start", "norm",
+        "head_key", "toks", "mtype", "closed_class", "role", "number", "gender", "ts"), md)
+    val delayMs = 600000L
+    // wave 1: turn 2 arrives, watermark has NOT passed its ts -> held
+    wave(Seq(mrow("cY", "M2", 2, new java.sql.Timestamp(base + 60000))))
+    // wave 2: turn 4 with a NULL event time — pre-fix it released instantly
+    // (m_seq 0, ahead of the held turn 2, regressing the frontier); now it
+    // must queue BEHIND the held earlier position
+    wave(Seq(mrow("cY", "M4", 4, null)))
+    // wave 3: watermark passes turn 2; a held turn 5 invokes the group
+    wave(Seq(mrow("cOther", "M9", 0, new java.sql.Timestamp(base + 60000 + delayMs + 1000))))
+    wave(Seq(mrow("cY", "M5", 5, new java.sql.Timestamp(base + delayMs + 2000))))
+    // flush: far-future row times cY out, releasing the held tail in order
+    wave(Seq(mrow("cFlush", "MF", 0, new java.sql.Timestamp(base + 45L * 24 * 3600 * 1000))))
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema("conv_id STRING, mention_id STRING, turn_idx INT, start INT, norm STRING, " +
+        "head_key STRING, toks ARRAY<STRING>, mtype STRING, closed_class BOOLEAN, " +
+        "role STRING, number STRING, gender STRING, ts TIMESTAMP").parquet(md)
+    val q = StreamingAssembly.streamingBandPairsOrdered(spark, stream,
+      maxConvDist = 10, watermark = "10 minutes").toDF()
+      .writeStream.format("memory").queryName("stream_ooo_nullts")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(240000)
+    val outRows = spark.table("stream_ooo_nullts").filter(col("conv_id_a") === "cY")
+    assert(outRows.filter(col("block_key") === "late").count() === 0L,
+      "nothing here is position-late; the null-ts row must buffer, not mis-release")
+    val pairs = outRows.filter(col("block_key") === "conv")
+      .select("ant_id", "cur_id", "m_seq_a", "m_seq_c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(pairs === Set(("M2", "M4", 0, 1), ("M2", "M5", 0, 2), ("M4", "M5", 1, 2)),
+      s"release order must follow turn order 2,4,5 regardless of the null ts, got $pairs")
+  }
+
   test("OUT-OF-ORDER: ordered turn sequencer matches turn order on shuffled waves") {
     val transcripts = spark.read.parquet(dir).cache()
     val md = Files.createTempDirectory("graft-ooo-seq").toString
@@ -545,5 +587,89 @@ class StreamingSpec extends SparkSuite {
     val set = loaded.get.clusters.collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(set === Set("a", "b", "c", "d", "e").map(x => (x, "a")))
+  }
+
+  test("loadState walks back past a corrupt newest snapshot pair") {
+    import graft.streaming.StreamingClusters
+    import graft.io.TableIO
+    import spark.implicits._
+    def fold(st: StreamingClusters.State, rows: Seq[(String, String, Double)]) =
+      StreamingClusters.update(spark, st,
+        rows.toDF("cur_id", "ant_id", "score"))
+    val ioRoot = Files.createTempDirectory("graft-sclust-corrupt").toString
+    val io = new TableIO(ioRoot)
+    var st = StreamingClusters.empty(spark)
+    st = fold(st, Seq(("b", "a", 1.0)))
+    st = fold(st, Seq(("c", "b", 1.0)))
+    StreamingClusters.commitState(io, st, "t1") // batch-2, intact
+    st = fold(st, Seq(("e", "d", 1.0)))
+    st = fold(st, Seq(("d", "c", 2.0)))
+    StreamingClusters.commitState(io, st, "t1") // batch-4, about to corrupt
+
+    // lose a part file under the batch-4 clusters snapshot: row-count
+    // verification must fail that pair and fall through to batch-2 —
+    // not recompute from batch 0 (pre-fix: maxOption short-circuited to None)
+    import scala.jdk.CollectionConverters._
+    val clustersSnap = java.nio.file.Paths.get(ioRoot, "stream_clusters", "snap-1")
+    val doomed = Files.list(clustersSnap).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.delete(doomed)
+
+    val loaded = StreamingClusters.loadState(spark, io, "t1")
+    assert(loaded.isDefined && loaded.get.batches === 2L,
+      "a corrupt newest pair must fall through to the next-older intact pair")
+    val set = loaded.get.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(set === Set(("a", "a"), ("b", "a"), ("c", "a")))
+  }
+
+  test("maintain resumes from loadState + durable checkpoint without double-folding") {
+    import graft.streaming.StreamingClusters
+    import graft.io.TableIO
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sclust-resume").toString
+    val ckpt = Files.createTempDirectory("graft-sclust-ckpt").toString
+    val io = new TableIO(Files.createTempDirectory("graft-sclust-resio").toString)
+    def addFile(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("cur_id", "ant_id", "score")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def stream = spark.readStream
+      .schema("cur_id STRING, ant_id STRING, score DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+    // run 1: two batches, one of which re-points x (x->z then x->a);
+    // cadence 1 + durable checkpoint = the exactly-once configuration
+    addFile(Seq(("x", "z", 1.0), ("b", "a", 2.0)))
+    addFile(Seq(("x", "a", 3.0))) // re-point: a replay of batch 0 on top of
+                                  // this state would regress x back to z
+    val (q1, ref1) = StreamingClusters.maintain(spark, stream,
+      trigger = Some(Trigger.AvailableNow()),
+      commitCadence = Some((io, "res", 1)),
+      checkpointLocation = Some(ckpt))
+    q1.awaitTermination(180000)
+    assert(ref1.get().batches === 2L)
+
+    // crash: in-memory state gone; two more batches of data arrive
+    addFile(Seq(("c", "b", 1.0)))
+    addFile(Seq(("y", "x", 1.0)))
+    val loaded = StreamingClusters.loadState(spark, io, "res")
+    assert(loaded.isDefined && loaded.get.batches === 2L)
+    val (q2, ref2) = StreamingClusters.maintain(spark, stream,
+      initial = loaded,
+      trigger = Some(Trigger.AvailableNow()),
+      commitCadence = Some((io, "res", 1)),
+      checkpointLocation = Some(ckpt))
+    q2.awaitTermination(180000)
+    val fin = ref2.get()
+    assert(fin.batches === 4L,
+      "the durable checkpoint must deliver only the two new batches")
+    val got = fin.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // x must still point at a (no stale z re-point from a replay)
+    assert(got === Set(("a", "a"), ("b", "a"), ("c", "a"), ("x", "a"),
+      ("y", "a"), ("z", "z")))
+    val bp = fin.backptrs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(bp === Set(("x", "a"), ("b", "a"), ("c", "b"), ("y", "x")))
   }
 }
