@@ -168,21 +168,31 @@ object Eval {
   def ceafe(predClusters: DataFrame, goldClusters: DataFrame): DataFrame = {
     val spark = predClusters.sparkSession
     import spark.implicits._
+    // FULL outer join: Luo-2005 φ4 uses FULL cluster sizes — a predicted
+    // cluster keeps its spurious (non-gold) mentions in the denominator and
+    // an all-spurious cluster still counts in |K| (precision), symmetrically
+    // for gold entities with missed mentions (recall). An inner join would
+    // shrink both and inflate CEAFe exactly when pred and gold mention sets
+    // differ (reference: scorer.pl ceafe / CorefEvaluator).
     val joined = predClusters.select(col("mention_id"), col("cluster_id").cast("string"))
-      .join(goldClusters.select(col("mention_id"), col("entity_id").cast("string")), "mention_id")
+      .join(goldClusters.select(col("mention_id"), col("entity_id").cast("string")),
+        Seq("mention_id"), "full_outer")
       .select(graft.functions.convOfMentionId(col("mention_id")).as("conv_id"),
         col("cluster_id"), col("entity_id"))
       .as[(String, String, String)]
     val per = joined.groupByKey(_._1).mapGroups { (conv, it) =>
       val rows = it.toArray
-      val pIdx = rows.map(_._2).distinct.sorted.zipWithIndex.toMap
-      val gIdx = rows.map(_._3).distinct.sorted.zipWithIndex.toMap
+      val pIdx = rows.iterator.map(_._2).filter(_ != null)
+        .toArray.distinct.sorted.zipWithIndex.toMap
+      val gIdx = rows.iterator.map(_._3).filter(_ != null)
+        .toArray.distinct.sorted.zipWithIndex.toMap
       val np = pIdx.size; val ng = gIdx.size
       val pSize = new Array[Int](np); val gSize = new Array[Int](ng)
       val ovl = Array.ofDim[Int](np, ng)
       rows.foreach { case (_, c, e) =>
-        val i = pIdx(c); val j = gIdx(e)
-        pSize(i) += 1; gSize(j) += 1; ovl(i)(j) += 1
+        if (c != null) pSize(pIdx(c)) += 1
+        if (e != null) gSize(gIdx(e)) += 1
+        if (c != null && e != null) ovl(pIdx(c))(gIdx(e)) += 1
       }
       // φ4 weight matrix, smaller side as rows (the assignment matches every
       // row; weights are ≥ 0 so a full row assignment is an optimal matching)

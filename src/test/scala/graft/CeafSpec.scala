@@ -63,6 +63,32 @@ class CeafSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("f1") - 7.0 / 12.0) < 1e-12)
   }
 
+  test("CEAFe penalizes spurious and missed mentions via FULL cluster sizes") {
+    import spark.implicits._
+    // pred K1 = {m1, m2, m3(spurious)}, K2 = {m4} all-spurious;
+    // gold R1 = {m1, m2}, R2 = {m5} entirely missed.
+    // Luo φ4 on FULL sizes: K1R1 = 2*2/(3+2) = 0.8, all other cells 0;
+    // optimal matching Φ = 0.8 with |K| = 2 (K2 still counts) and |R| = 2
+    // (R2 still counts) → P = 0.4, R = 0.4, F1 = 0.4.
+    // The pre-fix inner join dropped m3/m4/m5: K1R1 = 2*2/(2+2) = 1.0,
+    // K2 and R2 vanished → P = R = F1 = 1.0 — spuriously perfect.
+    def mid(i: Int) = f"conv#${0}%06d${i}%06d"
+    val pred = Seq(
+      (mid(1), "k1"), (mid(2), "k1"), (mid(3), "k1"),
+      (mid(4), "k2")).toDF("mention_id", "cluster_id")
+    val gold = Seq(
+      (mid(1), "r1"), (mid(2), "r1"),
+      (mid(5), "r2")).toDF("mention_id", "entity_id")
+    val r = Eval.ceafe(pred, gold).collect()(0)
+    assert(r.getAs[Long]("n_pred_clusters") == 2L,
+      "an all-spurious cluster still counts in |K|")
+    assert(r.getAs[Long]("n_gold_entities") == 2L,
+      "an entirely-missed entity still counts in |R|")
+    assert(math.abs(r.getAs[Double]("precision") - 0.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall") - 0.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f1") - 0.4) < 1e-12)
+  }
+
   test("CEAFe of a perfect clustering is exactly 1.0 across conversations") {
     import spark.implicits._
     def mid(c: String, i: Int) = f"$c#${0}%06d${i}%06d"
