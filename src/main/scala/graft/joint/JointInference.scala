@@ -468,7 +468,10 @@ object JointInference {
         }
         Iterator.single(ll)
     }
-    perConv.reduce(_ + _)
+    // sum via agg, not Dataset.reduce: reduce throws on an empty input
+    // (e.g. a fold with zero conversations) where the log-likelihood is 0
+    perConv.toDF("ll")
+      .agg(coalesce(sum(col("ll")), lit(0.0))).head().getDouble(0)
   }
 
   /** Train the 4 factor couplings by central-finite-difference gradient of
@@ -486,12 +489,17 @@ object JointInference {
       evidence: Option[DataFrame] = None,
       wikiScores: Option[DataFrame] = None,
       trainWiki: Boolean = true): (Couplings, Seq[(Int, Double)]) = {
-    // pin the inputs: every objective evaluation re-runs the kernel only
+    // pin ALL the inputs (including the optional evidence/wiki tables):
+    // every objective evaluation re-runs the kernel only, never the inputs'
+    // upstream plans — with 4 dims and 8 epochs the objective runs
+    // (1 + 2·dims)·epochs = 72 times
     val mp = mentionPriors.localCheckpoint(true)
     val sc = scored.localCheckpoint(true)
     val g = gold.localCheckpoint(true)
+    val ev = evidence.map(_.localCheckpoint(true))
+    val ws = wikiScores.map(_.localCheckpoint(true))
     def obj(c: Array[Double]): Double = goldLogLik(spark, mp, sc, g,
-      Couplings(c(0), c(1), c(2), c(3)), iters, evidence, wikiScores)
+      Couplings(c(0), c(1), c(2), c(3)), iters, ev, ws)
     val dims = if (trainWiki && wikiScores.nonEmpty) 4
       else if (evidence.nonEmpty) 2 else 1
     val w = Array(init.coref, init.ner, init.wiki, init.wikiNil)

@@ -201,6 +201,22 @@ class JointSpec extends SparkSuite {
     assert(d("w2")._3 === Some("Title_A"))
   }
 
+  test("goldLogLik on an empty slice is 0, and trainCouplings survives it") {
+    val p0 = Seq.empty[(String, String, Seq[Double])]
+      .toDF("conv_id", "mention_id", "prior")
+    val sc0 = Seq.empty[(String, String, Double)].toDF("ant_id", "cur_id", "score")
+    val g0 = Seq.empty[(String, String, String, String)]
+      .toDF("mention_id", "g_ant", "g_type", "g_wiki")
+    assert(JointInference.goldLogLik(spark, p0, sc0, g0,
+      JointInference.Couplings(1, 0, 0, 0)) === 0.0)
+    // an empty fold must yield a finite (zero-gradient) training run, not
+    // an UnsupportedOperationException out of Dataset.reduce
+    val (c, trace) = JointInference.trainCouplings(spark, p0, sc0, g0,
+      epochs = 2, eta = 1.0, iters = 2)
+    assert(trace.forall(_._2 === 0.0))
+    assert(c === JointInference.Couplings(0, 0, 0, 0))
+  }
+
   test("typePriors derive from surface sem-class") {
     val m = Seq(("x", "c", "Customer#000000007"), ("y", "c", "the vendor"))
       .toDF("mention_id", "conv_id", "surface")
