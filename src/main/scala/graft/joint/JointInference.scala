@@ -492,7 +492,11 @@ object JointInference {
     // pin ALL the inputs (including the optional evidence/wiki tables):
     // every objective evaluation re-runs the kernel only, never the inputs'
     // upstream plans — with 4 dims and 8 epochs the objective runs
-    // (1 + 2·dims)·epochs = 72 times
+    // (1 + 2·dims)·epochs = 72 times. The pins are released when training
+    // returns (the result is 4 scalars + a trace — nothing derives from
+    // them), so repeated runs don't accumulate dead checkpoint blocks.
+    val sctx = spark.sparkContext
+    val pinsBefore = sctx.getPersistentRDDs.keySet.toSet
     val mp = mentionPriors.localCheckpoint(true)
     val sc = scored.localCheckpoint(true)
     val g = gold.localCheckpoint(true)
@@ -500,27 +504,32 @@ object JointInference {
     val ws = wikiScores.map(_.localCheckpoint(true))
     def obj(c: Array[Double]): Double = goldLogLik(spark, mp, sc, g,
       Couplings(c(0), c(1), c(2), c(3)), iters, ev, ws)
-    val dims = if (trainWiki && wikiScores.nonEmpty) 4
-      else if (evidence.nonEmpty) 2 else 1
-    val w = Array(init.coref, init.ner, init.wiki, init.wikiNil)
-    val sq = Array.fill(4)(0.0)
-    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    for (ep <- 0 until epochs) {
-      val loss = -obj(w)
-      trace += ((ep, loss))
-      val grad = Array.tabulate(dims) { i =>
-        val wp = w.clone(); wp(i) += h
-        val wm = w.clone(); wm(i) -= h
-        -(obj(wp) - obj(wm)) / (2 * h) // d(-loglik)/dc_i
+    try {
+      val dims = if (trainWiki && wikiScores.nonEmpty) 4
+        else if (evidence.nonEmpty) 2 else 1
+      val w = Array(init.coref, init.ner, init.wiki, init.wikiNil)
+      val sq = Array.fill(4)(0.0)
+      val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      for (ep <- 0 until epochs) {
+        val loss = -obj(w)
+        trace += ((ep, loss))
+        val grad = Array.tabulate(dims) { i =>
+          val wp = w.clone(); wp(i) += h
+          val wm = w.clone(); wm(i) -= h
+          -(obj(wp) - obj(wm)) / (2 * h) // d(-loglik)/dc_i
+        }
+        var i = 0
+        while (i < dims) {
+          sq(i) += grad(i) * grad(i)
+          w(i) -= eta * grad(i) / (1.0 + math.sqrt(sq(i)))
+          i += 1
+        }
       }
-      var i = 0
-      while (i < dims) {
-        sq(i) += grad(i) * grad(i)
-        w(i) -= eta * grad(i) / (1.0 + math.sqrt(sq(i)))
-        i += 1
-      }
+      (Couplings(w(0), w(1), w(2), w(3)), trace.toSeq)
+    } finally {
+      (sctx.getPersistentRDDs.keySet.toSet -- pinsBefore).foreach(id =>
+        sctx.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
-    (Couplings(w(0), w(1), w(2), w(3)), trace.toSeq)
   }
 
   /** T2 cadence table for the joint objective: `(epoch, loss)` relation. */

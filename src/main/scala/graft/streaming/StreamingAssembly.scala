@@ -344,6 +344,29 @@ object StreamingAssembly {
   case class OooBandState(nextSeq: Int, lastTurn: Int, lastStart: Int,
       band: List[BufM], pending: List[MIn])
 
+  /** Stamp for a null event time in the ordered operators: the batch's max
+    * observed ts, floored strictly past the current watermark. The floor
+    * matters — a batch containing ONLY null-ts rows has `maxTsMs = 0`, and
+    * an epoch-0 stamp is `<= wm` forever, so the row would release
+    * instantly and jump ahead of a held earlier position (the exact defect
+    * the stamping exists to prevent). Floored rows wait for the next
+    * watermark advance, or the conversation timeout. Single definition for
+    * [[streamingBandPairsOrdered]] and [[sequenceTurnsOrdered]]. */
+  private def nullTsStamp(maxTsMs: Long, wm: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(math.max(maxTsMs, wm + 1L))
+
+  /** Position-sorted PREFIX release shared by the ordered operators: rows
+    * leave only while the head of the position order is past the
+    * watermark, so a ready row never overtakes a still-held earlier
+    * position — the release frontier is monotone and sequence order equals
+    * position order. Returns (ready-in-order, still-held). */
+  private def releasePrefix[T](pending: List[T], wm: Long,
+      ts: T => java.sql.Timestamp, pos: Ordering[T]): (List[T], List[T]) = {
+    val sorted = pending.sorted(pos)
+    val ready = sorted.takeWhile(t => ts(t).getTime <= wm)
+    (ready, sorted.drop(ready.length))
+  }
+
   /** Out-of-order-tolerant streaming band pairing (round-4 verdict #6):
     * same contract as [[streamingBandPairs]], but arrivals are BUFFERED in
     * per-conversation state and released in `(turn_idx, start)` order only
@@ -413,21 +436,15 @@ object StreamingAssembly {
                   m.mtype, m.mtype, m.closed_class, m.closed_class,
                   m.role, m.role, m.number, m.number, m.gender, m.gender, m.ts)
               } else {
-                // a null event time is stamped with the batch's max observed
-                // ts: it holds for the same watermark horizon as any other
-                // arrival instead of jumping the release queue
+                // null event time: stamped, never released ahead of the queue
                 val s = if (m.ts != null) m
-                  else m.copy(ts = new java.sql.Timestamp(maxTsMs))
+                  else m.copy(ts = nullTsStamp(maxTsMs, wm))
                 st = st.copy(pending = s :: st.pending)
               }
             }
-            // in-order PREFIX release: rows leave only while the head of the
-            // (turn_idx, start) order is past the watermark, so a ready row
-            // never overtakes a still-held earlier position — the frontier
-            // is monotone and m_seq order equals position order
-            val sorted = st.pending.sortBy(m => (m.turn_idx, m.start))
-            val ready = sorted.takeWhile(_.ts.getTime <= wm)
-            st = st.copy(pending = sorted.drop(ready.length))
+            val (ready, held) = releasePrefix[MIn](st.pending, wm,
+              _.ts, Ordering.by(m => (m.turn_idx, m.start)))
+            st = st.copy(pending = held)
             ready.foreach(release)
             state.update(st)
             state.setTimeoutTimestamp(math.max(wm, maxTsMs) + horizonMs)
@@ -485,18 +502,15 @@ object StreamingAssembly {
             incoming.foreach { t =>
               if (t.turn_idx <= st.lastTurn) out += SequencedTurn(convId, t.turn_idx, -1)
               else {
-                // null-ts turns are stamped with the batch max ts (hold one
-                // horizon) rather than released ahead of held earlier turns
+                // null event time: stamped, never released ahead of the queue
                 val s = if (t.ts != null) t
-                  else t.copy(ts = new java.sql.Timestamp(maxTsMs))
+                  else t.copy(ts = nullTsStamp(maxTsMs, wm))
                 st = st.copy(pending = s :: st.pending)
               }
             }
-            // in-order prefix release (see streamingBandPairsOrdered): a
-            // ready turn never overtakes a held earlier turn_idx
-            val sorted = st.pending.sortBy(_.turn_idx)
-            val ready = sorted.takeWhile(_.ts.getTime <= wm)
-            st = st.copy(pending = sorted.drop(ready.length))
+            val (ready, held) = releasePrefix[TurnEventTs](st.pending, wm,
+              _.ts, Ordering.by(_.turn_idx))
+            st = st.copy(pending = held)
             ready.foreach(release)
             state.update(st)
             state.setTimeoutTimestamp(math.max(wm, maxTsMs) + horizonMs)

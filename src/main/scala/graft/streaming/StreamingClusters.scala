@@ -172,8 +172,11 @@ object StreamingClusters {
     * state, re-pointing mentions back to stale antecedents); the batch-id
     * guard below absorbs the one in-flight batch foreachBatch re-delivers
     * at-least-once. Exactly-once resume needs cadence 1 — with cadence n a
-    * crash can lose up to n-1 folds whose source offsets the engine already
-    * committed (their emissions will not be re-delivered). */
+    * crash strands up to n-1 folds whose source offsets the engine already
+    * committed (their emissions will not be re-delivered); the alignment
+    * guard detects any such divergence — including a loadState walk-back
+    * past folds the checkpoint considers done — and FAILS the query rather
+    * than resuming into silent data loss. */
   def maintain(spark: SparkSession, decoded: DataFrame,
       onBatch: State => Unit = _ => (),
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
@@ -185,12 +188,29 @@ object StreamingClusters {
     val w0 = decoded.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // replay guard: `batches` counts folds 1:1 with engine batch ids
-        // from 0, so a batch the resumed state has already folded (its
-        // TableIO commit landed but the offset commit did not) is skipped
-        // instead of double-folded
-        if (batchId >= ref.get().batches) {
-          val next = update(spark, ref.get(), batch)
+        val st = ref.get()
+        // fold-count / engine-batch-id alignment, enforced ONLY under a
+        // durable checkpoint (without one, batch ids restart at 0 every
+        // run, the invariant is meaningless, and skipping would silently
+        // drop new data — so the undurable path folds unconditionally):
+        //   batchId == batches     → the next batch: fold it
+        //   batchId == batches - 1 → the one in-flight batch foreachBatch
+        //     re-delivers at-least-once (its fold committed, its offset
+        //     commit did not): skip, don't double-fold
+        //   anything else → this state and this checkpoint do not belong
+        //     together (fresh checkpoint over an old state, loadState
+        //     walked back past folds whose offsets the engine already
+        //     committed, foreign tag …). Those emissions will never be
+        //     re-delivered; resuming would silently diverge — fail loudly.
+        val fold = checkpointLocation.isEmpty || batchId == st.batches
+        if (checkpointLocation.isDefined && (batchId < st.batches - 1 || batchId > st.batches))
+          throw new IllegalStateException(
+            s"maintain(): engine batch $batchId vs state fold count ${st.batches} — " +
+            "the checkpoint and the loaded state diverge (emissions between them " +
+            "are gone); restore a newer state commit or restart with a fresh " +
+            "checkpoint AND no initial state to refold from scratch")
+        if (fold) {
+          val next = update(spark, st, batch)
           ref.set(next)
           commitCadence.foreach { case (io, tag, n) =>
             if (n > 0 && next.batches % n == 0) commitState(io, next, tag)

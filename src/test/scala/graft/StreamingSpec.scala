@@ -349,6 +349,92 @@ class StreamingSpec extends SparkSuite {
       s"release order must follow turn order 2,4,5 regardless of the null ts, got $pairs")
   }
 
+  test("OUT-OF-ORDER: a batch of ONLY null-ts rows holds (no epoch-0 release)") {
+    val md = Files.createTempDirectory("graft-ooo-allnull").toString
+    val base = 1700000000000L
+    import spark.implicits._
+    def mrow(conv: String, id: String, turn: Int, ts: java.sql.Timestamp) =
+      ((conv, id, turn, 0, id.toLowerCase, id.toLowerCase, Seq(id), "PROPER",
+        false, "user", "unknown", "unknown", ts))
+    def wave(rows: Seq[(String, String, Int, Int, String, String, Seq[String],
+        String, Boolean, String, String, String, java.sql.Timestamp)]): Unit =
+      writeWave(rows.toDF("conv_id", "mention_id", "turn_idx", "start", "norm",
+        "head_key", "toks", "mtype", "closed_class", "role", "number", "gender", "ts"), md)
+    // wave 1: a LONE null-ts turn 4 — the batch max ts is 0, so a stamp of
+    // 0 would be <= every watermark and release instantly with m_seq 0,
+    // advancing the frontier to turn 4 and forcing the later turn 2 onto
+    // the late channel (the pre-fix behavior)
+    wave(Seq(mrow("cZ", "M4", 4, null)))
+    // wave 2: the genuinely earlier turn 2 arrives with a real event time
+    wave(Seq(mrow("cZ", "M2", 2, new java.sql.Timestamp(base + 60000))))
+    // wave 3: watermark passes everything buffered; a held turn 5 invokes cZ
+    wave(Seq(mrow("cOther", "M9", 0, new java.sql.Timestamp(base + 60000 + 600000 + 1000))))
+    wave(Seq(mrow("cZ", "M5", 5, new java.sql.Timestamp(base + 600000 + 2000))))
+    // flush: far-future row times cZ out
+    wave(Seq(mrow("cFlush", "MF", 0, new java.sql.Timestamp(base + 45L * 24 * 3600 * 1000))))
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema("conv_id STRING, mention_id STRING, turn_idx INT, start INT, norm STRING, " +
+        "head_key STRING, toks ARRAY<STRING>, mtype STRING, closed_class BOOLEAN, " +
+        "role STRING, number STRING, gender STRING, ts TIMESTAMP").parquet(md)
+    val q = StreamingAssembly.streamingBandPairsOrdered(spark, stream,
+      maxConvDist = 10, watermark = "10 minutes").toDF()
+      .writeStream.format("memory").queryName("stream_ooo_allnull")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(240000)
+    val outRows = spark.table("stream_ooo_allnull").filter(col("conv_id_a") === "cZ")
+    assert(outRows.filter(col("block_key") === "late").count() === 0L,
+      "turn 2 must NOT be forced late by an instantly-released null-ts turn 4")
+    val pairs = outRows.filter(col("block_key") === "conv")
+      .select("ant_id", "cur_id", "m_seq_a", "m_seq_c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(pairs === Set(("M2", "M4", 0, 1), ("M2", "M5", 0, 2), ("M4", "M5", 1, 2)),
+      s"release order must be 2,4,5 even when turn 4's batch had no event times, got $pairs")
+  }
+
+  test("maintain FAILS loudly when the loaded state diverges from the engine checkpoint") {
+    import graft.streaming.StreamingClusters
+    import graft.io.TableIO
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sclust-div").toString
+    val ckpt = Files.createTempDirectory("graft-sclust-divckpt").toString
+    val ioRoot = Files.createTempDirectory("graft-sclust-divio").toString
+    val io = new TableIO(ioRoot)
+    def addFile(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("cur_id", "ant_id", "score")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def stream = spark.readStream
+      .schema("cur_id STRING, ant_id STRING, score DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    addFile(Seq(("b", "a", 1.0)))
+    addFile(Seq(("c", "b", 1.0)))
+    val (q1, _) = StreamingClusters.maintain(spark, stream,
+      trigger = Some(Trigger.AvailableNow()),
+      commitCadence = Some((io, "div", 1)),
+      checkpointLocation = Some(ckpt))
+    q1.awaitTermination(180000)
+    // corrupt the NEWEST committed pair: loadState walks back to batch 1,
+    // but the engine checkpoint has batch 1's offsets committed — the folds
+    // between them are unrecoverable from the stream
+    import scala.jdk.CollectionConverters._
+    val snap = java.nio.file.Paths.get(ioRoot, "stream_clusters", "snap-1")
+    Files.delete(Files.list(snap).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get)
+    val loaded = StreamingClusters.loadState(spark, io, "div")
+    assert(loaded.isDefined && loaded.get.batches === 1L)
+    addFile(Seq(("e", "d", 1.0))) // new data → engine batch 2 vs state fold 1
+    val (q2, _) = StreamingClusters.maintain(spark, stream,
+      initial = loaded,
+      trigger = Some(Trigger.AvailableNow()),
+      commitCadence = Some((io, "div", 1)),
+      checkpointLocation = Some(ckpt))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(ex.getMessage.contains("diverge") ||
+      Option(ex.getCause).exists(_.getMessage.contains("diverge")),
+      s"divergent resume must fail with the alignment error, got: ${ex.getMessage}")
+  }
+
   test("OUT-OF-ORDER: ordered turn sequencer matches turn order on shuffled waves") {
     val transcripts = spark.read.parquet(dir).cache()
     val md = Files.createTempDirectory("graft-ooo-seq").toString
