@@ -95,15 +95,29 @@ object Eval {
   /** MUC (A10, `CorefEvaluator.scala:491-503`): link-based metric from the
     * pred×gold contingency table.
     * MUC-R = Σ_gold (|g| - p(g)) / Σ_gold (|g| - 1) where p(g) = #pred
-    * clusters intersecting g (singleton pred "clusters" count as partitions);
-    * precision is symmetric. */
+    * clusters intersecting g PLUS one partition per gold mention no pred
+    * cluster contains (twinless-as-singleton, CoNLL scorer v8); precision
+    * is symmetric over pred clusters with spurious mentions kept. */
   def muc(pred: DataFrame, gold: DataFrame): DataFrame = {
-    val joined = pred.join(gold, "mention_id") // (mention_id, cluster_id, entity_id)
-    val goldSide = joined.groupBy(col("entity_id"))
-      .agg(count(lit(1)).as("sz"), countDistinct(col("cluster_id")).as("parts"))
+    // FULL outer join (CoNLL scorer v8 twinless semantics): a gold cluster
+    // keeps its unrecalled mentions — each counts as its own partition — and
+    // a pred cluster keeps its spurious mentions symmetrically. An inner
+    // join shrank both sides to the aligned mentions, so a pred cluster
+    // padded with spurious mentions scored perfect precision.
+    val joined = pred.select(col("mention_id"), col("cluster_id"))
+      .join(gold.select(col("mention_id"), col("entity_id")),
+        Seq("mention_id"), "full_outer")
+    val goldSide = joined.filter(col("entity_id").isNotNull)
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("sz"),
+        (countDistinct(col("cluster_id")) +
+          count(when(col("cluster_id").isNull, 1))).as("parts"))
       .agg(sum(col("sz") - col("parts")).as("num_r"), sum(col("sz") - 1).as("den_r"))
-    val predSide = joined.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("sz"), countDistinct(col("entity_id")).as("parts"))
+    val predSide = joined.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"),
+        (countDistinct(col("entity_id")) +
+          count(when(col("entity_id").isNull, 1))).as("parts"))
       .agg(sum(col("sz") - col("parts")).as("num_p"), sum(col("sz") - 1).as("den_p"))
     goldSide.crossJoin(predSide)
       .withColumn("muc_recall", col("num_r").cast("double") / col("den_r"))
@@ -115,18 +129,25 @@ object Eval {
   /** B³ (A10): per-mention precision/recall averaged over mentions.
     * For mention m: p(m) = |C(m) ∩ G(m)| / |C(m)|, r(m) = |C(m) ∩ G(m)| / |G(m)|. */
   def bcub(pred: DataFrame, gold: DataFrame): DataFrame = {
-    val joined = pred.join(gold, "mention_id")
+    // Full sizes and full mention counts (CoNLL scorer v8 twinless
+    // semantics): cluster/entity sizes come from their OWN tables and the
+    // averages run over ALL pred mentions (precision) / ALL gold mentions
+    // (recall) — a twinless mention contributes 0 to the sum but still
+    // counts in the denominator. The old intersection-only shape let
+    // spurious and missed mentions vanish from both.
+    val joined = pred.join(gold, "mention_id") // overlaps exist only where aligned
     val cell = joined.groupBy(col("cluster_id"), col("entity_id"))
       .agg(count(lit(1)).as("ovl"))
-    val cSize = joined.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
-    val gSize = joined.groupBy(col("entity_id")).agg(count(lit(1)).as("gsz"))
-    val n = joined.count().toDouble
+    val cSize = pred.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    val gSize = gold.groupBy(col("entity_id")).agg(count(lit(1)).as("gsz"))
+    val nPred = pred.count().toDouble
+    val nGold = gold.count().toDouble
     cell.join(cSize, "cluster_id").join(gSize, "entity_id")
       .agg(
         sum(col("ovl") * col("ovl") / col("csz")).as("sum_p"),
         sum(col("ovl") * col("ovl") / col("gsz")).as("sum_r"))
-      .withColumn("bcub_precision", col("sum_p") / n)
-      .withColumn("bcub_recall", col("sum_r") / n)
+      .withColumn("bcub_precision", coalesce(col("sum_p"), lit(0.0)) / nPred)
+      .withColumn("bcub_recall", coalesce(col("sum_r"), lit(0.0)) / nGold)
       .withColumn("bcub_f1", lit(2.0) * col("bcub_precision") * col("bcub_recall") /
         (col("bcub_precision") + col("bcub_recall")))
   }

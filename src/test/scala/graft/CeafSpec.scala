@@ -89,6 +89,33 @@ class CeafSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("f1") - 0.4) < 1e-12)
   }
 
+  test("MUC and B³ penalize spurious and missed mentions (twinless semantics)") {
+    import spark.implicits._
+    // same misaligned fixture as the CEAFe case above:
+    //   pred K1 = {m1, m2, m3(spurious)}, K2 = {m4} all-spurious
+    //   gold R1 = {m1, m2}, R2 = {m5} entirely missed
+    def mid(i: Int) = f"conv#${0}%06d${i}%06d"
+    val pred = Seq(
+      (mid(1), "k1"), (mid(2), "k1"), (mid(3), "k1"),
+      (mid(4), "k2")).toDF("mention_id", "cluster_id")
+    val gold = Seq(
+      (mid(1), "r1"), (mid(2), "r1"),
+      (mid(5), "r2")).toDF("mention_id", "entity_id")
+    // MUC: R1 partitions = {K1} → recall 1/1; R2 has sz 1 (no links).
+    //   K1 partitions = {R1} + twinless m3 → (3-2)/(3-1) = 1/2; K2 sz 1.
+    //   Old inner-join code said precision 1.0 (m3/m4 vanished).
+    val m = Eval.muc(pred, gold).collect()(0)
+    assert(math.abs(m.getAs[Double]("muc_recall") - 1.0) < 1e-12)
+    assert(math.abs(m.getAs[Double]("muc_precision") - 0.5) < 1e-12)
+    assert(math.abs(m.getAs[Double]("muc_f1") - 2.0 / 3.0) < 1e-12)
+    // B³ v8: P = (2/3 + 2/3 + 0 + 0)/4 = 1/3; R = (1 + 1 + 0)/3 = 2/3.
+    //   Old code said P = R = 1.0.
+    val b = Eval.bcub(pred, gold).collect()(0)
+    assert(math.abs(b.getAs[Double]("bcub_precision") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(b.getAs[Double]("bcub_recall") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(b.getAs[Double]("bcub_f1") - 4.0 / 9.0) < 1e-12)
+  }
+
   test("CEAFe of a perfect clustering is exactly 1.0 across conversations") {
     import spark.implicits._
     def mid(c: String, i: Int) = f"$c#${0}%06d${i}%06d"

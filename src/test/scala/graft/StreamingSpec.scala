@@ -208,6 +208,18 @@ class StreamingSpec extends SparkSuite {
       "end-to-end streamed band scores must equal the batch band scores")
   }
 
+  /** Delete the LARGEST parquet part under a snapshot dir: tiny tables
+    * written at 32 shuffle partitions leave most parts empty, and deleting
+    * an empty part would not perturb the manifest row count the corruption
+    * tests need to violate. */
+  private def deleteLargestPart(snap: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val doomed = Files.list(snap).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .maxBy(Files.size)
+    Files.delete(doomed)
+  }
+
   /** Write `df` as one new file into `dir` with a strictly later mtime than
     * any file already there, so the file stream processes waves in write
     * order (FileStreamSource orders by modification time). */
@@ -415,10 +427,7 @@ class StreamingSpec extends SparkSuite {
     // corrupt the NEWEST committed pair: loadState walks back to batch 1,
     // but the engine checkpoint has batch 1's offsets committed — the folds
     // between them are unrecoverable from the stream
-    import scala.jdk.CollectionConverters._
-    val snap = java.nio.file.Paths.get(ioRoot, "stream_clusters", "snap-1")
-    Files.delete(Files.list(snap).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get)
+    deleteLargestPart(java.nio.file.Paths.get(ioRoot, "stream_clusters", "snap-1"))
     val loaded = StreamingClusters.loadState(spark, io, "div")
     assert(loaded.isDefined && loaded.get.batches === 1L)
     addFile(Seq(("e", "d", 1.0))) // new data → engine batch 2 vs state fold 1
@@ -695,11 +704,7 @@ class StreamingSpec extends SparkSuite {
     // lose a part file under the batch-4 clusters snapshot: row-count
     // verification must fail that pair and fall through to batch-2 —
     // not recompute from batch 0 (pre-fix: maxOption short-circuited to None)
-    import scala.jdk.CollectionConverters._
-    val clustersSnap = java.nio.file.Paths.get(ioRoot, "stream_clusters", "snap-1")
-    val doomed = Files.list(clustersSnap).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.delete(doomed)
+    deleteLargestPart(java.nio.file.Paths.get(ioRoot, "stream_clusters", "snap-1"))
 
     val loaded = StreamingClusters.loadState(spark, io, "t1")
     assert(loaded.isDefined && loaded.get.batches === 2L,
