@@ -42,6 +42,15 @@ import org.apache.spark.sql.functions._
   * adjacency (ant → arcs targeting it), so a mean-field iteration is
   * O(total arcs × states), not O(mentions × total arcs).
   *
+  * Round 5 also adds LOOPY SUM-PRODUCT BP ([[runConvBP]],
+  * `algorithm = "bp"` on [[infer]]/[[goldLogLik]]/[[trainCouplings]]) — the
+  * reference's actual inference algorithm (`bp/Node.scala:80-127`,
+  * `SimpleFactorGraph.scala:100-158`) over the same factor family; the
+  * mean-field kernel stays the production default (every existing gate
+  * pins it), and BP carries its own exactness gate: on tree-structured
+  * conversations its marginals equal brute-force enumeration to 1e-9
+  * (JointSpec), which mean-field provably cannot match.
+  *
   * Output: per mention, the joint antecedent argmax (or none), the type
   * posterior argmax with its probability, and the denotation argmax (MBR
   * decode per task).
@@ -258,6 +267,218 @@ object JointInference {
     ConvBeliefs(mentions, cands, pAnt, qType, qWiki, wTitles)
   }
 
+  /** Loopy sum-product BP kernel for ONE conversation — the reference's
+    * actual inference algorithm (`bp/Node.scala:80-127` message passes,
+    * `SimpleFactorGraph.scala:100-158`), where [[runConv]] is the mean-field
+    * approximation of the same fixed-point family. Factors are exactly the
+    * mean-field ones, now made explicit:
+    *
+    *  - per arc (c, j → a): a TYPE factor F(A_c, T_c, T_a) =
+    *    `exp(coref·[t_c = t_a])` when `A_c = j`, else 1;
+    *  - per arc where both ends carry titles: a WIKI factor
+    *    F'(A_c, W_c, W_a) = `exp(wiki·[w_c = w_a ≠ NIL])` when `A_c = j`;
+    *  - unaries: `exp(score)` / `exp(new_bias)` on A_c, the NER-boosted
+    *    prior on T_m, `softmax(dscore, NIL@wikiNil)` on W_m.
+    *
+    * Messages use CAVITY beliefs (belief divided by the receiving factor's
+    * own message) where mean-field uses full beliefs — that is the entire
+    * difference, and it buys exactness on tree-structured conversations
+    * (JointSpec pins BP == brute-force enumeration there; MF is provably
+    * approximate on the same fixture). Synchronous flooding schedule,
+    * fixed iteration count, no damping (conversation graphs are small).
+    * Messages of the form `1 + q·(e^κ − 1)·τ` are bounded below by
+    * `min(1, e^κ) > 0`, so the divisions are safe for any finite coupling. */
+  private def runConvBP(mentions: Array[MRow],
+      cands: Map[Int, Array[(Int, Double)]], cpl: Couplings,
+      iters: Int): ConvBeliefs = {
+    val k = Types.size
+    val n = mentions.length
+    val expC = math.exp(cpl.coref)
+    val expW = math.exp(cpl.wiki)
+    val wikiOn = cpl.wiki != 0.0
+    val otherIdx = Types.indexOf("OTHER")
+    def effPrior(i: Int): Array[Double] = Array.tabulate(k) { t =>
+      val boost = if (t == otherIdx) 1.0
+        else math.exp(cpl.ner * mentions(i).pEnt)
+      mentions(i).prior(t) * boost
+    }
+    val wTitles: Array[Array[String]] =
+      mentions.map(m => m.wopts.map(_._1).distinct.sorted)
+    val wIdx: Array[Map[String, Int]] = wTitles.map(_.zipWithIndex.toMap)
+    val wUnary: Array[Array[Double]] = Array.tabulate(n) { i =>
+      val ts = wTitles(i)
+      if (ts.isEmpty) Array.empty[Double]
+      else {
+        val best = mentions(i).wopts.groupBy(_._1)
+          .map { case (t, xs) => t -> xs.map(_._2).max }
+        val raw = ts.map(best) :+ cpl.wikiNil
+        val mx = raw.max
+        val e = raw.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
+      }
+    }
+
+    // flat arc/factor table: arc f is (cur(f), j-within-cur, ant(f))
+    val curArr = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val jArr = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val antArr = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val arcW = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val arcOf = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    cands.toSeq.sortBy(_._1).foreach { case (c, as) =>
+      as.indices.foreach { j =>
+        arcOf((c, j)) = curArr.length
+        curArr += c; jArr += j; antArr += as(j)._1; arcW += math.exp(as(j)._2)
+      }
+    }
+    val nArcs = curArr.length
+    // reverse adjacency: factor indices with ant == m (one pass; the
+    // belief recomputes below stay O(arcs × states) per iteration)
+    val arcsByAnt: Array[Array[Int]] = {
+      val buf = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var f = 0
+      while (f < nArcs) { buf(antArr(f)) += f; f += 1 }
+      buf.map(_.toArray)
+    }
+    // messages: type factor → (A ratio at x=j, T_cur vector, T_ant vector);
+    // wiki factor → same shape over the REAL titles (NIL message is 1)
+    val rT = Array.fill(nArcs)(1.0)
+    val mTc = Array.fill(nArcs)(Array.fill(k)(1.0))
+    val mTa = Array.fill(nArcs)(Array.fill(k)(1.0))
+    val hasWikiF = Array.tabulate(nArcs)(f =>
+      wikiOn && wTitles(curArr(f)).nonEmpty && wTitles(antArr(f)).nonEmpty)
+    val rW = Array.fill(nArcs)(1.0)
+    val mWc = Array.tabulate(nArcs)(f =>
+      if (hasWikiF(f)) Array.fill(wTitles(curArr(f)).length)(1.0) else Array.empty[Double])
+    val mWa = Array.tabulate(nArcs)(f =>
+      if (hasWikiF(f)) Array.fill(wTitles(antArr(f)).length)(1.0) else Array.empty[Double])
+
+    // beliefs (recomputed from unaries × messages each round, log space)
+    def beliefA(c: Int): Array[Double] = { // over arcs of c + implicit new at end
+      val as = cands(c)
+      val b = Array.tabulate(as.length) { j =>
+        val f = arcOf((c, j))
+        arcW(f) * rT(f) * (if (hasWikiF(f)) rW(f) else 1.0)
+      } :+ math.exp(mentions(c).newBias)
+      val z = b.sum; b.map(_ / z)
+    }
+    def beliefT(m: Int): Array[Double] = {
+      val eff = effPrior(m)
+      val logq = Array.tabulate(k)(t => math.log(math.max(eff(t), 1e-300)))
+      cands.get(m).foreach(as => as.indices.foreach { j =>
+        val f = arcOf((m, j)); var t = 0
+        while (t < k) { logq(t) += math.log(mTc(f)(t)); t += 1 }
+      })
+      arcsByAnt(m).foreach { f =>
+        var t = 0
+        while (t < k) { logq(t) += math.log(mTa(f)(t)); t += 1 }
+      }
+      val mx = logq.max
+      val e = logq.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
+    }
+    def beliefW(m: Int): Array[Double] = {
+      val ts = wTitles(m)
+      if (ts.isEmpty) Array.empty[Double]
+      else {
+        val logq = Array.tabulate(ts.length + 1)(
+          t => math.log(math.max(wUnary(m)(t), 1e-300)))
+        cands.get(m).foreach(as => as.indices.foreach { j =>
+          val f = arcOf((m, j))
+          if (hasWikiF(f)) {
+            var t = 0
+            while (t < ts.length) { logq(t) += math.log(mWc(f)(t)); t += 1 }
+          }
+        })
+        arcsByAnt(m).foreach { f =>
+          if (hasWikiF(f)) {
+            var t = 0
+            while (t < ts.length) { logq(t) += math.log(mWa(f)(t)); t += 1 }
+          }
+        }
+        val mx = logq.max
+        val e = logq.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
+      }
+    }
+    // cavity of variable X w.r.t. message vector m: belief/m, renormalized
+    def cavity(b: Array[Double], m: Array[Double]): Array[Double] = {
+      val c = Array.tabulate(b.length)(t => b(t) / m(t))
+      val z = c.sum; c.map(_ / z)
+    }
+    // cavity probability of A_c = j for a factor whose A-message is ratio r
+    def cavityAj(bA: Array[Double], j: Int, r: Double): Double = {
+      val pj = bA(j) / r
+      pj / (pj + (bA.sum - bA(j)))
+    }
+
+    var it = 0
+    while (it < iters) {
+      val bA: Map[Int, Array[Double]] = cands.keysIterator.map(c => c -> beliefA(c)).toMap
+      val bT: Array[Array[Double]] = Array.tabulate(n)(beliefT)
+      val bW: Array[Array[Double]] = Array.tabulate(n)(beliefW)
+      var f = 0
+      while (f < nArcs) {
+        val c = curArr(f); val j = jArr(f); val a = antArr(f)
+        // type factor
+        val tauC = cavity(bT(c), mTc(f))
+        val tauA = cavity(bT(a), mTa(f))
+        val qj = cavityAj(bA(c), j, rT(f))
+        var dot = 0.0
+        var t = 0
+        while (t < k) { dot += tauC(t) * tauA(t); t += 1 }
+        rT(f) = 1.0 + (expC - 1.0) * dot
+        mTc(f) = Array.tabulate(k)(t => 1.0 + qj * (expC - 1.0) * tauA(t))
+        mTa(f) = Array.tabulate(k)(t => 1.0 + qj * (expC - 1.0) * tauC(t))
+        if (hasWikiF(f)) {
+          val tc = wTitles(c); val ta = wTitles(a)
+          // cavity over titles + NIL (message over titles, NIL's message 1)
+          val tauWc = cavity(bW(c), mWc(f) :+ 1.0)
+          val tauWa = cavity(bW(a), mWa(f) :+ 1.0)
+          val qjW = cavityAj(bA(c), j, rW(f))
+          var s = 0.0
+          var i = 0
+          while (i < tc.length) {
+            val ja = wIdx(a).getOrElse(tc(i), -1)
+            if (ja >= 0) s += tauWc(i) * tauWa(ja)
+            i += 1
+          }
+          rW(f) = 1.0 + (expW - 1.0) * s
+          mWc(f) = Array.tabulate(tc.length) { i =>
+            val ja = wIdx(a).getOrElse(tc(i), -1)
+            1.0 + qjW * (expW - 1.0) * (if (ja >= 0) tauWa(ja) else 0.0)
+          }
+          mWa(f) = Array.tabulate(ta.length) { i =>
+            val jc = wIdx(c).getOrElse(ta(i), -1)
+            1.0 + qjW * (expW - 1.0) * (if (jc >= 0) tauWc(jc) else 0.0)
+          }
+        }
+        f += 1
+      }
+      it += 1
+    }
+
+    // final beliefs in the ConvBeliefs contract: pAnt excludes the implicit
+    // new-entity slot (its mass is 1 - sum, as in the mean-field kernel)
+    val pAnt = scala.collection.mutable.Map.empty[Int, Array[Double]]
+    cands.keysIterator.foreach { c =>
+      val b = beliefA(c)
+      pAnt(c) = b.take(b.length - 1)
+    }
+    val qType = Array.tabulate(n)(beliefT)
+    val qWiki = Array.tabulate(n)(m =>
+      if (wTitles(m).isEmpty) wUnary(m).clone() else beliefW(m))
+    ConvBeliefs(mentions, cands, pAnt, qType, qWiki, wTitles)
+  }
+
+  /** Dispatch on the inference algorithm: `"meanfield"` (the default — the
+    * production path every oracle row and spec pins) or `"bp"` (loopy
+    * sum-product, [[runConvBP]]). */
+  private def runConvAlg(algorithm: String)(mentions: Array[MRow],
+      cands: Map[Int, Array[(Int, Double)]], cpl: Couplings,
+      iters: Int): ConvBeliefs = algorithm match {
+    case "meanfield" => runConv(mentions, cands, cpl, iters)
+    case "bp" => runConvBP(mentions, cands, cpl, iters)
+    case other => throw new IllegalArgumentException(
+      s"unknown joint inference algorithm '$other' (meanfield | bp)")
+  }
+
   /** Assemble the per-conversation grouped Dataset the kernel consumes.
     * Gold columns (nullable) ride along when provided so the objective can
     * be computed inside the same kernel pass. */
@@ -361,7 +582,7 @@ object JointInference {
       coupling: Double = 1.0, iters: Int = 10,
       evidence: Option[DataFrame] = None, nerCoupling: Double = 0.0,
       wikiScores: Option[DataFrame] = None, wikiCoupling: Double = 0.0,
-      wikiNilScore: Double = 0.0): DataFrame = {
+      wikiNilScore: Double = 0.0, algorithm: String = "meanfield"): DataFrame = {
     import spark.implicits._
     val cpl = Couplings(coupling, nerCoupling, wikiCoupling, wikiNilScore)
     val (ments, pairs) = groupedInputs(spark, mentionPriors, scored,
@@ -371,7 +592,7 @@ object JointInference {
       (conv, ms, ps) =>
         val mentions = toRows(ms)
         val cands = toCands(mentions, ps)
-        val b = runConv(mentions, cands, cpl, iters)
+        val b = runConvAlg(algorithm)(mentions, cands, cpl, iters)
         mentions.indices.iterator.map { m =>
           val (antId, pA) = b.cands.get(m) match {
             case Some(as) if as.nonEmpty =>
@@ -424,7 +645,8 @@ object JointInference {
   def goldLogLik(spark: SparkSession, mentionPriors: DataFrame,
       scored: DataFrame, gold: DataFrame, cpl: Couplings, iters: Int = 10,
       evidence: Option[DataFrame] = None,
-      wikiScores: Option[DataFrame] = None): Double = {
+      wikiScores: Option[DataFrame] = None,
+      algorithm: String = "meanfield"): Double = {
     import spark.implicits._
     val (ments, pairs) = groupedInputs(spark, mentionPriors, scored,
       evidence, wikiScores, Some(gold))
@@ -434,7 +656,7 @@ object JointInference {
         val mentions = toRows(ms)
         val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
         val cands = toCands(mentions, ps)
-        val b = runConv(mentions, cands, cpl, iters)
+        val b = runConvAlg(algorithm)(mentions, cands, cpl, iters)
         var ll = 0.0
         mentions.indices.foreach { m =>
           val mr = mentions(m)
@@ -488,7 +710,8 @@ object JointInference {
       h: Double = 0.05, iters: Int = 6, init: Couplings = Couplings(0, 0, 0, 0),
       evidence: Option[DataFrame] = None,
       wikiScores: Option[DataFrame] = None,
-      trainWiki: Boolean = true): (Couplings, Seq[(Int, Double)]) = {
+      trainWiki: Boolean = true,
+      algorithm: String = "meanfield"): (Couplings, Seq[(Int, Double)]) = {
     // pin ALL the inputs (including the optional evidence/wiki tables):
     // every objective evaluation re-runs the kernel only, never the inputs'
     // upstream plans — with 4 dims and 8 epochs the objective runs
@@ -503,7 +726,7 @@ object JointInference {
     val ev = evidence.map(_.localCheckpoint(true))
     val ws = wikiScores.map(_.localCheckpoint(true))
     def obj(c: Array[Double]): Double = goldLogLik(spark, mp, sc, g,
-      Couplings(c(0), c(1), c(2), c(3)), iters, ev, ws)
+      Couplings(c(0), c(1), c(2), c(3)), iters, ev, ws, algorithm)
     try {
       val dims = if (trainWiki && wikiScores.nonEmpty) 4
         else if (evidence.nonEmpty) 2 else 1

@@ -217,6 +217,112 @@ class JointSpec extends SparkSuite {
     assert(c === JointInference.Couplings(0, 0, 0, 0))
   }
 
+  // ---- loopy sum-product BP (the reference's actual inference; the
+  // ---- mean-field kernel is its approximation) ---------------------------
+
+  test("BP is EXACT on a tree-structured conversation (brute-force enumeration)") {
+    // chain w0 <- w1 <- w2: factors F(A1,T1,T0), F(A2,T2,T1) and (wiki part)
+    // F'(A2,W2,W1) — acyclic, so sum-product marginals equal the true ones.
+    val p0 = Array(0.7, 0.2, 0.1)
+    val p1 = Array(0.3, 0.4, 0.3)
+    val p2 = Array(0.2, 0.3, 0.5)
+    val (s1, s2) = (0.4, 0.7)
+    val kap = 1.3; val kapW = 0.9; val nil = 0.1
+    val priors = Seq(("c", "w0", p0.toSeq), ("c", "w1", p1.toSeq), ("c", "w2", p2.toSeq))
+      .toDF("conv_id", "mention_id", "prior")
+    val sc = Seq(("w0", "w1", s1), ("w1", "w2", s2)).toDF("ant_id", "cur_id", "score")
+    // wiki grids: w1 = {T_A}, w2 = {T_A, T_B}; w0 none (no wiki factor on arc 1)
+    val grid = Seq(("w1", "T_A", 0.5), ("w2", "T_A", 0.8), ("w2", "T_B", 0.2))
+      .toDF("mention_id", "title", "dscore")
+    def softmax(raw: Seq[Double]): Array[Double] = {
+      val mx = raw.max; val e = raw.map(v => math.exp(v - mx)); val z = e.sum
+      e.map(_ / z).toArray
+    }
+    val u1 = softmax(Seq(0.5, nil))      // w1 domain: T_A, NIL
+    val u2 = softmax(Seq(0.8, 0.2, nil)) // w2 domain: T_A, T_B, NIL
+
+    // brute force: a1, a2 in {0 = arc, 1 = new}; t* in 0..2;
+    // v1 in {0 = T_A, 1 = NIL}; v2 in {0 = T_A, 1 = T_B, 2 = NIL}
+    var z = 0.0
+    val mA1 = Array.fill(2)(0.0); val mA2 = Array.fill(2)(0.0)
+    val mT = Array.fill(3, 3)(0.0)
+    val mW2 = Array.fill(3)(0.0)
+    for (a1 <- 0 to 1; a2 <- 0 to 1; t0 <- 0 to 2; t1 <- 0 to 2; t2 <- 0 to 2;
+         v1 <- 0 to 1; v2 <- 0 to 2) {
+      var w = p0(t0) * p1(t1) * p2(t2) * u1(v1) * u2(v2)
+      if (a1 == 0) { w *= math.exp(s1); if (t1 == t0) w *= math.exp(kap) }
+      if (a2 == 0) {
+        w *= math.exp(s2); if (t2 == t1) w *= math.exp(kap)
+        if (v1 == 0 && v2 == 0) w *= math.exp(kapW) // shared REAL title T_A
+      }
+      z += w; mA1(a1) += w; mA2(a2) += w
+      mT(0)(t0) += w; mT(1)(t1) += w; mT(2)(t2) += w
+      mW2(v2) += w
+    }
+    val exact = (mA1.map(_ / z), mA2.map(_ / z),
+      mT.map(_.map(_ / z)), mW2.map(_ / z))
+
+    val out = JointInference.infer(spark, priors, sc, coupling = kap,
+      iters = 30, wikiScores = Some(grid), wikiCoupling = kapW,
+      wikiNilScore = nil, algorithm = "bp")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getDouble(2), r.getString(3), r.getDouble(4),
+          Option(r.getString(5)), r.getDouble(6))).toMap
+
+    // antecedent marginals (arcs dominate by construction)
+    assert(exact._1(0) > 0.5 && exact._2(0) > 0.5, "fixture sanity: arcs win")
+    assert(out("w1")._1 === Some("w0"))
+    assert(math.abs(out("w1")._2 - exact._1(0)) < 1e-9,
+      s"P(A1=arc): bp=${out("w1")._2} exact=${exact._1(0)}")
+    assert(out("w2")._1 === Some("w1"))
+    assert(math.abs(out("w2")._2 - exact._2(0)) < 1e-9,
+      s"P(A2=arc): bp=${out("w2")._2} exact=${exact._2(0)}")
+    // type marginals: argmax + probability per mention
+    Seq("w0", "w1", "w2").zipWithIndex.foreach { case (id, i) =>
+      val ex = exact._3(i)
+      val bt = ex.indices.maxBy(t => (ex(t), -t))
+      assert(out(id)._3 === JointInference.Types(bt), s"type argmax of $id")
+      assert(math.abs(out(id)._4 - ex(bt)) < 1e-9,
+        s"P(T_$id): bp=${out(id)._4} exact=${ex(bt)}")
+    }
+    // denotation marginal of w2
+    val exW = exact._4
+    assert(exW(0) > exW(1) && exW(0) > exW(2), "fixture sanity: T_A wins")
+    assert(out("w2")._5 === Some("T_A"))
+    assert(math.abs(out("w2")._6 - exW(0)) < 1e-9,
+      s"P(W2=T_A): bp=${out("w2")._6} exact=${exW(0)}")
+
+    // the mean-field kernel is APPROXIMATE on the same tree — BP's
+    // exactness is a real fidelity upgrade, not a relabeling
+    val mf = JointInference.infer(spark, priors, sc, coupling = kap,
+      iters = 30, wikiScores = Some(grid), wikiCoupling = kapW,
+      wikiNilScore = nil).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(mf("w2") - exact._2(0)) > 1e-6,
+      "mean-field should differ measurably from the exact marginal here")
+  }
+
+  test("BP with zero couplings is a bit-exact no-op, and flips the same tie MF flips") {
+    // zero couplings: every factor is constant 1, so BP beliefs are exactly
+    // the unaries — identical to the mean-field zero-coupling result
+    val mfZero = JointInference.infer(spark, priors, scored, coupling = 0.0, iters = 4)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getDouble(2),
+        r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val bpZero = JointInference.infer(spark, priors, scored, coupling = 0.0, iters = 4,
+      algorithm = "bp")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getDouble(2),
+        r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(bpZero === mfZero)
+    // the m3 tie the type-agreement coupling resolves under MF resolves the
+    // same way under BP (same factor family, same fixed-point direction)
+    val bp = JointInference.infer(spark, priors, scored, coupling = 1.5,
+      iters = 10, algorithm = "bp")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(bp("m2") === Some("m0"))
+    assert(bp("m3") === Some("m1"),
+      "type agreement must rescue m3 from the id tie-break under BP too")
+  }
+
   test("typePriors derive from surface sem-class") {
     val m = Seq(("x", "c", "Customer#000000007"), ("y", "c", "the vendor"))
       .toDF("mention_id", "conv_id", "surface")
