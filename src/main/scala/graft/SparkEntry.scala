@@ -103,6 +103,7 @@ object SparkEntry {
     "p11_sparse_surface" -> (Queries.p11SparseSurface _),
     "p11b_sparse_fast" -> (Queries.p11bSparseSurfaceFast _),
     "a2_backptrs" -> (Queries.backptrsQ _),
+    "g3_joint_decode" -> (Queries.g3JointDecode _),
     "a1_marginals" -> (Queries.a1Marginals _),
     "b2_pruned_pairs" -> (Queries.b2Pruned _),
     "a9_slices" -> (Queries.a9Slices _),

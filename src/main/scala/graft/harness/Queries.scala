@@ -148,6 +148,21 @@ object Queries {
     Decode.marginals(pipeline(spark, sfDir).scored)
       .select(col("cur_id"), col("ant_id"), round(col("marginal"), 6).as("marginal_r"))
 
+  /** G3 on the driver surface (rows-only check: per-conversation joint
+    * factor-graph inference has no SQL closed form — its correctness gates
+    * are JointSpec's brute-force enumeration and the zero-coupling no-op):
+    * loopy-BP joint decode over the pipeline's scored arcs with
+    * surface-derived type priors. */
+  def g3JointDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = pipeline(spark, sfDir)
+    graft.joint.JointInference.infer(spark,
+      graft.joint.JointInference.typePriors(r.mentions),
+      r.scored.select(col("ant_id"), col("cur_id"), col("score")),
+      coupling = 1.0, iters = 6, algorithm = "bp")
+      .select(col("mention_id"), col("ant_id"), col("type"),
+        round(col("p_type"), 6).as("p_type_r"))
+  }
+
   /** B2: coarse-to-fine pruning — candidates within logThreshold of the
     * per-mention best. */
   def b2Pruned(spark: SparkSession, sfDir: String): DataFrame =
