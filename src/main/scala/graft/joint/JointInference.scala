@@ -90,6 +90,42 @@ object JointInference {
       qWiki: Array[Array[Double]],
       wTitles: Array[Array[String]])
 
+  /** Variable domains + unaries shared by BOTH kernels — one definition, so
+    * the "same factor family" contract between mean-field and BP (and the
+    * zero-coupling bit-exact spec) cannot drift: the NER-boosted type
+    * unaries `prior(t)·exp(ner·p_ent·[t ≠ OTHER])`, the sorted-distinct
+    * denotation domains, and the `softmax(best dscore per title, NIL @
+    * wikiNil)` denotation unaries. */
+  private case class ConvDomains(effPrior: Array[Array[Double]],
+      wTitles: Array[Array[String]], wIdx: Array[Map[String, Int]],
+      wUnary: Array[Array[Double]])
+
+  private def convDomains(mentions: Array[MRow], cpl: Couplings): ConvDomains = {
+    val k = Types.size
+    val n = mentions.length
+    val otherIdx = Types.indexOf("OTHER")
+    val eff = Array.tabulate(n) { i =>
+      val boost = math.exp(cpl.ner * mentions(i).pEnt)
+      Array.tabulate(k)(t =>
+        mentions(i).prior(t) * (if (t == otherIdx) 1.0 else boost))
+    }
+    val wTitles: Array[Array[String]] =
+      mentions.map(m => m.wopts.map(_._1).distinct.sorted)
+    val wIdx: Array[Map[String, Int]] = wTitles.map(_.zipWithIndex.toMap)
+    val wUnary: Array[Array[Double]] = Array.tabulate(n) { i =>
+      val ts = wTitles(i)
+      if (ts.isEmpty) Array.empty[Double]
+      else {
+        val best = mentions(i).wopts.groupBy(_._1)
+          .map { case (t, xs) => t -> xs.map(_._2).max }
+        val raw = ts.map(best) :+ cpl.wikiNil
+        val mx = raw.max
+        val e = raw.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
+      }
+    }
+    ConvDomains(eff, wTitles, wIdx, wUnary)
+  }
+
   /** The mean-field kernel for ONE conversation — pure function of the
     * mention rows, candidate arcs, and couplings; runs inside the cogroup on
     * executors. Message passes in both directions use `revAdj` (ant → arcs
@@ -100,14 +136,10 @@ object JointInference {
     val k = Types.size
     val n = mentions.length
     val expC = math.exp(cpl.coref)
-    // NER-agreement unary folded into an effective prior:
-    // eff(t) = prior(t) · exp(nerCoupling · p_entity · [t ≠ OTHER])
-    val otherIdx = Types.indexOf("OTHER")
-    def effPrior(i: Int): Array[Double] = Array.tabulate(k) { t =>
-      val boost = if (t == otherIdx) 1.0
-        else math.exp(cpl.ner * mentions(i).pEnt)
-      mentions(i).prior(t) * boost
-    }
+    // NER-boosted type unaries + denotation domains/unaries (shared
+    // definition with the BP kernel — see [[convDomains]])
+    val dom = convDomains(mentions, cpl)
+    def effPrior(i: Int): Array[Double] = dom.effPrior(i)
 
     // reverse adjacency: for each mention m, the arcs (c, j) with
     // cands(c)(j) targeting m — computed ONCE (round-4 advice: the old
@@ -130,21 +162,9 @@ object JointInference {
     // per mention; implicit NIL at index titles.length
     val expW = math.exp(cpl.wiki)
     val wikiOn = cpl.wiki != 0.0
-    val wTitles: Array[Array[String]] =
-      mentions.map(m => m.wopts.map(_._1).distinct.sorted)
-    val wIdx: Array[Map[String, Int]] = wTitles.map(_.zipWithIndex.toMap)
-    val wUnary: Array[Array[Double]] = Array.tabulate(n) { i =>
-      val ts = wTitles(i)
-      if (ts.isEmpty) Array.empty[Double]
-      else {
-        // best dscore per title (the grid may carry several queries)
-        val best = mentions(i).wopts.groupBy(_._1)
-          .map { case (t, xs) => t -> xs.map(_._2).max }
-        val raw = ts.map(best) :+ cpl.wikiNil
-        val mx = raw.max
-        val e = raw.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
-      }
-    }
+    val wTitles = dom.wTitles
+    val wIdx = dom.wIdx
+    val wUnary = dom.wUnary
 
     // beliefs
     val qType = Array.tabulate(n) { i =>
@@ -296,38 +316,30 @@ object JointInference {
     val expC = math.exp(cpl.coref)
     val expW = math.exp(cpl.wiki)
     val wikiOn = cpl.wiki != 0.0
-    val otherIdx = Types.indexOf("OTHER")
-    def effPrior(i: Int): Array[Double] = Array.tabulate(k) { t =>
-      val boost = if (t == otherIdx) 1.0
-        else math.exp(cpl.ner * mentions(i).pEnt)
-      mentions(i).prior(t) * boost
-    }
-    val wTitles: Array[Array[String]] =
-      mentions.map(m => m.wopts.map(_._1).distinct.sorted)
-    val wIdx: Array[Map[String, Int]] = wTitles.map(_.zipWithIndex.toMap)
-    val wUnary: Array[Array[Double]] = Array.tabulate(n) { i =>
-      val ts = wTitles(i)
-      if (ts.isEmpty) Array.empty[Double]
-      else {
-        val best = mentions(i).wopts.groupBy(_._1)
-          .map { case (t, xs) => t -> xs.map(_._2).max }
-        val raw = ts.map(best) :+ cpl.wikiNil
-        val mx = raw.max
-        val e = raw.map(v => math.exp(v - mx)); val z = e.sum; e.map(_ / z)
-      }
-    }
+    // shared domains/unaries — ONE definition with the mean-field kernel
+    val dom = convDomains(mentions, cpl)
+    def effPrior(i: Int): Array[Double] = dom.effPrior(i)
+    val wTitles = dom.wTitles
+    val wIdx = dom.wIdx
+    val wUnary = dom.wUnary
 
-    // flat arc/factor table: arc f is (cur(f), j-within-cur, ant(f))
+    // flat arc/factor table: arc f is (cur(f), j-within-cur, ant(f));
+    // arcsByCur(m)(j) = f — array indexing in the hot loops, no tuple-keyed
+    // hash lookups
     val curArr = scala.collection.mutable.ArrayBuffer.empty[Int]
     val jArr = scala.collection.mutable.ArrayBuffer.empty[Int]
     val antArr = scala.collection.mutable.ArrayBuffer.empty[Int]
     val arcW = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val arcOf = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    val arcsByCur: Array[Array[Int]] = Array.fill(n)(Array.empty[Int])
     cands.toSeq.sortBy(_._1).foreach { case (c, as) =>
-      as.indices.foreach { j =>
-        arcOf((c, j)) = curArr.length
+      val fs = new Array[Int](as.length)
+      var j = 0
+      while (j < as.length) {
+        fs(j) = curArr.length
         curArr += c; jArr += j; antArr += as(j)._1; arcW += math.exp(as(j)._2)
+        j += 1
       }
+      arcsByCur(c) = fs
     }
     val nArcs = curArr.length
     // reverse adjacency: factor indices with ant == m (one pass; the
@@ -351,11 +363,13 @@ object JointInference {
     val mWa = Array.tabulate(nArcs)(f =>
       if (hasWikiF(f)) Array.fill(wTitles(antArr(f)).length)(1.0) else Array.empty[Double])
 
+    val anyWiki = hasWikiF.exists(identity)
+
     // beliefs (recomputed from unaries × messages each round, log space)
     def beliefA(c: Int): Array[Double] = { // over arcs of c + implicit new at end
-      val as = cands(c)
-      val b = Array.tabulate(as.length) { j =>
-        val f = arcOf((c, j))
+      val fs = arcsByCur(c)
+      val b = Array.tabulate(fs.length) { j =>
+        val f = fs(j)
         arcW(f) * rT(f) * (if (hasWikiF(f)) rW(f) else 1.0)
       } :+ math.exp(mentions(c).newBias)
       val z = b.sum; b.map(_ / z)
@@ -363,10 +377,10 @@ object JointInference {
     def beliefT(m: Int): Array[Double] = {
       val eff = effPrior(m)
       val logq = Array.tabulate(k)(t => math.log(math.max(eff(t), 1e-300)))
-      cands.get(m).foreach(as => as.indices.foreach { j =>
-        val f = arcOf((m, j)); var t = 0
+      arcsByCur(m).foreach { f =>
+        var t = 0
         while (t < k) { logq(t) += math.log(mTc(f)(t)); t += 1 }
-      })
+      }
       arcsByAnt(m).foreach { f =>
         var t = 0
         while (t < k) { logq(t) += math.log(mTa(f)(t)); t += 1 }
@@ -380,13 +394,12 @@ object JointInference {
       else {
         val logq = Array.tabulate(ts.length + 1)(
           t => math.log(math.max(wUnary(m)(t), 1e-300)))
-        cands.get(m).foreach(as => as.indices.foreach { j =>
-          val f = arcOf((m, j))
+        arcsByCur(m).foreach { f =>
           if (hasWikiF(f)) {
             var t = 0
             while (t < ts.length) { logq(t) += math.log(mWc(f)(t)); t += 1 }
           }
-        })
+        }
         arcsByAnt(m).foreach { f =>
           if (hasWikiF(f)) {
             var t = 0
@@ -410,9 +423,13 @@ object JointInference {
 
     var it = 0
     while (it < iters) {
-      val bA: Map[Int, Array[Double]] = cands.keysIterator.map(c => c -> beliefA(c)).toMap
+      val bA: Array[Array[Double]] = Array.tabulate(n)(c =>
+        if (arcsByCur(c).nonEmpty) beliefA(c) else null)
       val bT: Array[Array[Double]] = Array.tabulate(n)(beliefT)
-      val bW: Array[Array[Double]] = Array.tabulate(n)(beliefW)
+      // skip the W belief snapshot entirely when no arc carries a wiki
+      // factor (e.g. wiki coupling 0 during training's central differences)
+      val bW: Array[Array[Double]] =
+        if (anyWiki) Array.tabulate(n)(beliefW) else null
       var f = 0
       while (f < nArcs) {
         val c = curArr(f); val j = jArr(f); val a = antArr(f)
@@ -467,17 +484,19 @@ object JointInference {
     ConvBeliefs(mentions, cands, pAnt, qType, qWiki, wTitles)
   }
 
-  /** Dispatch on the inference algorithm: `"meanfield"` (the default — the
-    * production path every oracle row and spec pins) or `"bp"` (loopy
-    * sum-product, [[runConvBP]]). */
-  private def runConvAlg(algorithm: String)(mentions: Array[MRow],
-      cands: Map[Int, Array[(Int, Double)]], cpl: Couplings,
-      iters: Int): ConvBeliefs = algorithm match {
-    case "meanfield" => runConv(mentions, cands, cpl, iters)
-    case "bp" => runConvBP(mentions, cands, cpl, iters)
-    case other => throw new IllegalArgumentException(
-      s"unknown joint inference algorithm '$other' (meanfield | bp)")
-  }
+  /** Resolve the inference kernel ON THE DRIVER — an unknown algorithm
+    * string fails fast with a clear message before any job launches,
+    * instead of as repeated task-level exceptions inside the cogroup.
+    * `"meanfield"` is the default (the production path every oracle row
+    * and spec pins); `"bp"` is loopy sum-product ([[runConvBP]]). */
+  private def kernelFor(algorithm: String): (Array[MRow],
+      Map[Int, Array[(Int, Double)]], Couplings, Int) => ConvBeliefs =
+    algorithm match {
+      case "meanfield" => runConv
+      case "bp" => runConvBP
+      case other => throw new IllegalArgumentException(
+        s"unknown joint inference algorithm '$other' (meanfield | bp)")
+    }
 
   /** Assemble the per-conversation grouped Dataset the kernel consumes.
     * Gold columns (nullable) ride along when provided so the objective can
@@ -588,11 +607,12 @@ object JointInference {
     val (ments, pairs) = groupedInputs(spark, mentionPriors, scored,
       evidence, wikiScores, None)
     val k = Types.size
+    val kernel = kernelFor(algorithm) // fail fast on the driver
     val grouped = ments.groupByKey(_._1).cogroup(pairs.groupByKey(_._1)) {
       (conv, ms, ps) =>
         val mentions = toRows(ms)
         val cands = toCands(mentions, ps)
-        val b = runConvAlg(algorithm)(mentions, cands, cpl, iters)
+        val b = kernel(mentions, cands, cpl, iters)
         mentions.indices.iterator.map { m =>
           val (antId, pA) = b.cands.get(m) match {
             case Some(as) if as.nonEmpty =>
@@ -651,12 +671,13 @@ object JointInference {
     val (ments, pairs) = groupedInputs(spark, mentionPriors, scored,
       evidence, wikiScores, Some(gold))
     val eps = 1e-12
+    val kernel = kernelFor(algorithm) // fail fast on the driver
     val perConv = ments.groupByKey(_._1).cogroup(pairs.groupByKey(_._1)) {
       (conv, ms, ps) =>
         val mentions = toRows(ms)
         val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
         val cands = toCands(mentions, ps)
-        val b = runConvAlg(algorithm)(mentions, cands, cpl, iters)
+        val b = kernel(mentions, cands, cpl, iters)
         var ll = 0.0
         mentions.indices.foreach { m =>
           val mr = mentions(m)

@@ -122,8 +122,11 @@ object Eval {
     goldSide.crossJoin(predSide)
       .withColumn("muc_recall", col("num_r").cast("double") / col("den_r"))
       .withColumn("muc_precision", col("num_p").cast("double") / col("den_p"))
-      .withColumn("muc_f1", lit(2.0) * col("muc_precision") * col("muc_recall") /
-        (col("muc_precision") + col("muc_recall")))
+      .withColumn("muc_f1",
+        when(col("muc_precision") + col("muc_recall") > 0.0,
+          lit(2.0) * col("muc_precision") * col("muc_recall") /
+            (col("muc_precision") + col("muc_recall")))
+          .otherwise(lit(0.0))) // P = R = 0 (fully misaligned) → F1 0, not NaN
   }
 
   /** B³ (A10): per-mention precision/recall averaged over mentions.
@@ -148,8 +151,11 @@ object Eval {
         sum(col("ovl") * col("ovl") / col("gsz")).as("sum_r"))
       .withColumn("bcub_precision", coalesce(col("sum_p"), lit(0.0)) / nPred)
       .withColumn("bcub_recall", coalesce(col("sum_r"), lit(0.0)) / nGold)
-      .withColumn("bcub_f1", lit(2.0) * col("bcub_precision") * col("bcub_recall") /
-        (col("bcub_precision") + col("bcub_recall")))
+      .withColumn("bcub_f1",
+        when(col("bcub_precision") + col("bcub_recall") > 0.0,
+          lit(2.0) * col("bcub_precision") * col("bcub_recall") /
+            (col("bcub_precision") + col("bcub_recall")))
+          .otherwise(lit(0.0))) // zero-overlap slice → F1 0, not 0/0 NaN
   }
 
   /** C5 oracle predicted clustering (`CorefDoc.scala:41-101`): each
@@ -229,7 +235,10 @@ object Eval {
       .withColumn("precision", col("phi_sum") / col("n_pred_clusters"))
       .withColumn("recall", col("phi_sum") / col("n_gold_entities"))
       .withColumn("f1",
-        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")))
+          .otherwise(lit(0.0))) // zero-overlap corpus → F1 0, not NaN
       .select(col("n_pred_clusters"), col("n_gold_entities"),
         col("precision"), col("recall"), col("f1"))
   }

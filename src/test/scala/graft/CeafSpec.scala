@@ -116,6 +116,21 @@ class CeafSpec extends SparkSuite {
     assert(math.abs(b.getAs[Double]("bcub_f1") - 4.0 / 9.0) < 1e-12)
   }
 
+  test("fully disjoint pred/gold mention sets score F1 = 0, never NaN") {
+    import spark.implicits._
+    def mid(i: Int) = f"conv#${0}%06d${i}%06d"
+    val pred = Seq((mid(1), "k1"), (mid(2), "k1")).toDF("mention_id", "cluster_id")
+    val gold = Seq((mid(3), "r1"), (mid(4), "r1")).toDF("mention_id", "entity_id")
+    val b = Eval.bcub(pred, gold).collect()(0)
+    assert(b.getAs[Double]("bcub_precision") === 0.0)
+    assert(b.getAs[Double]("bcub_recall") === 0.0)
+    assert(b.getAs[Double]("bcub_f1") === 0.0, "0/0 must collapse to 0, not NaN")
+    val c = Eval.ceafe(pred, gold).collect()(0)
+    assert(c.getAs[Double]("f1") === 0.0)
+    val m = Eval.muc(pred, gold).collect()(0)
+    assert(m.getAs[Double]("muc_f1") === 0.0)
+  }
+
   test("CEAFe of a perfect clustering is exactly 1.0 across conversations") {
     import spark.implicits._
     def mid(c: String, i: Int) = f"$c#${0}%06d${i}%06d"
