@@ -27,12 +27,52 @@ final class SparseWeightMap(names: Array[String], w: Array[Long])
   require(names.length == w.length,
     s"SparseWeightMap: ${names.length} names vs ${w.length} weights")
 
-  @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Long] = {
-    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+  import SparseWeightMap._
+
+  /** One probe per BASE string returns the bare weight AND the 12
+    * conjunction-slot weights (3 `&t=<tc>` + 9 `&tt=<ta>|<tc>`) at once —
+    * the mention-type domain is the fixed M5 enum, so the conjunction axes
+    * are slot-indexable and the hot path needs neither string building nor
+    * extra probes. `conj` stays null for bases with no conjunction weights
+    * (every non-band template, and most band bases), so the extra footprint
+    * is one array per conjunction-bearing base only. */
+  @transient private lazy val map: java.util.HashMap[UTF8String, ConjEntry] = {
+    val m = new java.util.HashMap[UTF8String, ConjEntry](
       math.max(16, names.length * 2))
+    def entry(k: UTF8String): ConjEntry = {
+      var e = m.get(k)
+      if (e == null) { e = new ConjEntry; m.put(k, e) }
+      e
+    }
+    def conjSlot(name: String, suffix: String, slot: Int, wi: Long): Unit =
+      if (name.length >= suffix.length && name.endsWith(suffix)) {
+        val base = UTF8String.fromString(
+          name.substring(0, name.length - suffix.length))
+        val e = entry(base)
+        if (e.conj == null) e.conj = new Array[Long](12)
+        e.conj(slot) = wi
+      }
     var i = 0
     while (i < names.length) {
-      m.put(UTF8String.fromString(names(i)), java.lang.Long.valueOf(w(i)))
+      val n = names(i)
+      entry(UTF8String.fromString(n)).bare = w(i)
+      // Register every decomposition the relational plan's concat could
+      // produce: a name of the form X + "&t=" + tc is reachable by the
+      // conj probe (X, tc) REGARDLESS of how X itself looks, so a name
+      // matching several suffix shapes (text-derived '&t=' inside a base)
+      // must be registered under each — exactly mirroring the old
+      // concat-probe semantics, name by name.
+      var t = 0
+      while (t < MTypes.length) {
+        conjSlot(n, "&t=" + MTypes(t), t, w(i))
+        var a = 0
+        while (a < MTypes.length) {
+          conjSlot(n, "&tt=" + MTypes(a) + "|" + MTypes(t),
+            3 + a * MTypes.length + t, w(i))
+          a += 1
+        }
+        t += 1
+      }
       i += 1
     }
     m
@@ -51,7 +91,7 @@ final class SparseWeightMap(names: Array[String], w: Array[Long])
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val v = map.get(arr.getUTF8String(i))
-        if (v != null) sum += v.longValue()
+        if (v != null) sum += v.bare
       }
       i += 1
     }
@@ -61,7 +101,20 @@ final class SparseWeightMap(names: Array[String], w: Array[Long])
   /** Single-feature probe (absent → 0). */
   def lookup(f: UTF8String): Long = {
     val v = map.get(f)
-    if (v == null) 0L else v.longValue()
+    if (v == null) 0L else v.bare
+  }
+
+  /** Mention-type slot of the M5 enum: 0..2, [[SparseWeightMap.NullType]]
+    * for null, [[SparseWeightMap.UnknownType]] for a non-null string outside
+    * the enum (never produced by the pipeline; kept for strict equivalence). */
+  def typeIdx(t: UTF8String): Int = {
+    if (t == null) return NullType
+    var i = 0
+    while (i < MTypesU.length) {
+      if (MTypesU(i).equals(t)) return i
+      i += 1
+    }
+    UnknownType
   }
 
   /** Three-axis probe of one BASE feature under the P1 conjunction scheme:
@@ -70,18 +123,51 @@ final class SparseWeightMap(names: Array[String], w: Array[Long])
   def lookupConj(f: UTF8String, ta: UTF8String, tc: UTF8String): Long = {
     var s = lookup(f)
     if (tc != null) {
-      s += lookup(UTF8String.concat(f, SparseWeightMap.SufT, tc))
+      s += lookup(UTF8String.concat(f, SufT, tc))
       if (ta != null)
-        s += lookup(UTF8String.concat(f, SparseWeightMap.SufTT, ta,
-          SparseWeightMap.Pipe, tc))
+        s += lookup(UTF8String.concat(f, SufTT, ta, Pipe, tc))
     }
     s
+  }
+
+  /** [[lookupConj]] with the mention types pre-resolved to enum slots (once
+    * per ROW by the caller): ONE map probe, zero string building. Falls back
+    * to the concat probes only for a non-null type outside the enum. */
+  def lookupConjIdx(f: UTF8String, ta: UTF8String, tc: UTF8String,
+      tai: Int, tci: Int): Long = {
+    if (tai == UnknownType || tci == UnknownType) return lookupConj(f, ta, tc)
+    val e = map.get(f)
+    if (e == null) 0L
+    else {
+      var s = e.bare
+      val c = e.conj
+      if (c != null && tci >= 0) {
+        s += c(tci)
+        if (tai >= 0) s += c(3 + tai * 3 + tci)
+      }
+      s
+    }
   }
 
   override def toString: String = s"SparseWeightMap(${names.length} features)"
 }
 
 object SparseWeightMap {
+  /** Per-base entry: bare weight (0 when the base string itself carries no
+    * weight) + the 12 conjunction slots, null when none exist. */
+  final class ConjEntry {
+    var bare: Long = 0L
+    var conj: Array[Long] = null
+  }
+
+  /** The M5 mention-type enum ([[graft.pipeline.Mentions.properties]]) — the
+    * only values the `&t=`/`&tt=` conjunction axes can take at runtime. */
+  val MTypes: Array[String] = Array("NOMINAL", "PRONOMINAL", "PROPER")
+  private[functions] val MTypesU: Array[UTF8String] =
+    MTypes.map(UTF8String.fromString)
+  val NullType: Int = -1
+  val UnknownType: Int = -2
+
   val SufT: UTF8String = UTF8String.fromString("&t=")
   val SufTT: UTF8String = UTF8String.fromString("&tt=")
   val Pipe: UTF8String = UTF8String.fromString("|")
@@ -116,12 +202,13 @@ case class SparseWeightSum(child: Expression, weights: SparseWeightMap)
 }
 
 /** The whole three-axis (P1 conjunction scheme) sparse model score in one
-  * expression: for each BASE feature string `f` it probes `f`, `f&t=<tc>`
-  * and `f&tt=<ta>|<tc>` directly against the collected model — the
-  * conjunction strings are built transiently inside the probe and never
-  * materialized into a row, so the plan carries 22 base strings instead of
-  * a 66-slot array (UnsafeArrayData materialization byte-copies every
-  * element; that copy was the dominant remaining cost of the fast path).
+  * expression: for each BASE feature string `f` it resolves `f`, `f&t=<tc>`
+  * and `f&tt=<ta>|<tc>` against the collected model in ONE probe — the
+  * model map is keyed by base string with the 12 conjunction axes
+  * slot-indexed by the fixed M5 mention-type enum (resolved once per row),
+  * so the hot path per pair is 22 probes with zero string building, down
+  * from the original 66-slot `UnsafeArrayData` materialization and the
+  * intermediate 66-probe / 44-concat transient variant.
   * Null semantics mirror the relational plan exactly: a null base feature
   * contributes nothing, a null mention type nulls out exactly the
   * conjunction axes whose `concat` would have been null. */
@@ -140,11 +227,13 @@ case class SparseWeightSumConj(base: Seq[Expression], mtypeA: Expression,
   override def eval(input: InternalRow): Any = {
     val ta = mtypeA.eval(input).asInstanceOf[UTF8String]
     val tc = mtypeC.eval(input).asInstanceOf[UTF8String]
+    val tai = weights.typeIdx(ta)
+    val tci = weights.typeIdx(tc)
     var sum = 0L
     var i = 0
     while (i < base.length) {
       val f = base(i).eval(input).asInstanceOf[UTF8String]
-      if (f != null) sum += weights.lookupConj(f, ta, tc)
+      if (f != null) sum += weights.lookupConjIdx(f, ta, tc, tai, tci)
       i += 1
     }
     sum
@@ -159,11 +248,13 @@ case class SparseWeightSumConj(base: Seq[Expression], mtypeA: Expression,
     val sum = ctx.freshName("wsum")
     val ta = ctx.freshName("ta")
     val tc = ctx.freshName("tc")
+    val tai = ctx.freshName("tai")
+    val tci = ctx.freshName("tci")
     val probes = base.map { b =>
       val c = b.genCode(ctx)
       code"""
             |${c.code}
-            |if (!${c.isNull}) { $sum += $ref.lookupConj(${c.value}, $ta, $tc); }
+            |if (!${c.isNull}) { $sum += $ref.lookupConjIdx(${c.value}, $ta, $tc, $tai, $tci); }
             |""".stripMargin
     }.reduce(_ + _)
     ev.copy(
@@ -172,6 +263,8 @@ case class SparseWeightSumConj(base: Seq[Expression], mtypeA: Expression,
                    |${tcCode.code}
                    |$utf8 $ta = ${taCode.isNull} ? null : ${taCode.value};
                    |$utf8 $tc = ${tcCode.isNull} ? null : ${tcCode.value};
+                   |int $tai = $ref.typeIdx($ta);
+                   |int $tci = $ref.typeIdx($tc);
                    |long $sum = 0L;
                    |$probes
                    |boolean ${ev.isNull} = false;

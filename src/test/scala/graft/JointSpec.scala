@@ -323,6 +323,35 @@ class JointSpec extends SparkSuite {
       "type agreement must rescue m3 from the id tie-break under BP too")
   }
 
+  test("trainCouplings under the BP kernel: the reference's training regime") {
+    // The reference trains factor weights against the BP log-likelihood
+    // (joint/JointComputerShared.scala:47-102); the mean-field training
+    // test above uses the MF surrogate. Same gold, same fixture — the BP
+    // objective must also learn a positive type coupling, decrease its
+    // -loglik, and fix the m3 tie when decoding WITH the BP kernel.
+    val gold = Seq(
+      ("m0", null: String, "ORG", null: String),
+      ("m1", null: String, "IDENT", null: String),
+      ("m2", "m0", "ORG", null: String),
+      ("m3", "m1", "IDENT", null: String))
+      .toDF("mention_id", "g_ant", "g_type", "g_wiki")
+    val (trained, trace) = JointInference.trainCouplings(spark, priors, scored,
+      gold, epochs = 8, eta = 1.0, iters = 10, algorithm = "bp")
+    info(s"bp-trained couplings: $trained  trace: ${trace.map(_._2).map(l => f"$l%.3f")}")
+    assert(trained.coref > 0.0,
+      "gold agreement evidence must push the coupling up under the BP objective")
+    assert(trace.last._2 < trace.head._2, "BP -loglik must decrease")
+    val d = JointInference.infer(spark, priors, scored, coupling = trained.coref,
+      nerCoupling = trained.ner, wikiCoupling = trained.wiki,
+      wikiNilScore = trained.wikiNil, iters = 10, algorithm = "bp")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getString(3))).toMap
+    assert(d("m2")._1 === Some("m0"))
+    assert(d("m3")._1 === Some("m1"),
+      "BP-trained coupling must fix the m3 tie under BP decode")
+    assert(d("m2")._2 === "ORG" && d("m3")._2 === "IDENT")
+  }
+
   test("typePriors derive from surface sem-class") {
     val m = Seq(("x", "c", "Customer#000000007"), ("y", "c", "the vendor"))
       .toDF("mention_id", "conv_id", "surface")

@@ -284,6 +284,39 @@ class SparseSpec extends SparkSuite {
     surfaces.unpersist(); sPairs.unpersist()
   }
 
+  test("SparseWeightMap slot-indexed conjunction probes == concat-probe semantics, adversarial names included") {
+    import graft.functions.SparseWeightMap
+    import org.apache.spark.unsafe.types.UTF8String
+    // names chosen to stress every decomposition the concat plan can reach:
+    // a conj-shaped name probed BARE, a base containing a text-derived
+    // "&t=", an empty base, and a bare name that LOOKS like an unknown-type
+    // conjunction (reachable only through the unknown-type fallback)
+    val names = Array(
+      "hc=x", "hc=x&t=PROPER", "hc=x&tt=NOMINAL|PROPER",
+      "hc=a&t=b&t=NOMINAL", "&t=PROPER", "hc=z&t=FOO")
+    val w = Array(1L, 10L, 100L, 1000L, 10000L, 100000L)
+    val m = new SparseWeightMap(names, w)
+    def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    def conjRef(f: String, ta: String, tc: String): Long =
+      m.lookupConj(u(f), u(ta), u(tc))
+    def conjIdx(f: String, ta: String, tc: String): Long =
+      m.lookupConjIdx(u(f), u(ta), u(tc), m.typeIdx(u(ta)), m.typeIdx(u(tc)))
+    val bases = Seq("hc=x", "hc=x&t=PROPER", "hc=a&t=b", "", "hc=z", "nope")
+    val types = Seq(null, "PROPER", "NOMINAL", "PRONOMINAL", "FOO")
+    for (f <- bases; ta <- types; tc <- types)
+      assert(conjIdx(f, ta, tc) === conjRef(f, ta, tc),
+        s"fast/slow probe divergence at ($f, $ta, $tc)")
+    // spot values pin the semantics, not just self-consistency
+    assert(conjIdx("hc=x", "NOMINAL", "PROPER") === 111L)
+    assert(conjIdx("hc=x&t=PROPER", null, null) === 10L,
+      "a conj-shaped name must still resolve as a bare probe")
+    assert(conjIdx("hc=a&t=b", null, "NOMINAL") === 1000L,
+      "a base containing a text-derived &t= must reach its conj weight")
+    assert(conjIdx("", null, "PROPER") === 10000L)
+    assert(conjIdx("hc=z", null, "FOO") === 100000L,
+      "a non-enum type must fall back to the concat probe")
+  }
+
   test("scoringMode=sparse: FULL pipeline (band+bridge+chains) with the trained sparse model >= trained dense pipeline F1") {
     val (transcripts, mentions, gold) = fix
     val universe = Blocking.candidatePairs(mentions).cache()
