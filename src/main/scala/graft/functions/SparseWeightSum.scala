@@ -35,48 +35,17 @@ final class SparseWeightMap(names: Array[String], w: Array[Long])
     * are slot-indexable and the hot path needs neither string building nor
     * extra probes. `conj` stays null for bases with no conjunction weights
     * (every non-band template, and most band bases), so the extra footprint
-    * is one array per conjunction-bearing base only. */
-  @transient private lazy val map: java.util.HashMap[UTF8String, ConjEntry] = {
-    val m = new java.util.HashMap[UTF8String, ConjEntry](
-      math.max(16, names.length * 2))
-    def entry(k: UTF8String): ConjEntry = {
-      var e = m.get(k)
-      if (e == null) { e = new ConjEntry; m.put(k, e) }
-      e
-    }
-    def conjSlot(name: String, suffix: String, slot: Int, wi: Long): Unit =
-      if (name.length >= suffix.length && name.endsWith(suffix)) {
-        val base = UTF8String.fromString(
-          name.substring(0, name.length - suffix.length))
-        val e = entry(base)
-        if (e.conj == null) e.conj = new Array[Long](12)
-        e.conj(slot) = wi
-      }
-    var i = 0
-    while (i < names.length) {
-      val n = names(i)
-      entry(UTF8String.fromString(n)).bare = w(i)
-      // Register every decomposition the relational plan's concat could
-      // produce: a name of the form X + "&t=" + tc is reachable by the
-      // conj probe (X, tc) REGARDLESS of how X itself looks, so a name
-      // matching several suffix shapes (text-derived '&t=' inside a base)
-      // must be registered under each — exactly mirroring the old
-      // concat-probe semantics, name by name.
-      var t = 0
-      while (t < MTypes.length) {
-        conjSlot(n, "&t=" + MTypes(t), t, w(i))
-        var a = 0
-        while (a < MTypes.length) {
-          conjSlot(n, "&tt=" + MTypes(a) + "|" + MTypes(t),
-            3 + a * MTypes.length + t, w(i))
-          a += 1
-        }
-        t += 1
-      }
-      i += 1
-    }
-    m
-  }
+    * is one array per conjunction-bearing base only.
+    *
+    * The built map is memoized JVM-WIDE, keyed by a content fingerprint:
+    * every task deserializes its own SparseWeightMap instance out of the
+    * task binary, and rebuilding a 10^5-entry (at scale, 10^6+) lookup
+    * structure per task is measurable overhead — the first sf0.1 run after
+    * the slot-index change recorded a 11 s → 25 s sparse-scoring regression
+    * that was almost entirely repeated map builds. One task builds, every
+    * later task in the JVM reuses. */
+  @transient private lazy val map: java.util.HashMap[UTF8String, ConjEntry] =
+    cachedBuild(names, w)
 
   def size: Int = names.length
 
@@ -163,6 +132,81 @@ object SparseWeightMap {
   /** The M5 mention-type enum ([[graft.pipeline.Mentions.properties]]) — the
     * only values the `&t=`/`&tt=` conjunction axes can take at runtime. */
   val MTypes: Array[String] = Array("NOMINAL", "PRONOMINAL", "PROPER")
+
+  /** The 12 conjunction suffixes, precomputed once: (suffix string, slot).
+    * Slots: 0..2 = `&t=<tc>`; 3 + ta*3 + tc = `&tt=<ta>|<tc>`. */
+  private val ConjSuffixes: Array[(String, Int)] = {
+    val b = Array.newBuilder[(String, Int)]
+    var t = 0
+    while (t < MTypes.length) {
+      b += (("&t=" + MTypes(t)) -> t)
+      var a = 0
+      while (a < MTypes.length) {
+        b += (("&tt=" + MTypes(a) + "|" + MTypes(t)) -> (3 + a * MTypes.length + t))
+        a += 1
+      }
+      t += 1
+    }
+    b.result()
+  }
+
+  private final case class BuildKey(n: Int, nameHash: Long, wSum: Long)
+  /** JVM-wide memo of built lookup maps: the map is read-only after build,
+    * so sharing one instance across every task in the executor is safe.
+    * Bounded — a long-lived executor that sees many distinct models (e.g.
+    * k-fold sweeps) clears rather than grows without limit. */
+  private val buildCache =
+    new java.util.concurrent.ConcurrentHashMap[BuildKey, java.util.HashMap[UTF8String, ConjEntry]]()
+
+  private[functions] def cachedBuild(names: Array[String], w: Array[Long])
+      : java.util.HashMap[UTF8String, ConjEntry] = {
+    var h = 1125899906842597L
+    var ws = 0L
+    var i = 0
+    while (i < names.length) {
+      h = h * 31 + names(i).hashCode
+      h = h * 31 + java.lang.Long.hashCode(w(i))
+      ws += w(i)
+      i += 1
+    }
+    if (buildCache.size > 8) buildCache.clear()
+    buildCache.computeIfAbsent(BuildKey(names.length, h, ws), _ => build(names, w))
+  }
+
+  private def build(names: Array[String], w: Array[Long])
+      : java.util.HashMap[UTF8String, ConjEntry] = {
+    val m = new java.util.HashMap[UTF8String, ConjEntry](
+      math.max(16, names.length * 2))
+    def entry(k: UTF8String): ConjEntry = {
+      var e = m.get(k)
+      if (e == null) { e = new ConjEntry; m.put(k, e) }
+      e
+    }
+    var i = 0
+    while (i < names.length) {
+      val n = names(i)
+      entry(UTF8String.fromString(n)).bare = w(i)
+      // Register every decomposition the relational plan's concat could
+      // produce: a name of the form X + "&t=" + tc is reachable by the
+      // conj probe (X, tc) REGARDLESS of how X itself looks, so a name
+      // matching several suffix shapes (text-derived '&t=' inside a base)
+      // must be registered under each — exactly mirroring the old
+      // concat-probe semantics, name by name.
+      var s = 0
+      while (s < ConjSuffixes.length) {
+        val (suffix, slot) = ConjSuffixes(s)
+        if (n.length >= suffix.length && n.endsWith(suffix)) {
+          val e = entry(UTF8String.fromString(
+            n.substring(0, n.length - suffix.length)))
+          if (e.conj == null) e.conj = new Array[Long](12)
+          e.conj(slot) = w(i)
+        }
+        s += 1
+      }
+      i += 1
+    }
+    m
+  }
   private[functions] val MTypesU: Array[UTF8String] =
     MTypes.map(UTF8String.fromString)
   val NullType: Int = -1
