@@ -506,8 +506,11 @@ object Bench {
         val before = sc.getPersistentRDDs.keySet.toSet
         val (n, t) = time(body)
         log(f"op $name pass$i: $t%.3f s ($n rows)")
+        // blocking release: the next pass re-pins the full feature table
+        // immediately — async frees let dead blocks overlap live ones and
+        // OOMed the 8g heap on a sf0.1 run
         (sc.getPersistentRDDs.keySet.toSet -- before)
-          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
         t
       }
       math.min(pass(1), pass(2))
@@ -519,21 +522,23 @@ object Bench {
       graft.train.Trainer.trainSparseRankingDistributed(
         featsX, labelsXp, epochs = 1)._1.count())
     // steady-state epoch cost — what a real 30-epoch training run actually
-    // multiplies: one 3-epoch pass, minus the measured 1-epoch time (which
-    // carries the one-time featurize + pin of the ~60M-row feature table),
-    // halved. Subtraction across passes is noise-conservative: a contended
-    // 3-epoch pass can only OVERSTATE the steady epoch.
-    val t3 = {
+    // multiplies. Measured DIRECTLY: one 2-epoch run with per-epoch timing
+    // from the trainer; the second epoch is the steady state (the one-time
+    // featurize+pin of the ~60M-row table happens before the epoch loop, and
+    // epoch 0 absorbs first-use warmup). One extra trainer invocation, same
+    // peak-memory shape as a min2 pass — the previous 3-epoch-minus-1-epoch
+    // subtraction both cost more and OOMed the 8g heap at sf0.1.
+    val tSteadyEp = {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet.toSet
-      val (_, t) = time(graft.train.Trainer.trainSparseRankingDistributed(
-        featsX, labelsXp, epochs = 3)._1.count())
+      val epSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      graft.train.Trainer.trainSparseRankingDistributed(
+        featsX, labelsXp, epochs = 2, epochSecondsOut = Some(epSecs))._1.count()
       (sc.getPersistentRDDs.keySet.toSet -- before)
-        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      t
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      epSecs.last
     }
-    val tSteadyEp = math.max(0.0, (t3 - tTrainEp) / 2.0)
-    log(f"op er_train_steady_epoch_sparse: $tSteadyEp%.3f s (3-epoch pass $t3%.3f s)")
+    log(f"op er_train_steady_epoch_sparse: $tSteadyEp%.3f s (epoch 2 of a 2-epoch run)")
     spark.stop()
     graft.harness.Queries.clearCache()
     def thr(p: Long, t: Double) = if (t > 0) p / t else 0.0

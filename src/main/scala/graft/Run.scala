@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.io.TableIO
 import graft.pipeline._
 import graft.sources.Transcripts
-import graft.train.ModelIO
+import graft.train.{ModelIO, Trainer}
 
 /** spark-submit entry point for the record-linkage pipeline (north rule:
   * "launched via spark-submit on a multi-executor cluster"): transcripts in →
@@ -23,10 +23,38 @@ import graft.train.ModelIO
   *   [--mode dense|sparse]            default dense
   *   [--model-dir <TableIO dir>]      sparse: packed-model store (S5b)
   *   [--model-token <lineage token>]  sparse: model lineage to load
+  *   [--train <epochs>]               train the sparse ranking model on the
+  *                                    input's gold labels first, commit it
+  *                                    packed to --model-dir, then score with
+  *                                    the committed snapshot (forces sparse)
+  *   [--gold <parquet>]               (mention_id, entity_id) gold table;
+  *                                    default: harness convention (entity id
+  *                                    encoded in the conv_id prefix)
+  *   [--loss zero|<fl>-<fn>-<wl>]     train loss costs (falseLink-falseNew-
+  *                                    wrongLink). Default zero (plain
+  *                                    likelihood): correct for decoding at
+  *                                    the default link threshold 0. The
+  *                                    reference's recall-weighted customLoss
+  *                                    regime (0.1-3.0-1.0, G4) biases scores
+  *                                    UP by design — pair it with a higher
+  *                                    --link-threshold or it over-links
+  *   [--eta <double>]                 Adagrad step size, default 0.5
+  *   [--evaluate true]                score the output against gold: pairwise
+  *                                    link F1 over the blocked universe + MUC
+  *                                    + B³ into metrics.json
   *   [--checkpoint <dir>]             stage snapshots; re-run resumes
   *   [--generator all|identifier]     mention generators (M1)
   *   [--link-threshold <double>]      default 0.0
   * }}}
+  *
+  * `--train N` is the engine's `runTrainEvaluate`
+  * (`EntitySystem.scala:226-266`): distributed Adagrad antecedent-ranking
+  * over the exploded sparse features (T1), loss-augmented per `--loss` (G4),
+  * model packed (zero weights dropped, dense re-index — `PairwiseScorer.pack`,
+  * `PairwiseScorer.scala:37-47`) and committed through [[TableIO]] (S5b);
+  * prediction then LOADS the committed snapshot rather than reusing the
+  * in-memory table, so every scored run is reproducible from the store and a
+  * torn model write fails loudly here, not in a later session.
   *
   * Master/executor topology comes from spark-submit; launched bare (no
   * master set) it falls back to `local[*]` for smoke runs. AQE + skew-join
@@ -55,12 +83,158 @@ object Run {
       df
     }
 
-  def main(args: Array[String]): Unit = {
-    val opt = parseArgs(args)
+  /** Gold mention→entity mapping: `--gold` parquet when given, else the
+    * harness convention (the gold entity id is the conv_id prefix group —
+    * the synthetic-data analog of the reference's gold CoNLL annotation). */
+  private def goldEntities(spark: SparkSession, opt: Map[String, String],
+      mentions: DataFrame): DataFrame =
+    opt.get("gold") match {
+      case Some(p) =>
+        val g = spark.read.parquet(p)
+        val missing = Seq("mention_id", "entity_id").filterNot(g.columns.contains)
+        require(missing.isEmpty,
+          s"--gold $p is missing columns: ${missing.mkString(", ")}")
+        g.select(col("mention_id"), col("entity_id"))
+      case None => mentions.select(col("mention_id"),
+        regexp_extract(col("conv_id"), "^c([0-9]+)-", 1).as("entity_id"))
+    }
+
+  private def parseLoss(s: String): Trainer.LossFn = s match {
+    case "zero" => Trainer.LossFn.Zero
+    case other => other.split("-") match {
+      case Array(fl, fn, wl) => Trainer.LossFn(fl.toDouble, fn.toDouble, wl.toDouble)
+      case _ => sys.error("--loss must be 'zero' or " +
+        s"'<falseLink>-<falseNew>-<wrongLink>', got $other")
+    }
+  }
+
+  private def extractMentions(transcripts: DataFrame, generator: String): DataFrame =
+    if (generator == "identifier") Mentions.extractIdentifier(transcripts)
+    else Mentions.extractAll(transcripts)
+
+  /** Train the sparse ranking model on the input's gold labels, commit the
+    * packed snapshot to `modelDir`, and load it BACK from the store (the
+    * committed artifact is what scores, not the in-memory table). Returns
+    * the loaded `(f, w_i)` table, its snapshot-derived lineage tag, and the
+    * metrics fragment. All RDD blocks pinned by the prep/trainer are
+    * released before returning — the loaded model reads from parquet and
+    * holds no reference to them. */
+  private def trainAndCommit(spark: SparkSession, opt: Map[String, String],
+      transcripts: DataFrame, generator: String, epochs: Int)
+      : (DataFrame, String, String) = {
+    val modelDir = opt.getOrElse("model-dir",
+      sys.error("--train requires --model-dir (where the packed model is committed)"))
+    val loss = parseLoss(opt.getOrElse("loss", "zero"))
+    val eta = opt.get("eta").map(_.toDouble).getOrElse(0.5)
+    val sc = spark.sparkContext
+    val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
+    val mentions = extractMentions(transcripts, generator).localCheckpoint(true)
+    // train over the FULL blocked candidate universe (band ∪ surface-blocked
+    // cross-conversation pairs), not just the in-conversation band: the band
+    // alone can be all-positive (a conversation's mentions often share one
+    // entity), and a model that never sees a negative learns to link
+    // everything — the reference likewise trains on all pruned candidate
+    // antecedents (`CorefPruner.scala:100-153`).
+    val pairsAttr = Scoring.attachAttrs(
+      Blocking.candidatePairs(mentions, Blocking.Config()), mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr,
+      SparseFeatures.normCounts(mentions))
+    val g = goldEntities(spark, opt, mentions)
+    val labels = pairsAttr.select(col("ant_id"), col("cur_id"))
+      .join(g.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(g.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"),
+        (col("e_a") === col("e_c")).cast("double").as("label"))
+    val (trained, trace) = Trainer.trainSparseRankingDistributed(
+      feats, labels, epochs = epochs, eta = eta, lossFn = loss)
+    val token = s"train-$generator-ep$epochs-" +
+      s"${loss.falseLink}-${loss.falseNew}-${loss.wrongLink}"
+    val io = new TableIO(modelDir)
+    val snap = ModelIO.saveSparse(io, ModelIO.sparseWeightsFromTrained(trained), token)
+    (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore)
+      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val (w, tag) = ModelIO.loadSparse(spark, io, token, Some(snap))
+    val nFeats = w.count()
+    val frag =
+      f""""trained_epochs":$epochs,"train_loss_first":${trace.head._2}%.6f,""" +
+      f""""train_loss_last":${trace.last._2}%.6f,"model_snapshot":$snap,""" +
+      s""""model_token":"$token","model_features":$nFeats,"""
+    (w, tag, frag)
+  }
+
+  /** Evaluate the committed clusters against gold: pairwise link F1 (A8,
+    * the north-star metric) over the blocked candidate universe, plus MUC
+    * and B³ (A10). Returns a metrics fragment. */
+  private def evaluateFragment(spark: SparkSession, opt: Map[String, String],
+      res: Pipeline.Result): String = {
+    val g = goldEntities(spark, opt, res.mentions)
+    val universe = Blocking.candidatePairs(res.mentions,
+      graft.harness.Queries.harnessCfg.blocking)
+    val f1 = Eval.pairwiseF1(universe.select("ant_id", "cur_id"), res.clusters, g)
+      .collect()(0)
+    val m = Eval.muc(res.clusters, g).collect()(0)
+    val b = Eval.bcub(res.clusters, g).collect()(0)
+    f""""pairwise_f1":${f1.getAs[Double]("f1")}%.6f,""" +
+    f""""muc_f1":${m.getAs[Double]("muc_f1")}%.6f,""" +
+    f""""bcub_f1":${b.getAs[Double]("bcub_f1")}%.6f,"""
+  }
+
+  /** The job body, session-lifecycle-free so a test can drive it on a shared
+    * session: parses options, optionally trains+commits a sparse model, runs
+    * the pipeline, commits outputs, writes and returns the metrics line. */
+  def runWith(spark: SparkSession, opt: Map[String, String]): String = {
     val input = opt.getOrElse("input", sys.error("--input is required"))
     val output = opt.getOrElse("output", sys.error("--output is required"))
-    val mode = opt.getOrElse("mode", "dense")
+    val trainEpochs = opt.get("train").map(_.toInt)
+    val mode = if (trainEpochs.nonEmpty) "sparse" else opt.getOrElse("mode", "dense")
+    val generator = opt.getOrElse("generator", "all")
+    val transcripts = readTranscripts(spark, input)
 
+    val (sparseWeights, sparseTag, trainFrag) = trainEpochs match {
+      case Some(ep) =>
+        trainAndCommit(spark, opt, transcripts, generator, ep)
+      case None if mode == "sparse" =>
+        val dir = opt.getOrElse("model-dir",
+          sys.error("--mode sparse requires --model-dir (a committed packed model)"))
+        val token = opt.getOrElse("model-token",
+          sys.error("--mode sparse requires --model-token"))
+        val (w, tag) = ModelIO.loadSparse(spark, new TableIO(dir), token)
+        (w, tag, "")
+      case None => (null, "", "")
+    }
+
+    val cfg = Pipeline.Config(
+      mentionGenerator = generator,
+      linkThreshold = opt.get("link-threshold").map(_.toDouble).getOrElse(0.0),
+      checkpointDir = opt.get("checkpoint"),
+      scoringMode = mode,
+      sparseWeights = Option(sparseWeights),
+      sparseTag = sparseTag)
+
+    val t0 = System.nanoTime()
+    val res = Pipeline.run(spark, transcripts, cfg)
+    // one atomic commit per output table, lineage = the pipeline config token
+    val out = new TableIO(output)
+    out.commit("clusters", res.clusters, cfg.token)
+    out.commit("backptrs", res.backptrs, cfg.token)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val evalFrag = if (opt.get("evaluate").exists(_.toBoolean))
+      evaluateFragment(spark, opt, res) else ""
+    val nMentions = res.mentions.count()
+    val nClusters = res.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
+    val metrics = s"""{"input":"$input","mode":"$mode","config":"${cfg.token}",""" +
+      trainFrag + evalFrag +
+      s""""mentions":$nMentions,"clusters":$nClusters,""" +
+      f""""wall_sec":$wallSec%.3f}"""
+    val w = new java.io.PrintWriter(s"$output/metrics.json")
+    try w.println(metrics) finally w.close()
+    res.unpersist()
+    metrics
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opt = parseArgs(args)
     val conf = new SparkConf()
     val builder = SparkSession.builder().appName("graft-er")
       .config("spark.sql.adaptive.enabled", "true")
@@ -73,42 +247,7 @@ object Run {
       spark.conf.set("spark.sql.shuffle.partitions",
         spark.sparkContext.defaultParallelism.toString)
     graft.functions.register(spark)
-
-    val (sparseWeights, sparseTag) =
-      if (mode == "sparse") {
-        val dir = opt.getOrElse("model-dir",
-          sys.error("--mode sparse requires --model-dir (a committed packed model)"))
-        val token = opt.getOrElse("model-token",
-          sys.error("--mode sparse requires --model-token"))
-        val (w, tag) = ModelIO.loadSparse(spark, new TableIO(dir), token)
-        (Some(w), tag)
-      } else (None, "")
-
-    val cfg = Pipeline.Config(
-      mentionGenerator = opt.getOrElse("generator", "all"),
-      linkThreshold = opt.get("link-threshold").map(_.toDouble).getOrElse(0.0),
-      checkpointDir = opt.get("checkpoint"),
-      scoringMode = mode,
-      sparseWeights = sparseWeights,
-      sparseTag = sparseTag)
-
-    val t0 = System.nanoTime()
-    val res = Pipeline.run(spark, readTranscripts(spark, input), cfg)
-    // one atomic commit per output table, lineage = the pipeline config token
-    val out = new TableIO(output)
-    out.commit("clusters", res.clusters, cfg.token)
-    out.commit("backptrs", res.backptrs, cfg.token)
-    val wallSec = (System.nanoTime() - t0) / 1e9
-
-    val nMentions = res.mentions.count()
-    val nClusters = res.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
-    val metrics = s"""{"input":"$input","mode":"$mode","config":"${cfg.token}",""" +
-      s""""mentions":$nMentions,"clusters":$nClusters,""" +
-      f""""wall_sec":$wallSec%.3f}"""
-    val w = new java.io.PrintWriter(s"$output/metrics.json")
-    try w.println(metrics) finally w.close()
-    println(metrics)
-    res.unpersist()
+    println(runWith(spark, opt))
     spark.stop()
   }
 }

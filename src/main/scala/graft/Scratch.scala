@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.pipeline._
 import graft.sources.Transcripts
 
+/** Dev-only cost probe: streaming cluster fold vs batch clustering at an sf
+  * dir (used to size the bench's `st_cluster_fold` surface and its per-wave
+  * accounting honestly). Not part of the driver contract. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -255,7 +255,9 @@ object Trainer {
     * Returns the final `(f, w)` weight table and the per-epoch loss trace. */
   def trainSparseRankingDistributed(feats: DataFrame, labeled: DataFrame,
       epochs: Int = 30, eta: Double = 0.5, lambda: Double = 1e-6,
-      lossFn: LossFn = LossFn.Zero): (DataFrame, Seq[(Int, Double)]) = {
+      lossFn: LossFn = LossFn.Zero,
+      epochSecondsOut: Option[scala.collection.mutable.ArrayBuffer[Double]] = None)
+      : (DataFrame, Seq[(Int, Double)]) = {
     import org.apache.spark.sql.expressions.Window
     val spark = feats.sparkSession
     val sc = spark.sparkContext
@@ -266,9 +268,14 @@ object Trainer {
     // trainer owns the session while it runs), the intermediate released as
     // soon as the next pin materializes, and the previous model released
     // once the new one is pinned.
+    // releases are BLOCKING: each epoch pins a fresh ~pair-count-sized table
+    // and back-to-back trainer invocations re-pin the full feature table, so
+    // a lazy (async) unpersist lets dead blocks overlap live ones — at the
+    // sf0.1 bench scale that overlap OOMed an 8g driver heap. The blocking
+    // free is once per epoch, noise-level next to the epoch's joins.
     def pinnedIds(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
     def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
     val f = feats.localCheckpoint(true)
     val lab = labeled.select(col("ant_id"), col("cur_id"), col("label")).localCheckpoint(true)
     val nCur = lab.select(col("cur_id")).distinct().count().toDouble
@@ -283,6 +290,7 @@ object Trainer {
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var prevModelIds: Set[Int] = Set.empty
     for (ep <- 0 until epochs) {
+      val epT0 = System.nanoTime()
       val beforeWithP = pinnedIds()
       val scored = f.join(model.select(col("f"), col("w")), Seq("f"), "left")
         .groupBy(col("ant_id"), col("cur_id"))
@@ -335,6 +343,11 @@ object Trainer {
       release(withPIds ++ prevModelIds)
       prevModelIds = pinnedIds() -- beforeWithP -- withPIds
       trace += ((ep, loss))
+      // per-epoch wall seconds for callers that meter training cost (the
+      // bench's steady-epoch surface). The one-time featurize+pin of the
+      // feature table happens eagerly BEFORE the loop, so these are pure
+      // epoch costs; epoch 0 still pays first-use JIT/shuffle warmup.
+      epochSecondsOut.foreach(_ += (System.nanoTime() - epT0) / 1e9)
     }
     (model.select(col("f"), col("w")), trace.toSeq)
   }

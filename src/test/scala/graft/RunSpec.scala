@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+import graft.train.ModelIO
+
+/** The spark-submit entry point ([[Run]]) driven end-to-end on the shared
+  * session via [[Run.runWith]]: `--train` must train a sparse model on the
+  * input's gold labels, commit the PACKED snapshot through TableIO, score
+  * with the committed snapshot (not the in-memory table), and a later
+  * predict-only run loading that snapshot must reproduce the exact same
+  * clusters — the engine's `runTrainEvaluate` contract
+  * (reference `EntitySystem.scala:226-266`). */
+class RunSpec extends SparkSuite {
+
+  private def field(json: String, key: String): String = {
+    val m = (s""""$key":"?([^",}]+)"?""").r.findFirstMatchIn(json)
+    assert(m.nonEmpty, s"metrics line missing $key: $json")
+    m.get.group(1)
+  }
+
+  test("--train: trains, commits a packed model, evaluates, and a predict-only " +
+      "run from the committed snapshot reproduces the clusters") {
+    val tmp = java.nio.file.Files.createTempDirectory("runspec").toString
+    val outTrain = s"$tmp/out_train"
+    val outPred = s"$tmp/out_pred"
+    val modelDir = s"$tmp/models"
+
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> outTrain,
+      "model-dir" -> modelDir,
+      "train" -> "12",
+      "eta" -> "1.0",
+      "generator" -> "identifier",
+      "evaluate" -> "true"))
+    info(metrics)
+
+    // training happened and the loss moved the right way
+    assert(field(metrics, "trained_epochs") === "12")
+    val lossFirst = field(metrics, "train_loss_first").toDouble
+    val lossLast = field(metrics, "train_loss_last").toDouble
+    assert(lossLast < lossFirst,
+      s"per-epoch loss must decrease over training: $lossFirst -> $lossLast")
+
+    // quality gate on the evaluate leg (same bar as SparseSpec's trainers)
+    val f1 = field(metrics, "pairwise_f1").toDouble
+    assert(f1 >= 0.99, s"trained-model pairwise F1 must hit the gate: $f1")
+    assert(field(metrics, "muc_f1").toDouble >= 0.99)
+    assert(field(metrics, "bcub_f1").toDouble >= 0.99,
+      "B³ catches the degenerate one-cluster merge that MUC forgives")
+    val nClusters = field(metrics, "clusters").toLong
+    assert(nClusters > 1L && nClusters < 1000L,
+      s"cluster count must be non-degenerate: $nClusters")
+
+    // the committed model is packed: loadable by token, no zero weights
+    val token = field(metrics, "model_token")
+    val (w, tag) = ModelIO.loadSparse(spark, new TableIO(modelDir), token)
+    assert(w.count() === field(metrics, "model_features").toLong)
+    assert(w.filter(col("w_i") === 0L).count() === 0L, "pack must drop zero weights")
+    assert(tag.startsWith(s"$token@"))
+
+    // the clusters output was committed under the reported config lineage
+    val cfgToken = field(metrics, "config")
+    val trainClusters = new TableIO(outTrain)
+      .readIfCurrent(spark, "clusters", cfgToken)
+      .getOrElse(fail("train-run clusters not committed under the config token"))
+
+    // predict-only run loading the committed snapshot: identical clusters
+    val metrics2 = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> outPred,
+      "mode" -> "sparse",
+      "model-dir" -> modelDir,
+      "model-token" -> token,
+      "generator" -> "identifier"))
+    info(metrics2)
+    val predClusters = new TableIO(outPred)
+      .readIfCurrent(spark, "clusters", field(metrics2, "config"))
+      .getOrElse(fail("predict-run clusters not committed under the config token"))
+    val diff = trainClusters.select("mention_id", "cluster_id")
+      .exceptAll(predClusters.select("mention_id", "cluster_id"))
+      .union(predClusters.select("mention_id", "cluster_id")
+        .exceptAll(trainClusters.select("mention_id", "cluster_id")))
+      .count()
+    assert(diff === 0L,
+      "predicting from the committed snapshot must reproduce the train-run clusters")
+  }
+
+  test("--train without --model-dir fails loudly; --mode sparse without a model fails loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("runspec2").toString
+    intercept[RuntimeException] {
+      Run.runWith(spark, Map(
+        "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o1", "train" -> "1"))
+    }
+    intercept[RuntimeException] {
+      Run.runWith(spark, Map(
+        "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o2", "mode" -> "sparse"))
+    }
+  }
+}
