@@ -42,6 +42,16 @@ import graft.train.{ModelIO, Trainer}
   *   [--evaluate true]                score the output against gold: pairwise
   *                                    link F1 over the blocked universe + MUC
   *                                    + B³ into metrics.json
+  *   [--joint true]                   additionally run loopy-BP joint
+  *                                    inference (G3: coref × mention-type
+  *                                    factor graph) over the scored arcs and
+  *                                    commit the per-mention joint decode
+  *                                    (antecedent, type, marginals) as a
+  *                                    `joint` table; metrics gains the count
+  *                                    of antecedent flips vs the pairwise
+  *                                    decode
+  *   [--joint-coupling <double>]      type-agreement factor strength (1.0)
+  *   [--joint-iters <int>]            BP iterations (6)
   *   [--checkpoint <dir>]             stage snapshots; re-run resumes
   *   [--generator all|identifier]     mention generators (M1)
   *   [--link-threshold <double>]      default 0.0
@@ -219,12 +229,36 @@ object Run {
     out.commit("backptrs", res.backptrs, cfg.token)
     val wallSec = (System.nanoTime() - t0) / 1e9
 
+    // G3 operational face: BP joint decode over the same scored arcs the
+    // pairwise decode consumed, committed alongside (the factor graph is
+    // per-conversation, so cross-conversation bridge/chain arcs simply do
+    // not couple — identical to the g3_joint_decode driver surface)
+    val jointFrag = if (opt.get("joint").exists(_.toBoolean)) {
+      val coupling = opt.get("joint-coupling").map(_.toDouble).getOrElse(1.0)
+      val iters = opt.get("joint-iters").map(_.toInt).getOrElse(6)
+      val sc = spark.sparkContext
+      val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
+      val joint = graft.joint.JointInference.infer(spark,
+        graft.joint.JointInference.typePriors(res.mentions),
+        res.scored.select(col("ant_id"), col("cur_id"), col("score")),
+        coupling = coupling, iters = iters, algorithm = "bp")
+        .localCheckpoint(true) // consumed twice: committed + flip-diffed
+      out.commit("joint", joint, cfg.token)
+      val flips = joint
+        .select(col("mention_id").as("cur_id"), col("ant_id").as("joint_ant"))
+        .join(res.backptrs.select(col("cur_id"), col("ant_id").as("pair_ant")),
+          Seq("cur_id"), "left")
+        .filter(!(col("joint_ant") <=> col("pair_ant"))).count()
+      (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      s""""joint_coupling":$coupling,"joint_iters":$iters,"joint_flips":$flips,"""
+    } else ""
     val evalFrag = if (opt.get("evaluate").exists(_.toBoolean))
       evaluateFragment(spark, opt, res) else ""
     val nMentions = res.mentions.count()
     val nClusters = res.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
     val metrics = s"""{"input":"$input","mode":"$mode","config":"${cfg.token}",""" +
-      trainFrag + evalFrag +
+      trainFrag + jointFrag + evalFrag +
       s""""mentions":$nMentions,"clusters":$nClusters,""" +
       f""""wall_sec":$wallSec%.3f}"""
     val w = new java.io.PrintWriter(s"$output/metrics.json")

@@ -87,6 +87,29 @@ class RunSpec extends SparkSuite {
       "predicting from the committed snapshot must reproduce the train-run clusters")
   }
 
+  test("--joint: commits the BP joint decode alongside the clusters and reports flips") {
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_joint").toString
+    val out = s"$tmp/out"
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "joint" -> "true"))
+    info(metrics)
+    val joint = new TableIO(out)
+      .readIfCurrent(spark, "joint", field(metrics, "config"))
+      .getOrElse(fail("joint decode not committed under the config token"))
+    assert(joint.count() === field(metrics, "mentions").toLong,
+      "one joint decision per mention")
+    assert(joint.filter(!col("type").isin("IDENT", "ORG", "OTHER")).count() === 0L,
+      "joint types stay in the M5 enum")
+    val badP = joint.filter(col("p_ant") < 0.0 || col("p_ant") > 1.0 + 1e-9 ||
+      col("p_type") < 0.0 || col("p_type") > 1.0 + 1e-9).count()
+    assert(badP === 0L, "joint marginals must be probabilities")
+    val flips = field(metrics, "joint_flips").toLong
+    assert(flips >= 0L && flips < field(metrics, "mentions").toLong)
+  }
+
   test("--train without --model-dir fails loudly; --mode sparse without a model fails loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("runspec2").toString
     intercept[RuntimeException] {
