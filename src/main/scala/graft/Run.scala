@@ -55,6 +55,23 @@ import graft.train.{ModelIO, Trainer}
   *   [--checkpoint <dir>]             stage snapshots; re-run resumes
   *   [--generator all|identifier]     mention generators (M1)
   *   [--link-threshold <double>]      default 0.0
+  *   [--streaming true]               STREAMING face: drain --input as an
+  *                                    arriving transcript file stream
+  *                                    (Trigger.AvailableNow) through mention
+  *                                    extraction → stateful band pairing →
+  *                                    scoring → running decode → live
+  *                                    cluster maintenance; the maintained
+  *                                    state commits through TableIO every
+  *                                    --commit-cadence folds and a re-run
+  *                                    with the same --output RESUMES (durable
+  *                                    engine checkpoint + committed state),
+  *                                    folding only newly-arrived files
+  *   [--commit-cadence <int>]         streaming: state commit every n folds
+  *                                    (default 1 = exactly-once resume)
+  *   [--band <int>]                   streaming: band width (default = the
+  *                                    batch Blocking.Config maxConvDist)
+  *   [--watermark <duration>]         streaming: event-time watermark
+  *                                    ("10 minutes")
   * }}}
   *
   * `--train N` is the engine's `runTrainEvaluate`
@@ -189,12 +206,141 @@ object Run {
     f""""bcub_f1":${b.getAs[Double]("bcub_f1")}%.6f,"""
   }
 
+  /** The STREAMING job body (`--streaming true`): the operational face of
+    * the ST chain — transcript file stream → stateless mention extraction +
+    * property enrichment → stateful band pairing (B1's streaming analog) →
+    * the batch scoring expressions, stateless → a DURABLE scored-arc parquet
+    * sink → (second query) running per-mention argmax decode (W4/A2) →
+    * [[graft.streaming.StreamingClusters.maintain]] with a DURABLE engine
+    * checkpoint and TableIO state commits every `--commit-cadence` folds. `Trigger.AvailableNow` drains whatever has
+    * arrived and terminates — the warehouse incremental-maintenance shape: a
+    * re-run with the same `--output` loads the committed state, the engine
+    * checkpoint skips already-folded files, and only new arrivals fold
+    * (cadence 1 = exactly-once resume; see `maintain`'s resume contract).
+    * The maintained cluster table equals the batch clustering of the band
+    * arcs decoded so far after every fold (StreamingSpec), so the committed
+    * `stream_clusters` snapshot is always a consistent entity table. */
+  private def runStreaming(spark: SparkSession, opt: Map[String, String],
+      input: String, output: String): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{StreamingAssembly, StreamingClusters}
+    val t0 = System.nanoTime()
+    val mode = opt.getOrElse("mode", "dense")
+    val linkThreshold = opt.get("link-threshold").map(_.toDouble).getOrElse(0.0)
+    // band default MUST mirror the batch Blocking.Config default (30), not
+    // streamingBandPairs' own signature default — a narrower stream band
+    // silently drops far-antecedent arcs the batch pipeline scores, and the
+    // maintained clusters stop equalling the batch decode (found by RunSpec)
+    val band = opt.get("band").map(_.toInt).getOrElse(Blocking.Config().maxConvDist)
+    val watermark = opt.getOrElse("watermark", "10 minutes")
+    val cadence = opt.get("commit-cadence").map(_.toInt).getOrElse(1)
+    val token = s"stream-$mode-$linkThreshold-$band-${watermark.replace(' ', '_')}"
+
+    // Source dir: a harness sf dir derives transcripts relationally — they
+    // have no parquet on disk to stream, so materialize them ONCE into the
+    // output (skipped if present: a rewrite would mint new part-file names
+    // the engine checkpoint hasn't seen and refold every row as new data).
+    // Real deployments point --input at the arriving directory itself.
+    val srcDir =
+      if (new java.io.File(s"$input/events.parquet").exists()) {
+        val d = s"$output/transcripts_src"
+        if (!new java.io.File(d).exists())
+          Transcripts.load(spark, input).write.parquet(d)
+        d
+      } else input
+
+    val mentionStream = StreamingAssembly.enrichMentions(
+      StreamingAssembly.extractMentions(
+        StreamingAssembly.streamTranscripts(spark, srcDir)))
+    val scores = mode match {
+      case "dense" =>
+        StreamingAssembly.streamingBandScores(spark, mentionStream,
+          maxConvDist = band, watermark = watermark)
+      case "sparse" =>
+        val dir = opt.getOrElse("model-dir",
+          sys.error("--mode sparse requires --model-dir (a committed packed model)"))
+        val tok = opt.getOrElse("model-token",
+          sys.error("--mode sparse requires --model-token"))
+        val (w, _) = ModelIO.loadSparse(spark, new TableIO(dir), tok)
+        val wmap = SparseFeatures.collectWeights(w).getOrElse(sys.error(
+          "--streaming sparse needs a broadcast-size model (the stream-side " +
+          "scorer is a pure projection; a join-scale model has no stream plan)"))
+        // F5 backoff counts are a STATIC table (training-corpus statistics):
+        // computed from the landed corpus here; cold-start surfaces the
+        // table never saw back off to their word shape (documented in
+        // streamingBandScoresSparse)
+        val counts = SparseFeatures.normCounts(
+          Mentions.extractIdentifier(spark.read.parquet(srcDir)))
+        StreamingAssembly.streamingBandScoresSparse(spark, mentionStream,
+          counts, wmap, maxConvDist = band, watermark = watermark)
+      case other => sys.error(s"--streaming supports --mode dense|sparse, got $other")
+    }
+    // Two chained queries, NOT one: band pairing and running decode are both
+    // stateful (flatMapGroupsWithState), and Spark's global-watermark
+    // correctness rule forbids stacking them in a single query (the first
+    // may emit rows the second's watermark already passed). The durable arc
+    // table between them is the warehouse topology anyway — each stage has
+    // its own checkpoint, the parquet file sink is exactly-once per batch
+    // (file-sink log), and the scored-arc stream is independently queryable.
+    val arcDir = s"$output/band_scores"
+    val q1 = scores.writeStream
+      .format("parquet")
+      .option("path", arcDir)
+      .option("checkpointLocation", s"$output/ckpt_scores")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+
+    val arcStream = spark.readStream
+      .schema("ant_id STRING, cur_id STRING, block_key STRING, " +
+        "score DOUBLE, ts TIMESTAMP")
+      .parquet(arcDir)
+    val decoded = StreamingAssembly.streamingDecode(spark, arcStream,
+      linkThreshold, watermark = watermark)
+
+    val io = new TableIO(output)
+    val initial = StreamingClusters.loadState(spark, io, token)
+    val initialBatches = initial.map(_.batches).getOrElse(0L)
+    val (q, ref) = StreamingClusters.maintain(spark, decoded,
+      trigger = Some(Trigger.AvailableNow()),
+      initial = initial,
+      commitCadence = Some((io, token, cadence)),
+      checkpointLocation = Some(s"$output/stream_checkpoint"))
+    q.awaitTermination()
+    val st = ref.get()
+    // the cadence committed every n-th fold; seal the tail so the final
+    // state is always resumable (skip when the cadence already wrote it —
+    // or when nothing folded, leaving the loaded state current)
+    if (st.batches > initialBatches && st.batches % cadence != 0)
+      StreamingClusters.commitState(io, st, token)
+    val nLive = st.clusters.count()
+    val nClusters =
+      if (nLive == 0) 0L
+      else st.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val metrics = s"""{"input":"$input","mode":"$mode","streaming":true,""" +
+      s""""config":"$token","folds":${st.batches},""" +
+      s""""resumed_from_fold":$initialBatches,""" +
+      s""""linked_mentions":$nLive,"clusters":$nClusters,""" +
+      f""""wall_sec":$wallSec%.3f}"""
+    val w = new java.io.PrintWriter(s"$output/metrics.json")
+    try w.println(metrics) finally w.close()
+    metrics
+  }
+
   /** The job body, session-lifecycle-free so a test can drive it on a shared
     * session: parses options, optionally trains+commits a sparse model, runs
     * the pipeline, commits outputs, writes and returns the metrics line. */
   def runWith(spark: SparkSession, opt: Map[String, String]): String = {
     val input = opt.getOrElse("input", sys.error("--input is required"))
     val output = opt.getOrElse("output", sys.error("--output is required"))
+    if (opt.get("streaming").exists(_.toBoolean)) {
+      require(opt.get("train").isEmpty && opt.get("joint").isEmpty,
+        "--streaming is the incremental-maintenance face: train the model in " +
+        "a batch run (--train) and pass it via --model-dir/--model-token; " +
+        "--joint is batch-only")
+      return runStreaming(spark, opt, input, output)
+    }
     val trainEpochs = opt.get("train").map(_.toInt)
     val mode = if (trainEpochs.nonEmpty) "sparse" else opt.getOrElse("mode", "dense")
     val generator = opt.getOrElse("generator", "all")

@@ -199,7 +199,8 @@ object StreamingAssembly {
     * conversations are evicted by event-time timeout one horizon past the
     * watermark. */
   def streamingBandPairs(spark: SparkSession, mentionStream: DataFrame,
-      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      maxConvDist: Int = graft.pipeline.Blocking.Config().maxConvDist,
+      watermark: String = "10 minutes",
       horizonMs: Long = 600000L) = {
     import spark.implicits._
     val in = mentionStream
@@ -247,7 +248,8 @@ object StreamingAssembly {
     * `(ant_id, cur_id, block_key, score, ts)`. */
   def streamingBandScores(spark: SparkSession, mentionStream: DataFrame,
       weights: graft.pipeline.Scoring.Weights = graft.pipeline.Scoring.DefaultWeights,
-      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      maxConvDist: Int = graft.pipeline.Blocking.Config().maxConvDist,
+      watermark: String = "10 minutes",
       horizonMs: Long = 600000L): DataFrame =
     graft.pipeline.Scoring.score(graft.pipeline.Scoring.featurize(
       streamingBandPairs(spark, mentionStream, maxConvDist, watermark,
@@ -265,7 +267,8 @@ object StreamingAssembly {
     * to the batch band leg on replay (StreamingSpec pins it). */
   def streamingBandScoresSparse(spark: SparkSession, mentionStream: DataFrame,
       counts: DataFrame, wmap: graft.functions.SparseWeightMap,
-      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      maxConvDist: Int = graft.pipeline.Blocking.Config().maxConvDist,
+      watermark: String = "10 minutes",
       horizonMs: Long = 600000L): DataFrame = {
     val cb = graft.pipeline.SparseFeatures.surfaceSideCols(counts)
     def cold(side: String): DataFrame => DataFrame = df => df
@@ -387,7 +390,8 @@ object StreamingAssembly {
     * at most one watermark horizon beyond what any watermarked operator
     * retains, and the conversation-end timeout flushes the remainder. */
   def streamingBandPairsOrdered(spark: SparkSession, mentionStream: DataFrame,
-      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      maxConvDist: Int = graft.pipeline.Blocking.Config().maxConvDist,
+      watermark: String = "10 minutes",
       horizonMs: Long = 600000L) = {
     import spark.implicits._
     val in = mentionStream
@@ -457,7 +461,8 @@ object StreamingAssembly {
     * side-channel rows are filtered before the stateless scoring leg. */
   def streamingBandScoresOrdered(spark: SparkSession, mentionStream: DataFrame,
       weights: graft.pipeline.Scoring.Weights = graft.pipeline.Scoring.DefaultWeights,
-      maxConvDist: Int = 10, watermark: String = "10 minutes",
+      maxConvDist: Int = graft.pipeline.Blocking.Config().maxConvDist,
+      watermark: String = "10 minutes",
       horizonMs: Long = 600000L): DataFrame =
     graft.pipeline.Scoring.score(graft.pipeline.Scoring.featurize(
       streamingBandPairsOrdered(spark, mentionStream, maxConvDist, watermark,

@@ -110,6 +110,58 @@ class RunSpec extends SparkSuite {
     assert(flips >= 0L && flips < field(metrics, "mentions").toLong)
   }
 
+  test("--streaming: drains the input as a file stream, the maintained state " +
+      "equals the batch band-leg decode, and a re-run resumes without refolding") {
+    import graft.pipeline.{Mentions, Blocking, Scoring, Decode, Clustering}
+    import graft.sources.Transcripts
+    import graft.streaming.StreamingClusters
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_stream").toString
+    val out = s"$tmp/out"
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "streaming" -> "true"))
+    info(metrics)
+    assert(field(metrics, "folds").toLong > 0L, "the drain must fold at least one batch")
+
+    // batch reference over the SAME arc universe the streaming chain scores
+    // (the in-conversation band leg): scores -> decode -> full clustering
+    val m = Mentions.extractIdentifier(
+      Transcripts.load(spark, "/root/testdata/sf0.001"))
+    val scored = Scoring.scorePairs(Blocking.convBandPairs(m, Blocking.Config()), m)
+    val batchBp = Decode.backpointers(scored, 0.0)
+      .select("cur_id", "ant_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batchBp.nonEmpty)
+
+    val st = StreamingClusters.loadState(spark, new TableIO(out), field(metrics, "config"))
+      .getOrElse(fail("streaming state not committed under the config token"))
+    val streamBp = st.backptrs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamBp === batchBp,
+      "maintained backpointers must equal the batch band-leg decode")
+    val live = st.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val full = Clustering.cluster(spark,
+        st.clusters.select(col("mention_id")), st.backptrs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(live === full,
+      "maintained clusters must equal a full recompute over the folded arcs")
+
+    // resume: no new files arrived — the loaded state IS the result, zero
+    // refolds (the durable checkpoint skips every already-processed file)
+    val metrics2 = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "streaming" -> "true"))
+    info(metrics2)
+    assert(field(metrics2, "resumed_from_fold") === field(metrics, "folds"),
+      "the re-run must load the committed state")
+    assert(field(metrics2, "folds") === field(metrics, "folds"),
+      "no new arrivals => no new folds")
+    assert(field(metrics2, "clusters") === field(metrics, "clusters"))
+  }
+
   test("--train without --model-dir fails loudly; --mode sparse without a model fails loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("runspec2").toString
     intercept[RuntimeException] {
