@@ -162,6 +162,58 @@ class RunSpec extends SparkSuite {
     assert(field(metrics2, "clusters") === field(metrics, "clusters"))
   }
 
+  test("--streaming sparse: scores the stream with a committed packed model; " +
+      "the maintained state equals the batch sparse band-leg decode") {
+    import graft.pipeline.{Mentions, Blocking, Scoring, Decode, SparseFeatures}
+    import graft.sources.Transcripts
+    import graft.streaming.StreamingClusters
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_sstream").toString
+    val out = s"$tmp/out"
+    val modelDir = s"$tmp/models"
+
+    // commit a deterministic sparse model (closed-form log-odds against a
+    // head-match pseudo-label — the shape Run --train produces)
+    val m = Mentions.extractIdentifier(
+      Transcripts.load(spark, "/root/testdata/sf0.001"))
+    val counts = SparseFeatures.normCounts(m)
+    val pairsAttr = Scoring.attachAttrs(
+      Blocking.convBandPairs(m, Blocking.Config()), m)
+    val feats = SparseFeatures.featureStrings(pairsAttr, counts)
+    val labels = pairsAttr.select(col("ant_id"), col("cur_id"),
+      (col("head_key_a") === col("head_key_c")).cast("double").as("label"))
+    val io = new TableIO(modelDir)
+    val snap = ModelIO.saveSparse(io,
+      SparseFeatures.logOddsWeights(feats, labels), "streamtest")
+
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "streaming" -> "true",
+      "mode" -> "sparse",
+      "model-dir" -> modelDir,
+      "model-token" -> "streamtest"))
+    info(metrics)
+
+    // batch reference under the SAME committed (packed) model
+    val (wLoaded, _) = ModelIO.loadSparse(spark, io, "streamtest", Some(snap))
+    val wmap = SparseFeatures.collectWeights(wLoaded)
+      .getOrElse(fail("fixture model must be broadcast-size"))
+    val batchScores = SparseFeatures.scorePairsSparseFast(
+        Blocking.convBandPairs(m, Blocking.Config()), m, counts, wmap)
+      .select(col("ant_id"), col("cur_id"), col("score"))
+    val batchBp = Decode.backpointers(batchScores, 0.0)
+      .select("cur_id", "ant_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batchBp.nonEmpty)
+
+    val st = StreamingClusters.loadState(spark, new TableIO(out), field(metrics, "config"))
+      .getOrElse(fail("streaming state not committed under the config token"))
+    val streamBp = st.backptrs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamBp === batchBp,
+      "sparse-mode maintained backpointers must equal the batch sparse band decode")
+  }
+
   test("--train without --model-dir fails loudly; --mode sparse without a model fails loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("runspec2").toString
     intercept[RuntimeException] {
