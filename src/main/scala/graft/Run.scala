@@ -52,6 +52,15 @@ import graft.train.{ModelIO, Trainer}
   *                                    decode
   *   [--joint-coupling <double>]      type-agreement factor strength (1.0)
   *   [--joint-iters <int>]            BP iterations (6)
+  *   [--link true]                    wikify the mentions (L2–L5) against
+  *                                    --link-dict and commit the per-mention
+  *                                    `links` table alongside the clusters
+  *   [--link-dict <parquet>]          (surface, title, cnt) dictionary —
+  *                                    distill one from a dump via L6
+  *   [--link-redirects <parquet>]     (src, dst) one-hop redirects (L3)
+  *   [--link-aux <parquet>]           disambiguation titles to purge (L4)
+  *   [--link-choose grid|cascade]     L5 query×denotation grid (default) or
+  *                                    the L2 priority-then-count cascade
   *   [--checkpoint <dir>]             stage snapshots; re-run resumes
   *   [--generator all|identifier]     mention generators (M1)
   *   [--link-threshold <double>]      default 0.0
@@ -399,12 +408,40 @@ object Run {
         .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
       s""""joint_coupling":$coupling,"joint_iters":$iters,"joint_flips":$flips,"""
     } else ""
+    // L2–L5 operational face: wikify the mentions against a user-supplied
+    // title dictionary and commit the per-mention links alongside the
+    // clusters — the reference job's wikification output
+    // (`wiki/JointQueryDenotationChooser.scala`, `WikificationEvaluator`)
+    val linkFrag = if (opt.get("link").exists(_.toBoolean)) {
+      import spark.implicits._
+      val dict = spark.read.parquet(opt.getOrElse("link-dict", sys.error(
+        "--link requires --link-dict (a (surface,title,cnt) parquet — " +
+        "distill one from a dump with graft.wiki (L6))")))
+      val redirects = opt.get("link-redirects").map(spark.read.parquet(_))
+        .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
+      val aux = opt.get("link-aux").map(spark.read.parquet(_))
+        .getOrElse(Seq.empty[String].toDF("title"))
+      val sc = spark.sparkContext
+      val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
+      val links = (opt.getOrElse("link-choose", "grid") match {
+        case "grid" => // L5 query×denotation grid with the L4 aux purge
+          graft.linking.Linking.queryDenotationChoose(res.mentions, dict, redirects, aux)
+        case "cascade" => // L2+L3 best-priority-then-count cascade
+          graft.linking.Linking.link(res.mentions, dict, redirects)
+        case other => sys.error(s"--link-choose must be grid|cascade, got $other")
+      }).localCheckpoint(true) // consumed twice: committed + counted
+      out.commit("links", links, cfg.token)
+      val nLinked = links.count()
+      (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      s""""linked_mentions":$nLinked,"""
+    } else ""
     val evalFrag = if (opt.get("evaluate").exists(_.toBoolean))
       evaluateFragment(spark, opt, res) else ""
     val nMentions = res.mentions.count()
     val nClusters = res.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
     val metrics = s"""{"input":"$input","mode":"$mode","config":"${cfg.token}",""" +
-      trainFrag + jointFrag + evalFrag +
+      trainFrag + jointFrag + linkFrag + evalFrag +
       s""""mentions":$nMentions,"clusters":$nClusters,""" +
       f""""wall_sec":$wallSec%.3f}"""
     val w = new java.io.PrintWriter(s"$output/metrics.json")

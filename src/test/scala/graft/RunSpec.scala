@@ -162,6 +162,54 @@ class RunSpec extends SparkSuite {
     assert(field(metrics2, "clusters") === field(metrics, "clusters"))
   }
 
+  test("--link: wikifies the mentions against a dictionary and commits the links") {
+    import graft.pipeline.Mentions
+    import graft.sources.Transcripts
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_link").toString
+    val out = s"$tmp/out"
+    // fixture dictionary: every normalized surface maps to TWO titles, the
+    // intended one (high count) and a decoy disambiguation page the L4 purge
+    // must drop; one redirect hop rewrites a marked title
+    val m = Mentions.extractIdentifier(
+      Transcripts.load(spark, "/root/testdata/sf0.001"))
+    val surfaces = m.select(col("norm").as("surface")).distinct()
+    surfaces.select(col("surface"), concat(lit("T_"), col("surface")).as("title"),
+        lit(100L).as("cnt"))
+      .union(surfaces.select(col("surface"),
+        concat(lit("DAB_"), col("surface")).as("title"), lit(1000L).as("cnt")))
+      .write.parquet(s"$tmp/dict")
+    surfaces.limit(1)
+      .select(concat(lit("T_"), col("surface")).as("src"),
+        concat(lit("R_"), col("surface")).as("dst"))
+      .write.parquet(s"$tmp/redirects")
+    surfaces.select(concat(lit("DAB_"), col("surface")).as("title"))
+      .write.parquet(s"$tmp/aux")
+
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "link" -> "true",
+      "link-dict" -> s"$tmp/dict",
+      "link-redirects" -> s"$tmp/redirects",
+      "link-aux" -> s"$tmp/aux"))
+    info(metrics)
+    val links = new TableIO(out)
+      .readIfCurrent(spark, "links", field(metrics, "config"))
+      .getOrElse(fail("links not committed under the config token"))
+    assert(links.count() === field(metrics, "linked_mentions").toLong)
+    assert(links.count() > 0L)
+    assert(links.groupBy("mention_id").count().filter(col("count") > 1).count() === 0L,
+      "at most one link per mention")
+    assert(links.filter(col("title").startsWith("DAB_")).count() === 0L,
+      "disambiguation titles must be purged (L4)")
+    assert(links.filter(col("title").startsWith("R_")).count() > 0L,
+      "the redirect hop must rewrite the marked title (L3)")
+    assert(links.filter(!col("title").startsWith("T_") &&
+      !col("title").startsWith("R_")).count() === 0L)
+  }
+
   test("--streaming sparse: scores the stream with a committed packed model; " +
       "the maintained state equals the batch sparse band-leg decode") {
     import graft.pipeline.{Mentions, Blocking, Scoring, Decode, SparseFeatures}
