@@ -61,6 +61,8 @@ import graft.train.{ModelIO, Trainer}
   *   [--link-aux <parquet>]           disambiguation titles to purge (L4)
   *   [--link-choose grid|cascade]     L5 query×denotation grid (default) or
   *                                    the L2 priority-then-count cascade
+  *   [--conll-out <dir>]              also write the clustered mentions as
+  *                                    CoNLL-style coref-bit text (S4)
   *   [--checkpoint <dir>]             stage snapshots; re-run resumes
   *   [--generator all|identifier]     mention generators (M1)
   *   [--link-threshold <double>]      default 0.0
@@ -423,25 +425,45 @@ object Run {
         .getOrElse(Seq.empty[String].toDF("title"))
       val sc = spark.sparkContext
       val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
-      val links = (opt.getOrElse("link-choose", "grid") match {
+      val choose = opt.getOrElse("link-choose", "grid")
+      val links = (choose match {
         case "grid" => // L5 query×denotation grid with the L4 aux purge
           graft.linking.Linking.queryDenotationChoose(res.mentions, dict, redirects, aux)
         case "cascade" => // L2+L3 best-priority-then-count cascade
           graft.linking.Linking.link(res.mentions, dict, redirects)
         case other => sys.error(s"--link-choose must be grid|cascade, got $other")
       }).localCheckpoint(true) // consumed twice: committed + counted
-      out.commit("links", links, cfg.token)
+      // links lineage extends the pipeline token with the linking inputs —
+      // the same clusters wikified against a different dictionary (or chooser)
+      // must NOT share a token, or a resume-style reader would treat the two
+      // as interchangeable snapshots
+      val linkToken = cfg.token + "-" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"${opt("link-dict")}|${opt.getOrElse("link-redirects", "")}|" +
+          s"${opt.getOrElse("link-aux", "")}|$choose").toLong & 0xffffffffL)
+      out.commit("links", links, linkToken)
       val nLinked = links.count()
       (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore)
         .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
-      s""""linked_mentions":$nLinked,"""
+      s""""link_config":"$linkToken","linked_mentions":$nLinked,"""
     } else ""
+    // S4 operational face: the reference predict driver's actual output
+    // format (`ConllDocWriter.writeDoc`) — token-per-line text with coref
+    // bits, one conversation never split across files. Parquet commits stay
+    // the primary sink; this is the interchange format a CoNLL scorer or the
+    // reference's own readers consume.
+    val conllFrag = opt.get("conll-out").map { dir =>
+      graft.io.ConllWriter.write(
+        graft.io.ConllWriter.formatLines(transcripts, res.mentions, res.clusters),
+        dir)
+      s""""conll_out":"$dir","""
+    }.getOrElse("")
     val evalFrag = if (opt.get("evaluate").exists(_.toBoolean))
       evaluateFragment(spark, opt, res) else ""
     val nMentions = res.mentions.count()
     val nClusters = res.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
     val metrics = s"""{"input":"$input","mode":"$mode","config":"${cfg.token}",""" +
-      trainFrag + jointFrag + linkFrag + evalFrag +
+      trainFrag + jointFrag + linkFrag + conllFrag + evalFrag +
       s""""mentions":$nMentions,"clusters":$nClusters,""" +
       f""""wall_sec":$wallSec%.3f}"""
     val w = new java.io.PrintWriter(s"$output/metrics.json")

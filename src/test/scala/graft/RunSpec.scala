@@ -196,8 +196,10 @@ class RunSpec extends SparkSuite {
       "link-aux" -> s"$tmp/aux"))
     info(metrics)
     val links = new TableIO(out)
-      .readIfCurrent(spark, "links", field(metrics, "config"))
-      .getOrElse(fail("links not committed under the config token"))
+      .readIfCurrent(spark, "links", field(metrics, "link_config"))
+      .getOrElse(fail("links not committed under the link lineage token"))
+    assert(field(metrics, "link_config").startsWith(field(metrics, "config") + "-"),
+      "link lineage extends the pipeline config token with the linking inputs")
     assert(links.count() === field(metrics, "linked_mentions").toLong)
     assert(links.count() > 0L)
     assert(links.groupBy("mention_id").count().filter(col("count") > 1).count() === 0L,
@@ -208,6 +210,35 @@ class RunSpec extends SparkSuite {
       "the redirect hop must rewrite the marked title (L3)")
     assert(links.filter(!col("title").startsWith("T_") &&
       !col("title").startsWith("R_")).count() === 0L)
+  }
+
+  test("--conll-out: the written coref-bit text round-trips to exactly the " +
+      "committed clusters") {
+    import graft.io.ConllWriter
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_conll").toString
+    val out = s"$tmp/out"
+    val conll = s"$tmp/conll"
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "conll-out" -> conll))
+    info(metrics)
+    assert(field(metrics, "conll_out") === conll)
+    val committed = new TableIO(out)
+      .readIfCurrent(spark, "clusters", field(metrics, "config"))
+      .getOrElse(fail("clusters not committed under the config token"))
+      .select(col("mention_id"), col("cluster_id").cast("string").as("cluster_id"))
+    // invert the format: brackets -> extents -> positional mention ids; the
+    // text sink must carry EXACTLY the committed cluster assignment
+    val back = ConllWriter.parseClusters(spark,
+        ConllWriter.parse(spark.read.text(conll)))
+      .select(graft.functions.mentionId(
+          col("conv_id"), col("turn_idx"), col("start")).as("mention_id"),
+        col("cluster_id").cast("string").as("cluster_id"))
+    assert(back.exceptAll(committed).isEmpty && committed.exceptAll(back).isEmpty,
+      "coref-bit text must round-trip to the committed clusters exactly")
+    assert(back.count() === committed.count())
   }
 
   test("--streaming sparse: scores the stream with a committed packed model; " +
