@@ -103,7 +103,7 @@ object Bench {
       val linked = sScored.filter(col("score") > cfg.linkThreshold)
         .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
       val bridge = Blocking.bridgePairs(linked, mentions, cfg.blocking,
-        extraCols = Seq("score"))
+        extraCols = Seq("score"), keepInBand = sparseWeights.nonEmpty)
         .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       val selfSc = (sparseWeights, wmap) match {
         case (_, Some(m)) => SparseFeatures.selfScoresSparseFast(surfaces, counts, m)

@@ -102,15 +102,53 @@ import graft.train.{ModelIO, Trainer}
   */
 object Run {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+  /** Every option the job understands — an operational entry point must
+    * reject a typo'd or dangling flag, not silently run without it. */
+  private val KnownOpts = Set(
+    "input", "output", "mode", "model-dir", "model-token", "train", "gold",
+    "loss", "eta", "evaluate", "joint", "joint-coupling", "joint-iters",
+    "link", "link-dict", "link-redirects", "link-aux", "link-choose",
+    "conll-out", "checkpoint", "generator", "link-threshold",
+    "streaming", "commit-cadence", "band", "watermark")
+
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0, "options are --key value pairs; dangling " +
+      s"flag at the end of: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && KnownOpts(k.stripPrefix("--")) =>
+        k.stripPrefix("--") -> v
+      case Array(k, _) => sys.error(s"unknown option $k (known: " +
+        KnownOpts.toSeq.sorted.map("--" + _).mkString(", ") + ")")
     }.toMap
+  }
+
+  /** Path probe / small-text write through the Hadoop FileSystem API — the
+    * entry point documents spark-submit against a cluster, where paths are
+    * hdfs:///s3a:// URIs and `java.io.File` silently answers false. */
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((text + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Release every RDD block pinned since `before`, BLOCKING — async frees
+    * let dead blocks overlap live ones (the steady-epoch OOM, SURVEY §11.2);
+    * one definition so no call site quietly degrades to async again. */
+  private def releasePins(sc: org.apache.spark.SparkContext, before: Set[Int]): Unit =
+    (sc.getPersistentRDDs.keySet.toSet -- before)
+      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
 
   /** A harness sf dir derives transcripts from `events × customer`; anything
     * else is read as a parquet table of the input-hint schema. */
   private def readTranscripts(spark: SparkSession, input: String): DataFrame =
-    if (new java.io.File(s"$input/events.parquet").exists())
+    if (fsExists(spark, s"$input/events.parquet"))
       Transcripts.load(spark, input)
     else {
       val df = spark.read.parquet(input)
@@ -160,6 +198,7 @@ object Run {
   private def trainAndCommit(spark: SparkSession, opt: Map[String, String],
       transcripts: DataFrame, generator: String, epochs: Int)
       : (DataFrame, String, String) = {
+    require(epochs >= 1, s"--train needs at least 1 epoch, got $epochs")
     val modelDir = opt.getOrElse("model-dir",
       sys.error("--train requires --model-dir (where the packed model is committed)"))
     val loss = parseLoss(opt.getOrElse("loss", "zero"))
@@ -189,8 +228,7 @@ object Run {
       s"${loss.falseLink}-${loss.falseNew}-${loss.wrongLink}"
     val io = new TableIO(modelDir)
     val snap = ModelIO.saveSparse(io, ModelIO.sparseWeightsFromTrained(trained), token)
-    (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore)
-      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    releasePins(sc, pinnedBefore)
     val (w, tag) = ModelIO.loadSparse(spark, io, token, Some(snap))
     val nFeats = w.count()
     val frag =
@@ -204,10 +242,13 @@ object Run {
     * the north-star metric) over the blocked candidate universe, plus MUC
     * and B³ (A10). Returns a metrics fragment. */
   private def evaluateFragment(spark: SparkSession, opt: Map[String, String],
-      res: Pipeline.Result): String = {
+      cfg: Pipeline.Config, res: Pipeline.Result): String = {
     val g = goldEntities(spark, opt, res.mentions)
-    val universe = Blocking.candidatePairs(res.mentions,
-      graft.harness.Queries.harnessCfg.blocking)
+    // the evaluation universe is the SAME blocked pair set the pipeline
+    // under evaluation scored (cfg.blocking) — scoring it over a different
+    // blocking config would count pairs the pipeline never saw as recall
+    // misses (and exclude pairs it did score)
+    val universe = Blocking.candidatePairs(res.mentions, cfg.blocking)
     val f1 = Eval.pairwiseF1(universe.select("ant_id", "cur_id"), res.clusters, g)
       .collect()(0)
     val m = Eval.muc(res.clusters, g).collect()(0)
@@ -245,7 +286,17 @@ object Run {
     val band = opt.get("band").map(_.toInt).getOrElse(Blocking.Config().maxConvDist)
     val watermark = opt.getOrElse("watermark", "10 minutes")
     val cadence = opt.get("commit-cadence").map(_.toInt).getOrElse(1)
-    val token = s"stream-$mode-$linkThreshold-$band-${watermark.replace(' ', '_')}"
+    // sparse mode: the MODEL IDENTITY is part of the state lineage — a
+    // resume that loads state folded under model A and extends it with
+    // arrivals scored by model B would commit silently mixed-model clusters
+    // under one tag (the batch path puts sparseTag in Pipeline.Config.token
+    // for exactly this reason)
+    val modelFrag =
+      if (mode == "sparse") "-" + opt.getOrElse("model-token",
+        sys.error("--mode sparse requires --model-token"))
+      else ""
+    val token =
+      s"stream-$mode-$linkThreshold-$band-${watermark.replace(' ', '_')}$modelFrag"
 
     // Source dir: a harness sf dir derives transcripts relationally — they
     // have no parquet on disk to stream, so materialize them ONCE into the
@@ -253,10 +304,14 @@ object Run {
     // the engine checkpoint hasn't seen and refold every row as new data).
     // Real deployments point --input at the arriving directory itself.
     val srcDir =
-      if (new java.io.File(s"$input/events.parquet").exists()) {
+      if (fsExists(spark, s"$input/events.parquet")) {
         val d = s"$output/transcripts_src"
-        if (!new java.io.File(d).exists())
-          Transcripts.load(spark, input).write.parquet(d)
+        // presence is judged by the _SUCCESS marker, not the directory: a
+        // run killed mid-write leaves a partial directory that would
+        // otherwise pass as the complete corpus forever (the engine
+        // checkpoint cements whatever file set the first fold saw)
+        if (!fsExists(spark, s"$d/_SUCCESS"))
+          Transcripts.load(spark, input).write.mode("overwrite").parquet(d)
         d
       } else input
 
@@ -334,8 +389,7 @@ object Run {
       s""""resumed_from_fold":$initialBatches,""" +
       s""""linked_mentions":$nLive,"clusters":$nClusters,""" +
       f""""wall_sec":$wallSec%.3f}"""
-    val w = new java.io.PrintWriter(s"$output/metrics.json")
-    try w.println(metrics) finally w.close()
+    writeText(spark, s"$output/metrics.json", metrics)
     metrics
   }
 
@@ -346,10 +400,12 @@ object Run {
     val input = opt.getOrElse("input", sys.error("--input is required"))
     val output = opt.getOrElse("output", sys.error("--output is required"))
     if (opt.get("streaming").exists(_.toBoolean)) {
-      require(opt.get("train").isEmpty && opt.get("joint").isEmpty,
-        "--streaming is the incremental-maintenance face: train the model in " +
-        "a batch run (--train) and pass it via --model-dir/--model-token; " +
-        "--joint is batch-only")
+      val batchOnly = Seq("train", "joint", "evaluate", "link", "conll-out",
+        "checkpoint").filter(opt.contains)
+      require(batchOnly.isEmpty,
+        s"--streaming is the incremental-maintenance face; batch-only options " +
+        s"given: ${batchOnly.map("--" + _).mkString(", ")} (train the model in " +
+        "a batch run and pass it via --model-dir/--model-token)")
       return runStreaming(spark, opt, input, output)
     }
     val trainEpochs = opt.get("train").map(_.toInt)
@@ -376,7 +432,11 @@ object Run {
       checkpointDir = opt.get("checkpoint"),
       scoringMode = mode,
       sparseWeights = Option(sparseWeights),
-      sparseTag = sparseTag)
+      sparseTag = sparseTag,
+      // input identity in the lineage: the same --checkpoint dir pointed at
+      // a different --input must recompute, not resume the old input's
+      // snapshots
+      inputTag = input)
 
     val t0 = System.nanoTime()
     val res = Pipeline.run(spark, transcripts, cfg)
@@ -406,8 +466,7 @@ object Run {
         .join(res.backptrs.select(col("cur_id"), col("ant_id").as("pair_ant")),
           Seq("cur_id"), "left")
         .filter(!(col("joint_ant") <=> col("pair_ant"))).count()
-      (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore)
-        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      releasePins(sc, pinnedBefore)
       s""""joint_coupling":$coupling,"joint_iters":$iters,"joint_flips":$flips,"""
     } else ""
     // L2–L5 operational face: wikify the mentions against a user-supplied
@@ -443,8 +502,7 @@ object Run {
           s"${opt.getOrElse("link-aux", "")}|$choose").toLong & 0xffffffffL)
       out.commit("links", links, linkToken)
       val nLinked = links.count()
-      (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore)
-        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      releasePins(sc, pinnedBefore)
       s""""link_config":"$linkToken","linked_mentions":$nLinked,"""
     } else ""
     // S4 operational face: the reference predict driver's actual output
@@ -459,15 +517,14 @@ object Run {
       s""""conll_out":"$dir","""
     }.getOrElse("")
     val evalFrag = if (opt.get("evaluate").exists(_.toBoolean))
-      evaluateFragment(spark, opt, res) else ""
+      evaluateFragment(spark, opt, cfg, res) else ""
     val nMentions = res.mentions.count()
     val nClusters = res.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
     val metrics = s"""{"input":"$input","mode":"$mode","config":"${cfg.token}",""" +
       trainFrag + jointFrag + linkFrag + conllFrag + evalFrag +
       s""""mentions":$nMentions,"clusters":$nClusters,""" +
       f""""wall_sec":$wallSec%.3f}"""
-    val w = new java.io.PrintWriter(s"$output/metrics.json")
-    try w.println(metrics) finally w.close()
+    writeText(spark, s"$output/metrics.json", metrics)
     res.unpersist()
     metrics
   }

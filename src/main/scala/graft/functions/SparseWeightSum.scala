@@ -150,7 +150,7 @@ object SparseWeightMap {
     b.result()
   }
 
-  private final case class BuildKey(n: Int, nameHash: Long, wSum: Long)
+  private final case class BuildKey(n: Int, d0: Long, d1: Long)
   /** JVM-wide memo of built lookup maps: the map is read-only after build,
     * so sharing one instance across every task in the executor is safe.
     * Bounded — a long-lived executor that sees many distinct models (e.g.
@@ -160,17 +160,25 @@ object SparseWeightMap {
 
   private[functions] def cachedBuild(names: Array[String], w: Array[Long])
       : java.util.HashMap[UTF8String, ConjEntry] = {
-    var h = 1125899906842597L
-    var ws = 0L
+    // 128-bit MD5 content digest, NOT a 64-bit rolling hash: two distinct
+    // models colliding here would silently score with the wrong weights, so
+    // the key must make that cryptographically impossible, not merely
+    // unlikely. One digest per task (cachedBuild runs once per deserialized
+    // instance), ~ms at 10^5 names — noise next to the build it memoizes.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wb = java.nio.ByteBuffer.allocate(12)
     var i = 0
     while (i < names.length) {
-      h = h * 31 + names(i).hashCode
-      h = h * 31 + java.lang.Long.hashCode(w(i))
-      ws += w(i)
+      val nb = names(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      wb.clear(); wb.putInt(nb.length); wb.putLong(w(i)) // length-prefixed: no concat ambiguity
+      md.update(wb.array(), 0, 12)
+      md.update(nb)
       i += 1
     }
+    val d = java.nio.ByteBuffer.wrap(md.digest())
     if (buildCache.size > 8) buildCache.clear()
-    buildCache.computeIfAbsent(BuildKey(names.length, h, ws), _ => build(names, w))
+    buildCache.computeIfAbsent(BuildKey(names.length, d.getLong, d.getLong),
+      _ => build(names, w))
   }
 
   private def build(names: Array[String], w: Array[Long])

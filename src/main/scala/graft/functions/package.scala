@@ -218,6 +218,15 @@ package object functions {
   def fancyHeadContainment(headA: Column, toksB: Column): Column =
     array_contains(toksB, headA)
 
+  /** Concatenated first letters of a token array
+    * (`sem/AbbreviationHandler.scala:7-66`). ONE definition shared by the
+    * acronym blocking key (B5), the sparse `ab=` template input, and the
+    * dense f_abbrev feature: the blocking-side acronym key recalls exactly
+    * the pairs the scorers reward only while all three agree, so they must
+    * not be able to drift apart. */
+  def initials(toks: Column): Column =
+    array_join(transform(toks, t => substring(t, 1, 1)), "")
+
   /** F11 semantic class — scoped dictionary heuristic (the reference uses
     * WordNet synset walks, `sem/SemClass.scala:15-81`; no WordNet exists in
     * this environment, so the class comes from surface morphology + the

@@ -560,7 +560,15 @@ object JointInference {
     val idx = mentions.iterator.map(_.id).zipWithIndex.toMap
     ps.collect { case (_, a, c, s) if idx.contains(a) && idx.contains(c) =>
         (idx(c), (idx(a), s)) }
-      .toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sortBy(_._1) }
+      .toArray.groupBy(_._1).map { case (c, xs) =>
+        // duplicate (ant, cur) arcs — the sparse pipeline's band + in-band
+        // chain/bridge rows for one pair — collapse to ONE state at the max
+        // score (the decode-argmax semantics); two states for the same
+        // antecedent would double its prior mass in the antecedent belief
+        c -> xs.map(_._2).groupBy(_._1)
+          .map { case (a, ss) => (a, ss.map(_._2).max) }
+          .toArray.sortBy(_._1)
+      }
   }
 
   /** @param mentionPriors (mention_id, conv_id, prior: array<double> over Types)

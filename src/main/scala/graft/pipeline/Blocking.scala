@@ -84,8 +84,7 @@ object Blocking {
     // candidate acronyms of themselves ("ADS" ↔ "Acme Data Systems") — the
     // blocking-side analog of the reference's abbreviation feature
     // (`sem/AbbreviationHandler.scala:7-66`)
-    val initials = array_join(
-      transform(split(col("norm"), " "), t => substring(t, 1, 1)), "")
+    val initials = graft.functions.initials(split(col("norm"), " "))
     val acronym = base
       .withColumn("acro",
         when(size(split(col("norm"), " ")) > 1, initials)
@@ -270,18 +269,33 @@ object Blocking {
     * a pure function of the two surfaces). Cost: O(|linked pairs|) instead of
     * O(Σ n_a·n_b) — this is what kills the heavy-surface quadratic at 10^12
     * turns. Joins hit exactly one row per norm: uniform keys, no salt needed.
-    * In-band bridges are excluded (the band scores them strictly higher). */
+    *
+    * In-band bridges are excluded BY DEFAULT: under the DENSE model the band
+    * arc for the same mention pair carries the same surface features plus
+    * dist_decay ≥ 0, so if the surface score linked, the band arc links too
+    * and the clique-equivalence above is preserved. As with
+    * [[sameSurfaceChainPairs]], that dominance argument does NOT survive a
+    * trained sparse model (negative `&t=`/`&tt=` conjunction weights can
+    * push the band arc below the link threshold where the surface score
+    * would have linked, splitting the two surface groups the coarse pass
+    * joined) — sparse callers pass `keepInBand = true` so the bridge rides
+    * along at the surface score and the decode argmax sees
+    * `greatest(band, surface)` for the pair. */
   def bridgePairs(linkedSurfacePairs: DataFrame, mentions: DataFrame,
-      cfg: Config = Config(), extraCols: Seq[String] = Nil): DataFrame = {
+      cfg: Config = Config(), extraCols: Seq[String] = Nil,
+      keepInBand: Boolean = false): DataFrame = {
     val smin = mentions.filter(!col("closed_class"))
       .groupBy(col("norm")).agg(min(col("mention_id")).as("mention_id"))
       .join(mentions.select(col("mention_id"), col("conv_id"), col("m_seq")), "mention_id")
       .select(col("norm"), col("mention_id"), col("conv_id"), col("m_seq"))
     val a = smin.toDF("norm_a", "id_a", "conv_a", "seq_a")
     val b = smin.toDF("norm_b", "id_b", "conv_b", "seq_b")
-    linkedSurfacePairs.join(a, "norm_a").join(b, "norm_b")
-      .filter(!(col("conv_a") === col("conv_b") &&
+    val joined = linkedSurfacePairs.join(a, "norm_a").join(b, "norm_b")
+    val banded =
+      if (keepInBand) joined
+      else joined.filter(!(col("conv_a") === col("conv_b") &&
         abs(col("seq_a") - col("seq_b")) <= cfg.maxConvDist))
+    banded
       .select(Seq(least(col("id_a"), col("id_b")).as("ant_id"),
         greatest(col("id_a"), col("id_b")).as("cur_id"),
         col("block_key")) ++ extraCols.map(col): _*)

@@ -68,6 +68,30 @@ object Clustering {
     labels.select(col("id").as("mention_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Union-find with path compression and union-by-MIN root — the single
+    * definition of the kernel behind the "cluster id = component minimum"
+    * contract, shared by the per-conversation contraction (executor-side,
+    * String ids), [[hybridComponents]]'s driver fast path (Long ids), and
+    * the C2 touched-subgraph solver (String ids); one place to fix means
+    * the three call sites cannot drift. `find` registers unseen keys as
+    * their own root. */
+  private[pipeline] final class UnionFindMin[K](implicit ord: Ordering[K]) {
+    private val parent = scala.collection.mutable.HashMap.empty[K, K]
+    def find(x: K): K = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: K, b: K): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    /** Every registered key with its component-min root. */
+    def roots: Iterator[(K, K)] = parent.keysIterator.map(k => (k, find(k)))
+  }
+
   /** Per-conversation union-find fast path (custom Aggregator-shaped kernel
     * via `mapGroups`; SURVEY.md §7.3). Collapses all within-conversation
     * edges in one pass; returns `(id, local_root)`. */
@@ -86,20 +110,9 @@ object Clustering {
     nodeByConv.union(edgeByConv)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val parent = scala.collection.mutable.HashMap.empty[String, String]
-        def find(x: String): String = {
-          var r = parent.getOrElseUpdate(x, x)
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        def union(a: String, b: String): Unit = {
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        it.foreach { case (_, a, b) => if (a == b) find(a) else union(a, b) }
-        parent.keysIterator.map(k => (k, find(k))).toSeq
+        val uf = new UnionFindMin[String]
+        it.foreach { case (_, a, b) => if (a == b) uf.find(a) else uf.union(a, b) }
+        uf.roots.toSeq
       }
       .toDF("id", "local_root")
   }
@@ -178,9 +191,11 @@ object Clustering {
     * [[maxDriverEdges]] the graph is solved driver-side with union-by-min
     * (identical result to the hash-to-min loop: cluster id = component
     * minimum) and the iterative rounds are skipped entirely; above it, the
-    * distributed checkpointed loop runs. The size probe is
-    * `limit(max+1).count()` so an over-threshold graph costs one bounded
-    * scan, never a full count. Shared by the ER clustering stage (contracted
+    * distributed checkpointed loop runs. The size probe is a single
+    * `take(max+1)` that doubles as the driver fetch, so an over-threshold
+    * graph costs one bounded scan, never a full count, and an
+    * under-threshold graph executes its edge plan exactly once.
+    * Shared by the ER clustering stage (contracted
     * cross-conversation graph) and near-dup canonicalization
     * ([[graft.ops.Dedup.canonicalize]] — near-dup components are tiny, so
     * the driver path removes ~6-8 s of per-iteration action overhead there).
@@ -188,26 +203,16 @@ object Clustering {
   def hybridComponents(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       checkpoint: (Int, DataFrame) => DataFrame = (_, df) => df.localCheckpoint(true))
     : DataFrame = {
-    val nEdges = edges.limit(maxDriverEdges + 1).count()
-    if (nEdges <= maxDriverEdges) {
-      val es = edges.select(col("src"), col("dst")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = parent.getOrElseUpdate(x, x)
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val lookup = parent.keysIterator.map(k => (k, find(k))).toSeq
+    // ONE take(max+1) doubles as the size probe and the driver fetch (the
+    // clusterTouched shape) — a separate limit().count() probe executed the
+    // edge plan twice for every under-threshold graph, the common case
+    val es0 = edges.select(col("src"), col("dst")).take(maxDriverEdges + 1)
+    if (es0.length <= maxDriverEdges) {
+      val uf = new UnionFindMin[Long]
+      es0.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
       val sparkSes = spark
       import sparkSes.implicits._
-      val mapped = lookup.toDF("id", "cluster_id")
+      val mapped = uf.roots.toSeq.toDF("id", "cluster_id")
       nodes.join(broadcast(mapped), Seq("id"), "left")
         .select(col("id").as("mention_id"),
           coalesce(col("cluster_id"), col("id")).as("cluster_id"))
@@ -314,22 +319,11 @@ object Clustering {
       .take(maxDriverEditEdges + 1)
     if (taken.length > maxDriverEditEdges) cluster(spark, members, subEdges)
     else {
-      val parent = scala.collection.mutable.HashMap.empty[String, String]
-      def find(x: String): String = {
-        var r = parent.getOrElseUpdate(x, x)
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      taken.foreach { row =>
-        val ra = find(row.getString(0)); val rb = find(row.getString(1))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
+      val uf = new UnionFindMin[String]
+      taken.foreach(row => uf.union(row.getString(0), row.getString(1)))
       val sparkSes = spark
       import sparkSes.implicits._
-      val mapped = parent.keysIterator.map(k => (k, find(k))).toSeq
-        .toDF("mention_id", "cluster_id")
+      val mapped = uf.roots.toSeq.toDF("mention_id", "cluster_id")
       members.join(broadcast(mapped), Seq("mention_id"), "left")
         .select(col("mention_id"),
           coalesce(col("cluster_id"), col("mention_id")).as("cluster_id"))

@@ -36,7 +36,14 @@ object Decode {
   /** Per-mention softmax marginals over candidate antecedents (A1,
     * `DocumentInferencerBasic.scala:24-50`) — used by the coarse-to-fine
     * pruning pass (B2) and by the trainer's gradient. Two-pass max-shifted
-    * log-sum-exp via window aggregation. */
+    * log-sum-exp via window aggregation.
+    *
+    * Expects `scored` to carry ONE row per (ant_id, cur_id): duplicate arcs
+    * (the sparse pipeline's band + in-band chain/bridge rows for one pair)
+    * would each claim a softmax state, inflating Z and that antecedent's
+    * marginal — dedup to max-score per pair first ([[backpointers]] and the
+    * joint kernel do this internally; the dense pipeline is unique by
+    * construction). */
   def marginals(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cur_id"))
     scored

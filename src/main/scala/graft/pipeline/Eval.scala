@@ -30,10 +30,15 @@ object Eval {
       sum(when(col("pred_same") && col("gold_same"), 1L).otherwise(0L)).as("tp"),
       sum(when(col("pred_same"), 1L).otherwise(0L)).as("pred_pairs"),
       sum(when(col("gold_same"), 1L).otherwise(0L)).as("gold_pairs"))
-      .withColumn("precision", col("tp").cast("double") / col("pred_pairs"))
-      .withColumn("recall", col("tp").cast("double") / col("gold_pairs"))
-      .withColumn("f1",
-        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+      .withColumn("precision", when(col("pred_pairs") > 0,
+        col("tp").cast("double") / col("pred_pairs")).otherwise(lit(0.0)))
+      .withColumn("recall", when(col("gold_pairs") > 0,
+        col("tp").cast("double") / col("gold_pairs")).otherwise(lit(0.0)))
+      // 0/0 collapses to 0.0, not NaN (the muc/bcub/ceafe guard, applied
+      // here too): a fully-disjoint prediction must serialize as a number
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))).otherwise(lit(0.0)))
   }
 
   /** Blocking recall audit (B7, `DocumentGraph.scala:117-142`): fraction of
@@ -120,8 +125,11 @@ object Eval {
           count(when(col("entity_id").isNull, 1))).as("parts"))
       .agg(sum(col("sz") - col("parts")).as("num_p"), sum(col("sz") - 1).as("den_p"))
     goldSide.crossJoin(predSide)
-      .withColumn("muc_recall", col("num_r").cast("double") / col("den_r"))
-      .withColumn("muc_precision", col("num_p").cast("double") / col("den_p"))
+      // all-singleton sides leave a 0 denominator (scorer.pl reports 0)
+      .withColumn("muc_recall", when(col("den_r") > 0,
+        col("num_r").cast("double") / col("den_r")).otherwise(lit(0.0)))
+      .withColumn("muc_precision", when(col("den_p") > 0,
+        col("num_p").cast("double") / col("den_p")).otherwise(lit(0.0)))
       .withColumn("muc_f1",
         when(col("muc_precision") + col("muc_recall") > 0.0,
           lit(2.0) * col("muc_precision") * col("muc_recall") /
@@ -149,8 +157,10 @@ object Eval {
       .agg(
         sum(col("ovl") * col("ovl") / col("csz")).as("sum_p"),
         sum(col("ovl") * col("ovl") / col("gsz")).as("sum_r"))
-      .withColumn("bcub_precision", coalesce(col("sum_p"), lit(0.0)) / nPred)
-      .withColumn("bcub_recall", coalesce(col("sum_r"), lit(0.0)) / nGold)
+      .withColumn("bcub_precision", // empty pred table → 0, not 0/0 NaN
+        if (nPred > 0) coalesce(col("sum_p"), lit(0.0)) / nPred else lit(0.0))
+      .withColumn("bcub_recall",
+        if (nGold > 0) coalesce(col("sum_r"), lit(0.0)) / nGold else lit(0.0))
       .withColumn("bcub_f1",
         when(col("bcub_precision") + col("bcub_recall") > 0.0,
           lit(2.0) * col("bcub_precision") * col("bcub_recall") /
@@ -232,8 +242,10 @@ object Eval {
         sum(col("phi")).as("phi_sum"),
         sum(col("np")).as("n_pred_clusters"),
         sum(col("ng")).as("n_gold_entities"))
-      .withColumn("precision", col("phi_sum") / col("n_pred_clusters"))
-      .withColumn("recall", col("phi_sum") / col("n_gold_entities"))
+      .withColumn("precision", when(col("n_pred_clusters") > 0, // empty side → 0, not NaN
+        col("phi_sum") / col("n_pred_clusters")).otherwise(lit(0.0)))
+      .withColumn("recall", when(col("n_gold_entities") > 0,
+        col("phi_sum") / col("n_gold_entities")).otherwise(lit(0.0)))
       .withColumn("f1",
         when(col("precision") + col("recall") > 0.0,
           lit(2.0) * col("precision") * col("recall") /

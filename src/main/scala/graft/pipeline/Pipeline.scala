@@ -32,6 +32,13 @@ object Pipeline {
       /** Caller-supplied stable tag identifying [[sparseWeights]] for the
         * resume-lineage token (a DataFrame can't be hashed into it). */
       sparseTag: String = "",
+      /** Caller-supplied stable identity of the INPUT data (source path /
+        * table + snapshot id), folded into [[token]]: two runs over
+        * different inputs against the same `checkpointDir` must not share
+        * snapshots, or the second silently returns the first's clusters.
+        * Empty ("") keeps the config-only token — only safe when the caller
+        * dedicates a checkpoint dir per input (the test-suite convention). */
+      inputTag: String = "",
       /** Sparse models at or under this many features are collected and
         * scored by in-projection hash lookup
         * ([[SparseFeatures.collectWeights]]); larger models stay on the
@@ -42,7 +49,7 @@ object Pipeline {
     /** Deterministic config token for lineage. */
     def token: String = {
       val s = s"$blocking|${weights.values.mkString(",")}|$linkThreshold|" +
-        s"$mentionGenerator|$scoringMode|$sparseTag"
+        s"$mentionGenerator|$scoringMode|$sparseTag|$inputTag"
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
     }
@@ -145,8 +152,11 @@ object Pipeline {
           .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
       val linked = surfaceScores.filter(col("score") > cfg.linkThreshold)
         .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
+      // sparse mode keeps in-band bridges for the same reason as the chain
+      // guard below: the coarse pass linked the two surface groups, and that
+      // connectivity must not depend on the sign of trained band weights
       val bridge = Blocking.bridgePairs(linked, mentions, cfg.blocking,
-        extraCols = Seq("score"))
+        extraCols = Seq("score"), keepInBand = sparse)
       // surfaces (cached) already carries n_mentions — share it instead of
       // re-aggregating the counts inside the chain leg
       val selfSc =
@@ -173,10 +183,14 @@ object Pipeline {
     val clusters = stage("clusters", tok) {
       val ccCheckpoint: (Int, DataFrame) => DataFrame = io match {
         case Some(t) => (i, df) => {
-          // one stage per iteration: a re-run resumes at its own iteration's
-          // snapshot instead of piling snapshots into a single stage dir
-          val snap = t.commit(s"cc-iter-$i", df, s"$tok-iter$i")
-          t.readIfCurrent(spark, s"cc-iter-$i", s"$tok-iter$i", Some(snap)).get
+          // one stage per iteration, PROBED before computing: a re-run that
+          // crashed mid-loop reuses every committed iteration (the loop is
+          // deterministic in backptrs + config, both in the lineage) instead
+          // of recomputing all of them and appending duplicate snapshots
+          t.readIfCurrent(spark, s"cc-iter-$i", s"$tok-iter$i").getOrElse {
+            val snap = t.commit(s"cc-iter-$i", df, s"$tok-iter$i")
+            t.readIfCurrent(spark, s"cc-iter-$i", s"$tok-iter$i", Some(snap)).get
+          }
         }
         case None => (_, df) => df.localCheckpoint(true)
       }

@@ -88,11 +88,9 @@ object Scoring {
 
   /** Abbreviation match (F9 analog, `sem/AbbreviationHandler.scala:7-66`):
     * one side equals the concatenated initials of the other's tokens. */
-  private def abbrevMatch(normA: Column, toksA: Column, normC: Column, toksC: Column): Column = {
-    def initials(toks: Column): Column =
-      array_join(transform(toks, t => substring(t, 1, 1)), "")
-    (normA === initials(toksC)) || (normC === initials(toksA))
-  }
+  private def abbrevMatch(normA: Column, toksA: Column, normC: Column, toksC: Column): Column =
+    (normA === graft.functions.initials(toksC)) ||
+      (normC === graft.functions.initials(toksA))
 
   /** Add the feature columns. Input: output of [[attachAttrs]]. */
   def featurize(pairsAttr: DataFrame): DataFrame = {

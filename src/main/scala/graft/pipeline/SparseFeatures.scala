@@ -127,8 +127,7 @@ object SparseFeatures {
     counts.select(col("norm"), col("n_norm"),
       backoff(col("norm"), col("n_norm")).as("backed"),
       graft.functions.semClass(element_at(split(col("norm"), " "), -1)).as("scls"),
-      array_join(transform(split(col("norm"), " "),
-        x => substring(x, 1, 1)), "").as("inits"))
+      graft.functions.initials(split(col("norm"), " ")).as("inits"))
 
   /** Join the F5 backoff counts + precomputed surface pieces onto an
     * attached-attrs pair table. */
@@ -364,9 +363,12 @@ object SparseFeatures {
     * over-limit table costs one bounded scan, not a full count. */
   def collectWeights(weights: DataFrame,
       maxFeatures: Int = BroadcastMaxFeatures): Option[graft.functions.SparseWeightMap] = {
-    if (weights.limit(maxFeatures + 1).count() > maxFeatures) None
+    // ONE take(max+1) is both the size probe and the fetch — a separate
+    // limit().count() probe would execute a derived (unpinned) weights plan
+    // twice; take stops early on over-cutoff tables just like limit did
+    val rows = weights.select(col("f"), col("w_i")).take(maxFeatures + 1)
+    if (rows.length > maxFeatures) None
     else {
-      val rows = weights.select(col("f"), col("w_i")).collect()
       val names = new Array[String](rows.length)
       val w = new Array[Long](rows.length)
       var i = 0

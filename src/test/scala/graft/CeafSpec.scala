@@ -131,6 +131,43 @@ class CeafSpec extends SparkSuite {
     assert(m.getAs[Double]("muc_f1") === 0.0)
   }
 
+  test("empty pred table and all-singleton gold leave 0 denominators → 0, not NaN") {
+    import spark.implicits._
+    def mid(i: Int) = f"conv#${0}%06d${i}%06d"
+    val noPred = Seq.empty[(String, String)].toDF("mention_id", "cluster_id")
+    val gold = Seq((mid(1), "r1"), (mid(2), "r1")).toDF("mention_id", "entity_id")
+    val b = Eval.bcub(noPred, gold).collect()(0)
+    assert(b.getAs[Double]("bcub_precision") === 0.0) // was 0/0 = NaN
+    val c = Eval.ceafe(noPred, gold).collect()(0)
+    assert(c.getAs[Double]("precision") === 0.0)
+    // all-singleton gold: MUC recall denominator Σ(|g|-1) = 0
+    val singletons = Seq((mid(1), "a"), (mid(2), "b")).toDF("mention_id", "entity_id")
+    val m = Eval.muc(singletons.toDF("mention_id", "cluster_id"), singletons).collect()(0)
+    assert(m.getAs[Double]("muc_recall") === 0.0 &&
+      m.getAs[Double]("muc_precision") === 0.0 && m.getAs[Double]("muc_f1") === 0.0)
+  }
+
+  test("pairwiseF1 0/0 collapses to 0, never NaN (Run --evaluate serializes it)") {
+    import spark.implicits._
+    // tp = 0 with pred_pairs > 0 and gold_pairs > 0: P = R = 0, F1 was 0/0
+    val universe = Seq(("m1", "m2"), ("m3", "m4")).toDF("ant_id", "cur_id")
+    val pred = Seq(("m1", "k"), ("m2", "k"), ("m3", "a"), ("m4", "b"))
+      .toDF("mention_id", "cluster_id")
+    val gold = Seq(("m1", "x"), ("m2", "y"), ("m3", "r"), ("m4", "r"))
+      .toDF("mention_id", "entity_id")
+    val r = Eval.pairwiseF1(universe, pred, gold).collect()(0)
+    assert(r.getAs[Double]("precision") === 0.0)
+    assert(r.getAs[Double]("recall") === 0.0)
+    assert(r.getAs[Double]("f1") === 0.0, "0/0 must collapse to 0, not NaN")
+    // no same-cluster pairs at all on either side: every ratio is 0/0
+    val pred2 = Seq(("m1", "k1"), ("m2", "k2")).toDF("mention_id", "cluster_id")
+    val gold2 = Seq(("m1", "x"), ("m2", "y")).toDF("mention_id", "entity_id")
+    val r2 = Eval.pairwiseF1(universe.limit(1), pred2, gold2).collect()(0)
+    assert(r2.getAs[Double]("precision") === 0.0)
+    assert(r2.getAs[Double]("recall") === 0.0)
+    assert(r2.getAs[Double]("f1") === 0.0)
+  }
+
   test("CEAFe of a perfect clustering is exactly 1.0 across conversations") {
     import spark.implicits._
     def mid(c: String, i: Int) = f"$c#${0}%06d${i}%06d"

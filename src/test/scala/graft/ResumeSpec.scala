@@ -125,4 +125,26 @@ class ResumeSpec extends SparkSuite {
     assert(io.latestSnapshot("backptrs").get > before,
       "changed config must produce a new snapshot")
   }
+
+  test("input identity change invalidates lineage and recomputes") {
+    // two runs over DIFFERENT inputs against one checkpoint dir must not
+    // share snapshots — without inputTag the config-only token would hand
+    // the second run the first input's clusters with no error
+    val dir = freshDir("e")
+    val cfg = Pipeline.Config(mentionGenerator = "all",
+      checkpointDir = Some(dir), inputTag = "corpus-a")
+    Pipeline.run(spark, transcripts, cfg).clusters.count()
+    val io = new TableIO(dir)
+    val before = io.latestSnapshot("mentions").get
+    Pipeline.run(spark, transcripts, cfg.copy(inputTag = "corpus-b"))
+      .clusters.count()
+    assert(io.latestSnapshot("mentions").get > before,
+      "a different input identity must produce new snapshots, not resume")
+    // and the SAME input identity resumes (no new snapshot)
+    val afterB = io.latestSnapshot("mentions").get
+    Pipeline.run(spark, transcripts, cfg.copy(inputTag = "corpus-b"))
+      .clusters.count()
+    assert(io.latestSnapshot("mentions").get === afterB,
+      "an identical input identity must resume from the committed snapshot")
+  }
 }

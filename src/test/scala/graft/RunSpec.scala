@@ -304,4 +304,32 @@ class RunSpec extends SparkSuite {
         "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o2", "mode" -> "sparse"))
     }
   }
+
+  test("malformed command lines are rejected, not silently accepted") {
+    // dangling flag (user forgot the value): reject, don't drop it
+    intercept[IllegalArgumentException] {
+      Run.parseArgs(Array("--input", "x", "--joint"))
+    }
+    // typo'd option: reject, don't run the job without it
+    intercept[RuntimeException] {
+      Run.parseArgs(Array("--modeldir", "x"))
+    }
+    assert(Run.parseArgs(Array("--input", "a", "--train", "3")) ===
+      Map("input" -> "a", "train" -> "3"))
+    // --train 0 rejects up front instead of NoSuchElementException after
+    // the full training prep ran
+    val tmp = java.nio.file.Files.createTempDirectory("runspec3").toString
+    intercept[IllegalArgumentException] {
+      Run.runWith(spark, Map(
+        "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o",
+        "model-dir" -> s"$tmp/m", "train" -> "0"))
+    }
+    // batch-only options alongside --streaming reject loudly instead of
+    // silently doing nothing
+    intercept[IllegalArgumentException] {
+      Run.runWith(spark, Map(
+        "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o2",
+        "streaming" -> "true", "evaluate" -> "true"))
+    }
+  }
 }

@@ -111,9 +111,12 @@ class SparseSpec extends SparkSuite {
   /** Shared assembly for the chain/band-guard tests: the sparse pipeline's
     * three legs built by hand with the in-band chain edges EXCLUDED, and the
     * set of excluded edges + per-surface self scores so callers can model
-    * the verdict's alternative guard (`greatest(band, self)`). */
+    * the verdict's alternative guard (`greatest(band, self)`).
+    * `bridgeKeepInBand` mirrors the pipeline's sparse-mode bridge guard
+    * (default); the chain-bites test passes `false` to isolate chain
+    * connectivity from the bridge guard. */
   private def sparseLegs(mentions: org.apache.spark.sql.DataFrame,
-      w: org.apache.spark.sql.DataFrame) = {
+      w: org.apache.spark.sql.DataFrame, bridgeKeepInBand: Boolean = true) = {
     val cfgB = Blocking.Config()
     val counts = SparseFeatures.normCounts(mentions)
     val surfaces = Blocking.surfaceTable(mentions).cache()
@@ -122,7 +125,7 @@ class SparseSpec extends SparkSuite {
     val bridge = Blocking.bridgePairs(
       sScored.filter(col("score") > 0.0)
         .select(col("norm_a"), col("norm_b"), col("block_key"), col("score")),
-      mentions, cfgB, extraCols = Seq("score"))
+      mentions, cfgB, extraCols = Seq("score"), keepInBand = bridgeKeepInBand)
       .select(col("ant_id"), col("cur_id"), col("score"))
     val band = SparseFeatures.scorePairsSparse(
       Blocking.convBandPairs(mentions, cfgB), mentions, counts, w)
@@ -194,7 +197,8 @@ class SparseSpec extends SparkSuite {
         when(col("f").contains("&t=") || col("f").contains("&tt="),
           col("w_i") - lit(20L * SparseFeatures.WeightScale))
           .otherwise(col("w_i")).as("w_i")).cache()
-    val (band, bridge, chainsOut, dropped, surfaces) = sparseLegs(mentions, wAdv)
+    val (band, bridge, chainsOut, dropped, surfaces) =
+      sparseLegs(mentions, wAdv, bridgeKeepInBand = false)
     val chainsAllArcs = dropped.select(col("ant_id"), col("cur_id"),
       col("self_score").as("score")).unionByName(chainsOut)
     val unguarded = Decode.backpointers(
@@ -211,6 +215,69 @@ class SparseSpec extends SparkSuite {
     assert(lostCurs > 0,
       "adversarial weights must demonstrate the unguarded connectivity break")
     surfaces.unpersist()
+  }
+
+  test("sparse bridge guard bites: in-band bridges must not depend on trained band weights") {
+    // the bridge analog of the chain guard: the coarse pass linked two
+    // surface groups; if their single bridge edge is in-band and dropped,
+    // adversarially negative band weights split the groups the surface
+    // score joined. keepInBand = true (the pipeline's sparse default) must
+    // restore the connectivity.
+    val (_, mentions, gold) = fix
+    val universe = Blocking.candidatePairs(mentions).cache()
+    val pairsAttr = Scoring.attachAttrs(universe, mentions)
+    val feats = SparseFeatures.featureStrings(pairsAttr,
+      SparseFeatures.normCounts(mentions)).localCheckpoint(true)
+    val labels = universe.select(col("ant_id"), col("cur_id"))
+      .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
+      .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
+      .select(col("ant_id"), col("cur_id"), (col("e_a") === col("e_c")).cast("double").as("label"))
+    val wAdv = SparseFeatures.logOddsWeights(feats, labels)
+      .select(col("f"),
+        when(col("f").contains("&t=") || col("f").contains("&tt="),
+          col("w_i") - lit(20L * SparseFeatures.WeightScale))
+          .otherwise(col("w_i")).as("w_i")).cache()
+    val cfgB = Blocking.Config()
+    val counts = SparseFeatures.normCounts(mentions)
+    val surfaces = Blocking.surfaceTable(mentions).cache()
+    val linked = SparseFeatures.scoreSurfacePairsSparse(
+      Blocking.surfacePairs(surfaces, cfgB), surfaces, counts, wAdv)
+      .filter(col("score") > 0.0)
+      .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
+    val bridgeOut = Blocking.bridgePairs(linked, mentions, cfgB, extraCols = Seq("score"))
+      .select(col("ant_id"), col("cur_id"), col("score"))
+    val bridgeAll = Blocking.bridgePairs(linked, mentions, cfgB,
+      extraCols = Seq("score"), keepInBand = true)
+      .select(col("ant_id"), col("cur_id"), col("score"))
+    val droppedBridges = bridgeAll
+      .join(bridgeOut.select(col("ant_id"), col("cur_id")),
+        Seq("ant_id", "cur_id"), "left_anti").cache()
+    assert(droppedBridges.count() > 0, "fixture must actually exercise in-band bridges")
+    val band = SparseFeatures.scorePairsSparse(
+      Blocking.convBandPairs(mentions, cfgB), mentions, counts, wAdv)
+      .select(col("ant_id"), col("cur_id"), col("score"))
+    val selfSc = SparseFeatures.selfScoresSparse(surfaces, counts, wAdv)
+      .select(col("norm"), col("score").as("self_score"))
+    val chainsAll = Blocking.sameSurfaceChainPairs(mentions, cfgB, Some(surfaces),
+        keepInBand = true)
+      .join(selfSc, "norm")
+      .select(col("ant_id"), col("cur_id"), col("self_score").as("score"))
+    def clustersOf(bridge: org.apache.spark.sql.DataFrame) =
+      Clustering.cluster(spark, mentions, Decode.backpointers(
+        band.unionByName(bridge).unionByName(chainsAll), 0.0))
+    def splitPairs(cl: org.apache.spark.sql.DataFrame): Long = droppedBridges
+      .join(cl.select(col("mention_id").as("ant_id"), col("cluster_id").as("cl_a")), "ant_id")
+      .join(cl.select(col("mention_id").as("cur_id"), col("cluster_id").as("cl_c")), "cur_id")
+      .filter(col("cl_a") =!= col("cl_c")).count()
+    val splitGuarded = splitPairs(clustersOf(bridgeAll))
+    val splitUnguarded = splitPairs(clustersOf(bridgeOut))
+    info(s"dropped in-band bridges=${droppedBridges.count()} " +
+      s"split unguarded=$splitUnguarded guarded=$splitGuarded")
+    assert(splitGuarded == 0,
+      "guarded clustering must join both endpoints of every linked surface pair")
+    assert(splitUnguarded > 0,
+      "adversarial weights must demonstrate the unguarded connectivity break")
+    surfaces.unpersist(); droppedBridges.unpersist(); universe.unpersist()
   }
 
   test("sparse chain/band guard holds at sf0.001 with freshly-trained weights") {
