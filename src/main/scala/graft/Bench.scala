@@ -390,11 +390,31 @@ object Bench {
     // artifacts of record always run the full suite
     val doOps = sys.env.getOrElse("SPARK_GRAFT_BENCH_OPS", "1") == "1"
     val ops: Map[String, Double] = if (!doOps) Map.empty else {
-      log("spawning ops bench child")
-      val opsJson = spawnChild(Seq("--ops-bench", cpus.toString, sfDir), "OPS ",
-        Seq("-Xmx8g"))
-      "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(opsJson)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // TWO ops children, 10 s apart, per-key MIN of the two medians: the
+      // median-of-3 inside one child discards a single contended pass, but a
+      // contention window that spans the whole child slows all three passes
+      // and the median with them (one uncommitted run recorded
+      // dd_minhash_lsh 25.0 s as a clean in-child median vs the 2.5-4.7 s
+      // band). Two separated windows make a whole-child burst survivable;
+      // min is unbiased for the same reason as the scaling retry — noise
+      // only ever adds time.
+      def opsChild(tag: String): Map[String, Double] = {
+        log(s"spawning ops bench child ($tag)")
+        val opsJson = spawnChild(Seq("--ops-bench", cpus.toString, sfDir), "OPS ",
+          Seq("-Xmx8g"))
+        "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(opsJson)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      val o1 = opsChild("1/2")
+      Thread.sleep(10000L)
+      val o2 = opsChild("2/2")
+      val merged = (o1.keySet ++ o2.keySet).map { k =>
+        k -> math.min(o1.getOrElse(k, Double.MaxValue), o2.getOrElse(k, Double.MaxValue))
+      }.toMap
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        log(f"op $k: child1 ${o1.getOrElse(k, Double.NaN)}%.3f s, " +
+          f"child2 ${o2.getOrElse(k, Double.NaN)}%.3f s -> $v%.3f s") }
+      merged
     }
 
     // Scaling evidence (north rule) — in fresh child JVMs before this

@@ -130,6 +130,27 @@ object Run {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Content identity of an input path — (file count, total bytes, max
+    * mtime) over one recursive listing, hashed. Folded into lineage tokens
+    * so "same path, changed data" invalidates resume snapshots and link
+    * lineage, not just "changed path": a nightly job that appends files to
+    * the same --input must recompute, not resume yesterday's snapshots.
+    * One driver-side listing — the same O(files) cost the parquet scan's
+    * split planning pays on every read. */
+  private def pathIdentity(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0L; var bytes = 0L; var maxMtime = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      n += 1; bytes += s.getLen
+      maxMtime = math.max(maxMtime, s.getModificationTime)
+    }
+    java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(s"$path|$n|$bytes|$maxMtime").toLong & 0xffffffffL)
+  }
+
   private def writeText(spark: SparkSession, path: String, text: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -290,11 +311,24 @@ object Run {
     // resume that loads state folded under model A and extends it with
     // arrivals scored by model B would commit silently mixed-model clusters
     // under one tag (the batch path puts sparseTag in Pipeline.Config.token
-    // for exactly this reason)
-    val modelFrag =
-      if (mode == "sparse") "-" + opt.getOrElse("model-token",
-        sys.error("--mode sparse requires --model-token"))
-      else ""
+    // for exactly this reason). The identity is the SNAPSHOT-qualified tag
+    // from loadSparse (`<token>@<snap>`), not the raw --model-token: a
+    // retrain into the same store keeps the token but mints a new snapshot,
+    // and state folded under the old snapshot must not silently extend.
+    val sparseModel: Option[(graft.functions.SparseWeightMap, String)] =
+      if (mode != "sparse") None
+      else {
+        val dir = opt.getOrElse("model-dir",
+          sys.error("--mode sparse requires --model-dir (a committed packed model)"))
+        val tok = opt.getOrElse("model-token",
+          sys.error("--mode sparse requires --model-token"))
+        val (w, tag) = ModelIO.loadSparse(spark, new TableIO(dir), tok)
+        val wmap = SparseFeatures.collectWeights(w).getOrElse(sys.error(
+          "--streaming sparse needs a broadcast-size model (the stream-side " +
+          "scorer is a pure projection; a join-scale model has no stream plan)"))
+        Some((wmap, tag))
+      }
+    val modelFrag = sparseModel.map("-" + _._2).getOrElse("")
     val token =
       s"stream-$mode-$linkThreshold-$band-${watermark.replace(' ', '_')}$modelFrag"
 
@@ -323,20 +357,23 @@ object Run {
         StreamingAssembly.streamingBandScores(spark, mentionStream,
           maxConvDist = band, watermark = watermark)
       case "sparse" =>
-        val dir = opt.getOrElse("model-dir",
-          sys.error("--mode sparse requires --model-dir (a committed packed model)"))
-        val tok = opt.getOrElse("model-token",
-          sys.error("--mode sparse requires --model-token"))
-        val (w, _) = ModelIO.loadSparse(spark, new TableIO(dir), tok)
-        val wmap = SparseFeatures.collectWeights(w).getOrElse(sys.error(
-          "--streaming sparse needs a broadcast-size model (the stream-side " +
-          "scorer is a pure projection; a join-scale model has no stream plan)"))
-        // F5 backoff counts are a STATIC table (training-corpus statistics):
-        // computed from the landed corpus here; cold-start surfaces the
-        // table never saw back off to their word shape (documented in
-        // streamingBandScoresSparse)
-        val counts = SparseFeatures.normCounts(
-          Mentions.extractIdentifier(spark.read.parquet(srcDir)))
+        val wmap = sparseModel.get._1
+        // F5 backoff counts are a STATIC table (training-corpus statistics)
+        // and part of the state identity: computed ONCE from the corpus the
+        // first run saw, committed under the state token, and reloaded on
+        // resume — recomputing over the grown corpus would score identical
+        // pairs differently across runs and fold mixed-statistics arcs into
+        // one state. Cold-start surfaces the table never saw back off to
+        // their word shape (documented in streamingBandScoresSparse).
+        val countsIo = new TableIO(output)
+        val counts = countsIo.readIfCurrent(spark, "stream_counts", token)
+          .getOrElse {
+            val c = SparseFeatures.normCounts(
+              Mentions.extractIdentifier(spark.read.parquet(srcDir)))
+            val snap = countsIo.commit("stream_counts", c, token)
+            countsIo.readIfCurrent(spark, "stream_counts", token, Some(snap))
+              .getOrElse(sys.error("stream_counts commit not readable back"))
+          }
         StreamingAssembly.streamingBandScoresSparse(spark, mentionStream,
           counts, wmap, maxConvDist = band, watermark = watermark)
       case other => sys.error(s"--streaming supports --mode dense|sparse, got $other")
@@ -400,8 +437,14 @@ object Run {
     val input = opt.getOrElse("input", sys.error("--input is required"))
     val output = opt.getOrElse("output", sys.error("--output is required"))
     if (opt.get("streaming").exists(_.toBoolean)) {
+      // every option runStreaming does not read is rejected, not silently
+      // ignored — including sub-options of rejected mains (--gold,
+      // --generator, --loss…): the stream always extracts identifier
+      // mentions, so accepting `--generator all` would silently no-op
       val batchOnly = Seq("train", "joint", "evaluate", "link", "conll-out",
-        "checkpoint").filter(opt.contains)
+        "checkpoint", "gold", "generator", "loss", "eta", "joint-coupling",
+        "joint-iters", "link-dict", "link-redirects", "link-aux",
+        "link-choose").filter(opt.contains)
       require(batchOnly.isEmpty,
         s"--streaming is the incremental-maintenance face; batch-only options " +
         s"given: ${batchOnly.map("--" + _).mkString(", ")} (train the model in " +
@@ -434,9 +477,9 @@ object Run {
       sparseWeights = Option(sparseWeights),
       sparseTag = sparseTag,
       // input identity in the lineage: the same --checkpoint dir pointed at
-      // a different --input must recompute, not resume the old input's
-      // snapshots
-      inputTag = input)
+      // a different --input — or the SAME path with changed contents (the
+      // nightly-append case) — must recompute, not resume stale snapshots
+      inputTag = s"$input@${pathIdentity(spark, input)}")
 
     val t0 = System.nanoTime()
     val res = Pipeline.run(spark, transcripts, cfg)
@@ -495,11 +538,15 @@ object Run {
       // links lineage extends the pipeline token with the linking inputs —
       // the same clusters wikified against a different dictionary (or chooser)
       // must NOT share a token, or a resume-style reader would treat the two
-      // as interchangeable snapshots
+      // as interchangeable snapshots. Each input contributes its CONTENT
+      // identity, not just its path: a dictionary re-distilled into the same
+      // path is a different dictionary.
+      def withId(key: String): String = opt.get(key)
+        .map(p => s"$p@${pathIdentity(spark, p)}").getOrElse("")
       val linkToken = cfg.token + "-" + java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(
-          s"${opt("link-dict")}|${opt.getOrElse("link-redirects", "")}|" +
-          s"${opt.getOrElse("link-aux", "")}|$choose").toLong & 0xffffffffL)
+          s"${withId("link-dict")}|${withId("link-redirects")}|" +
+          s"${withId("link-aux")}|$choose").toLong & 0xffffffffL)
       out.commit("links", links, linkToken)
       val nLinked = links.count()
       releasePins(sc, pinnedBefore)

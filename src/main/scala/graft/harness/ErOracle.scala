@@ -581,7 +581,7 @@ object ErOracle {
       |),
       |wred AS (
       |  SELECT title AS src, regexp_extract(text, '\[\[([^\]|]+)', 1) AS dst
-      |  FROM wdump WHERE text LIKE '#REDIRECT%'
+      |  FROM wdump WHERE regexp_matches(text, '(?i)^\s*#redirect')
       |),
       |wanch AS (
       |  SELECT from_title, parts[1] AS target,
@@ -589,7 +589,7 @@ object ErOracle {
       |  FROM (
       |    SELECT title AS from_title, string_split(substr(m, 3, len(m) - 4), '|') AS parts
       |    FROM (SELECT title, unnest(regexp_extract_all(text, '\[\[[^\]]+\]\]')) AS m
-      |          FROM wdump WHERE text NOT LIKE '#REDIRECT%')
+      |          FROM wdump WHERE NOT regexp_matches(text, '(?i)^\s*#redirect'))
       |  )
       |),
       |wrlinks AS (

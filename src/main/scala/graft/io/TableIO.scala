@@ -2,8 +2,8 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, Path}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot-committing table seam (SURVEY.md §7.0).
   *
@@ -15,6 +15,15 @@ import scala.jdk.CollectionConverters._
   * the same four methods when the runtime jar is on the spark-submit
   * classpath.
   *
+  * All path operations go through the Hadoop FileSystem API (not java.nio):
+  * the entry point documents spark-submit against a cluster, where `rootDir`
+  * is an `hdfs://` / `s3a://` URI and java.nio would silently write the
+  * manifests to the driver's local disk while Spark wrote the data to the
+  * cluster FS — a commit whose marker and data live on different filesystems
+  * is not a commit. The manifest marker uses create-then-rename, atomic on
+  * HDFS and local FS (object stores without atomic rename degrade to
+  * overwrite-visibility, same as every file-based commit protocol on them).
+  *
   * Layout: `<root>/<stage>/snap-<k>/` (parquet) + `<root>/<stage>/snap-<k>.json`
   * (manifest; the commit marker — data without a manifest is an uncommitted
   * torn write and is ignored). Manifest records the input lineage token, row
@@ -22,15 +31,23 @@ import scala.jdk.CollectionConverters._
   * per-partition checkpoint with lineage + counters persisted per partition").
   */
 class TableIO(rootDir: String) {
-  private def stageDir(stage: String): Path = Paths.get(rootDir, stage)
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def stageDir(stage: String): Path = new Path(rootDir, stage)
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
   /** Latest committed snapshot id of a stage, if any. */
   def latestSnapshot(stage: String): Option[Int] = {
     val d = stageDir(stage)
-    if (!Files.isDirectory(d)) None
+    val f = fs(d)
+    if (!f.exists(d) || !f.getFileStatus(d).isDirectory) None
     else {
-      val snaps = Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
+      val snaps = f.listStatus(d).iterator
+        .map(_.getPath.getName)
         .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
           s.stripPrefix("snap-").stripSuffix(".json").toInt }
         .toSeq
@@ -39,8 +56,15 @@ class TableIO(rootDir: String) {
   }
 
   def manifest(stage: String, snap: Int): Option[String] = {
-    val p = stageDir(stage).resolve(s"snap-$snap.json")
-    if (Files.exists(p)) Some(Files.readString(p)) else None
+    val p = new Path(stageDir(stage), s"snap-$snap.json")
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(
+        in, java.nio.charset.StandardCharsets.UTF_8.name()).mkString)
+      finally in.close()
+    }
   }
 
   /** Atomic-commit write: parquet data first, manifest (the commit marker)
@@ -48,7 +72,7 @@ class TableIO(rootDir: String) {
     * stage+snapshot ids + config hash) enabling resume-safety checks. */
   def commit(stage: String, df: DataFrame, lineage: String): Int = {
     val snap = latestSnapshot(stage).map(_ + 1).getOrElse(0)
-    val dataPath = stageDir(stage).resolve(s"snap-$snap").toString
+    val dataPath = new Path(stageDir(stage), s"snap-$snap").toString
     df.write.mode("overwrite").parquet(dataPath)
     // per-partition counters tied to the COMMITTED FILES (not read-time scan
     // splits, which shift with split sizing): one scan computes both the
@@ -66,11 +90,16 @@ class TableIO(rootDir: String) {
     val m =
       s"""{"stage":"${stage}","snapshot":$snap,"lineage":"${lineage}",
          |"rowCount":$rowCount,"partitionCounters":$counters}""".stripMargin.replace("\n", "")
-    Files.createDirectories(stageDir(stage))
-    val tmp = stageDir(stage).resolve(s".snap-$snap.json.tmp")
-    Files.writeString(tmp, m)
-    Files.move(tmp, stageDir(stage).resolve(s"snap-$snap.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val dir = stageDir(stage)
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".snap-$snap.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, s"snap-$snap.json")
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $dst")
     snap
   }
 
@@ -96,7 +125,7 @@ class TableIO(rootDir: String) {
         case Some(m) if LineageRe.findFirstMatchIn(m).exists(_.group(1) == lineage) =>
           val expected = RowCountRe.findFirstMatchIn(m).map(_.group(1).toLong)
           try {
-            val df = spark.read.parquet(stageDir(stage).resolve(s"snap-$k").toString)
+            val df = spark.read.parquet(new Path(stageDir(stage), s"snap-$k").toString)
             if (expected.forall(_ == df.count())) Some(df) else None
           } catch { case _: Exception => None } // unreadable data = torn write
         case _ => None

@@ -627,13 +627,14 @@ object JointInference {
               val pa = b.pAnt(m)
               val newMass = 1.0 - pa.sum
               // argmax antecedent; ties to the LOWEST antecedent id (decode
-              // tie-break convention)
+              // tie-break convention). toRows sorts mentions by id and
+              // toCands sorts arcs ascending by antecedent index, so id
+              // order == arc order and keeping the FIRST maximum (strict >)
+              // IS the lowest-id tie-break.
               var bestJ = 0
               var j = 1
               while (j < pa.length) {
-                if (pa(j) > pa(bestJ) ||
-                  (pa(j) == pa(bestJ) &&
-                    mentions(as(j)._1).id < mentions(as(bestJ)._1).id)) bestJ = j
+                if (pa(j) > pa(bestJ)) bestJ = j
                 j += 1
               }
               if (pa(bestJ) > newMass) (mentions(as(bestJ)._1).id, pa(bestJ))
@@ -695,13 +696,19 @@ object JointInference {
           if (mr.gType != null || mr.gAnt != null || mr.gWiki != null) {
             cands.get(m).foreach { as =>
               val pa = b.pAnt(m)
-              val gIdx = Option(mr.gAnt).flatMap(idx.get)
-              val p = gIdx match {
-                case Some(g) =>
-                  val j = as.indexWhere(_._1 == g)
-                  if (j >= 0) pa(j) else eps // gold ant not a candidate: floor
-                case None => math.max(1.0 - pa.sum, eps) // gold new entity
-              }
+              val p =
+                if (mr.gAnt == null) math.max(1.0 - pa.sum, eps) // gold new entity
+                else idx.get(mr.gAnt) match {
+                  case Some(g) =>
+                    val j = as.indexWhere(_._1 == g)
+                    if (j >= 0) pa(j) else eps // gold ant not a candidate: floor
+                  // gold ant NAMED but absent from the conversation's mention
+                  // set (detection miss / cross-conv gold chain): an
+                  // unreachable link, floored like the not-a-candidate case —
+                  // treating it as gold-new would REWARD new-entity mass on
+                  // exactly the mentions gold says should link
+                  case None => eps
+                }
               ll += math.log(math.max(p, eps))
             }
             if (mr.gType != null) {
@@ -757,30 +764,43 @@ object JointInference {
     def obj(c: Array[Double]): Double = goldLogLik(spark, mp, sc, g,
       Couplings(c(0), c(1), c(2), c(3)), iters, ev, ws, algorithm)
     try {
-      val dims = if (trainWiki && wikiScores.nonEmpty) 4
-        else if (evidence.nonEmpty) 2 else 1
+      // per-dimension activity, not a prefix count: each coupling's gradient
+      // is provably zero when its factor has no inputs (no evidence table →
+      // p_entity = 0 everywhere → the objective is constant in `ner`), and a
+      // central difference on a constant dimension costs 2 full distributed
+      // kernel passes per epoch for a guaranteed 0
+      val active = Array(true, evidence.nonEmpty,
+        trainWiki && wikiScores.nonEmpty, trainWiki && wikiScores.nonEmpty)
       val w = Array(init.coref, init.ner, init.wiki, init.wikiNil)
       val sq = Array.fill(4)(0.0)
       val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       for (ep <- 0 until epochs) {
         val loss = -obj(w)
         trace += ((ep, loss))
-        val grad = Array.tabulate(dims) { i =>
-          val wp = w.clone(); wp(i) += h
-          val wm = w.clone(); wm(i) -= h
-          -(obj(wp) - obj(wm)) / (2 * h) // d(-loglik)/dc_i
+        val grad = Array.tabulate(4) { i =>
+          if (!active(i)) 0.0
+          else {
+            val wp = w.clone(); wp(i) += h
+            val wm = w.clone(); wm(i) -= h
+            -(obj(wp) - obj(wm)) / (2 * h) // d(-loglik)/dc_i
+          }
         }
         var i = 0
-        while (i < dims) {
-          sq(i) += grad(i) * grad(i)
-          w(i) -= eta * grad(i) / (1.0 + math.sqrt(sq(i)))
+        while (i < 4) {
+          if (active(i)) {
+            sq(i) += grad(i) * grad(i)
+            w(i) -= eta * grad(i) / (1.0 + math.sqrt(sq(i)))
+          }
           i += 1
         }
       }
       (Couplings(w(0), w(1), w(2), w(3)), trace.toSeq)
     } finally {
+      // BLOCKING frees (repo-wide rule, SURVEY §11.2): back-to-back training
+      // runs re-pin the same corpus-sized tables, and async frees let the
+      // dead blocks overlap the live ones
       (sctx.getPersistentRDDs.keySet.toSet -- pinsBefore).foreach(id =>
-        sctx.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        sctx.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
     }
   }
 

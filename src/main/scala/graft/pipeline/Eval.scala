@@ -49,7 +49,10 @@ object Eval {
       Seq("ant_id", "cur_id"), "left_semi")
     goldPairs.agg(count(lit(1)).as("gold_pairs"))
       .crossJoin(hit.agg(count(lit(1)).as("recalled")))
-      .withColumn("recall", col("recalled").cast("double") / col("gold_pairs"))
+      // 0/0 (no gold pairs) collapses to 0.0, not SQL null — the same
+      // serialize-as-a-number guard every other metric in this module applies
+      .withColumn("recall", when(col("gold_pairs") > 0,
+        col("recalled").cast("double") / col("gold_pairs")).otherwise(lit(0.0)))
   }
 
   /** B7a — within-conversation antecedent recall (the reference's pruning
@@ -73,7 +76,8 @@ object Eval {
       .select(col("cur_id")).distinct()
     anaphoric.agg(count(lit(1)).as("anaphoric"))
       .crossJoin(retained.agg(count(lit(1)).as("retained")))
-      .withColumn("recall", col("retained").cast("double") / col("anaphoric"))
+      .withColumn("recall", when(col("anaphoric") > 0,
+        col("retained").cast("double") / col("anaphoric")).otherwise(lit(0.0)))
   }
 
   /** B7b — entity connectivity recall: what transitive clustering actually
@@ -81,8 +85,7 @@ object Eval {
     * through same-entity candidate pairs (short forms may reach each other
     * via the full-form pivot rather than a direct block). MUC-style link
     * recall of the blocking graph: sum(|e| - components(e)) / sum(|e| - 1). */
-  def connectivityRecall(spark: org.apache.spark.sql.SparkSession,
-      candidatePairs: DataFrame, gold: DataFrame): DataFrame = {
+  def connectivityRecall(candidatePairs: DataFrame, gold: DataFrame): DataFrame = {
     val sameEntity = candidatePairs
       .join(gold.select(col("mention_id").as("ant_id"), col("entity_id").as("e_a")), "ant_id")
       .join(gold.select(col("mention_id").as("cur_id"), col("entity_id").as("e_c")), "cur_id")
@@ -94,7 +97,8 @@ object Eval {
       .groupBy(col("entity_id"))
       .agg(count(lit(1)).as("sz"), countDistinct(col("cluster_id")).as("parts"))
       .agg(sum(col("sz") - col("parts")).as("num"), sum(col("sz") - 1).as("den"))
-      .withColumn("recall", col("num").cast("double") / col("den"))
+      .withColumn("recall", when(col("den") > 0,
+        col("num").cast("double") / col("den")).otherwise(lit(0.0)))
   }
 
   /** MUC (A10, `CorefEvaluator.scala:491-503`): link-based metric from the
@@ -151,16 +155,23 @@ object Eval {
       .agg(count(lit(1)).as("ovl"))
     val cSize = pred.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
     val gSize = gold.groupBy(col("entity_id")).agg(count(lit(1)).as("gsz"))
-    val nPred = pred.count().toDouble
-    val nGold = gold.count().toDouble
+    // mention-count denominators as aggregate legs of the SAME plan, not
+    // eager driver-side count() actions — the eager counts re-ran the
+    // pred/gold upstream lineage as separate jobs before the metric job
+    // scanned them again (3× scan cost on the Run --evaluate path)
+    val denoms = pred.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(gold.agg(count(lit(1)).as("n_gold")))
     cell.join(cSize, "cluster_id").join(gSize, "entity_id")
       .agg(
         sum(col("ovl") * col("ovl") / col("csz")).as("sum_p"),
         sum(col("ovl") * col("ovl") / col("gsz")).as("sum_r"))
+      .crossJoin(denoms)
       .withColumn("bcub_precision", // empty pred table → 0, not 0/0 NaN
-        if (nPred > 0) coalesce(col("sum_p"), lit(0.0)) / nPred else lit(0.0))
+        when(col("n_pred") > 0,
+          coalesce(col("sum_p"), lit(0.0)) / col("n_pred")).otherwise(lit(0.0)))
       .withColumn("bcub_recall",
-        if (nGold > 0) coalesce(col("sum_r"), lit(0.0)) / nGold else lit(0.0))
+        when(col("n_gold") > 0,
+          coalesce(col("sum_r"), lit(0.0)) / col("n_gold")).otherwise(lit(0.0)))
       .withColumn("bcub_f1",
         when(col("bcub_precision") + col("bcub_recall") > 0.0,
           lit(2.0) * col("bcub_precision") * col("bcub_recall") /

@@ -74,8 +74,12 @@ object StreamingClusters {
   def update(spark: SparkSession, st: State, batchDecoded: DataFrame): State = {
     val sc = spark.sparkContext
     def pinned(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // BLOCKING frees: the steady per-batch fold pins fresh checkpoint blocks
+    // immediately after releasing the previous fold's — an async free lets
+    // dead and live blocks overlap, the documented steady-epoch OOM class
+    // (SURVEY §11.2, same rule as Run.releasePins / the trainer)
     def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
 
     val before = pinned()
     val edits = finalLinks(batchDecoded).localCheckpoint(true)

@@ -71,10 +71,19 @@ object WikiDump {
     articles.unionByName(nations).unionByName(redirectPages).unionByName(disambig)
   }
 
+  /** MediaWiki redirect rule: the magic word is case-INSENSITIVE and may
+    * carry leading whitespace (`#REDIRECT`, `#redirect`, ` #Redirect` are
+    * all redirects on a real dump) — an exact-case startsWith would classify
+    * a lowercase redirect page as an article, leaving its anchors unresolved
+    * AND counting its `[[Target]]` stanza as a content anchor. One
+    * definition shared by [[redirects]] and [[anchors]] so the two sides
+    * can never disagree on what a redirect is. */
+  private def isRedirect = col("text").rlike("(?i)^\\s*#redirect")
+
   /** Redirect table `(src, dst)`: pages whose body is a `#REDIRECT` stanza,
     * dst = the stanza's target. */
   def redirects(dump: DataFrame): DataFrame =
-    dump.filter(col("text").startsWith("#REDIRECT"))
+    dump.filter(isRedirect)
       .select(col("title").as("src"),
         regexp_extract(col("text"), """\[\[([^\]|]+)""", 1).as("dst"))
 
@@ -84,7 +93,7 @@ object WikiDump {
     * reference's surface-of-a-bare-link convention). */
   def anchors(dump: DataFrame): DataFrame = {
     val parts = split(col("inner"), "\\|")
-    dump.filter(!col("text").startsWith("#REDIRECT"))
+    dump.filter(!isRedirect)
       .select(col("title").as("from_title"),
         explode(regexp_extract_all(col("text"), lit(AnchorPattern), lit(0))).as("m"))
       .withColumn("inner", expr("substring(m, 3, length(m) - 4)"))

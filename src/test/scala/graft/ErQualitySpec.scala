@@ -53,7 +53,7 @@ class ErQualitySpec extends SparkSuite {
     info(s"antecedent recall: $ar")
     assert(ar.getAs[Double]("recall") >= 0.995, s"antecedent recall too low: $ar")
     // B7b: cross-conversation entity connectivity under blocking
-    val cr = Eval.connectivityRecall(spark, universe, gold).collect()(0)
+    val cr = Eval.connectivityRecall(universe, gold).collect()(0)
     info(s"connectivity recall: $cr")
     assert(cr.getAs[Double]("recall") >= 0.995, s"connectivity recall too low: $cr")
     // diagnostic: direct pair recall over open-class/same-conv linkable pairs

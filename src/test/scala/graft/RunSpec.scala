@@ -291,6 +291,50 @@ class RunSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(streamBp === batchBp,
       "sparse-mode maintained backpointers must equal the batch sparse band decode")
+
+    // the state token carries the SNAPSHOT-qualified model identity — a
+    // retrain into the same store under the same --model-token mints a new
+    // snapshot and must NOT resume state folded under the old one
+    assert(field(metrics, "config").contains(s"streamtest@$snap"),
+      s"stream state token must embed the model snapshot: ${field(metrics, "config")}")
+    // the F5 backoff counts the stream scored with are a committed artifact
+    // under the same token (a resume reloads them instead of recomputing
+    // over the grown corpus — mixed-statistics state guard)
+    assert(new TableIO(out).readIfCurrent(spark, "stream_counts",
+        field(metrics, "config")).nonEmpty,
+      "stream_counts must be committed under the state token")
+  }
+
+  test("same --input path with CHANGED contents invalidates checkpoint resume; " +
+      "unchanged contents resume") {
+    import graft.sources.Transcripts
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_ident").toString
+    val inDir = s"$tmp/in"
+    val ckpt = s"$tmp/ckpt"
+    // a plain transcript parquet dir of the input-hint schema (NOT an sf
+    // dir), so the test can append data to it between runs
+    val base = Transcripts.load(spark, "/root/testdata/sf0.001")
+    base.filter(col("conv_id") < lit("c0001")).write.parquet(inDir)
+
+    def run(out: String): String = Run.runWith(spark, Map(
+      "input" -> inDir, "output" -> out, "checkpoint" -> ckpt,
+      "generator" -> "identifier"))
+    run(s"$tmp/out1")
+    val io = new TableIO(ckpt)
+    val snap1 = io.latestSnapshot("clusters").get
+
+    // unchanged input: the re-run resumes (no new snapshot committed)
+    run(s"$tmp/out2")
+    assert(io.latestSnapshot("clusters").get === snap1,
+      "unchanged input must resume the committed snapshots")
+
+    // nightly-append: new files under the SAME path — every stage must
+    // recompute under a new lineage token, not serve yesterday's clusters
+    base.filter(col("conv_id") >= lit("c0001") && col("conv_id") < lit("c0002"))
+      .write.mode("append").parquet(inDir)
+    run(s"$tmp/out3")
+    assert(io.latestSnapshot("clusters").get > snap1,
+      "appended input files must invalidate the checkpointed lineage")
   }
 
   test("--train without --model-dir fails loudly; --mode sparse without a model fails loudly") {

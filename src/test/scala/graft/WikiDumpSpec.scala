@@ -42,6 +42,25 @@ class WikiDumpSpec extends SparkSuite {
     stats.unpersist()
   }
 
+  test("MediaWiki redirect rule is case-insensitive and whitespace-tolerant; " +
+      "mid-text #REDIRECT is not a redirect") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", "#redirect [[Target]]"),
+      ("B", "  #Redirect [[Target]]"),
+      ("C", "#REDIRECT [[Target]]"),
+      ("D", "an article that MENTIONS #REDIRECT mid-text. [[Other]]"))
+      .toDF("title", "text")
+    val r = WikiDump.redirects(d).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(r === Set(("A", "Target"), ("B", "Target"), ("C", "Target")),
+      s"lowercase/whitespace redirects must classify as redirects: $r")
+    // redirect stanzas are not content anchors; the mid-text mention's page is
+    val a = WikiDump.anchors(d).select("from_title").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(a === Set("D"), s"only the article page contributes anchors: $a")
+  }
+
   test("distilled dictionary drives Linking.link end-to-end") {
     val mentions = harness.Queries.pipeline(spark, "/root/testdata/sf0.001").mentions
     val links = graft.linking.Linking.link(mentions,
