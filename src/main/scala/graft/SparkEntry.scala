@@ -295,10 +295,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_gold,
         |  CAST(SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
         |  CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-        |  round(CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END), 6) AS acc_linked_r,
-        |  round(CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS acc_all_r
+        |  CASE WHEN SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    THEN round(CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END), 6)
+        |    ELSE 0.0 END AS acc_linked_r,
+        |  CASE WHEN count(*) > 0
+        |    THEN round(CAST(SUM(CASE WHEN l.title = lg.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6)
+        |    ELSE 0.0 END AS acc_all_r
         |FROM lg LEFT JOIN llinks l ON lg.mention_id = l.mention_id""".stripMargin),
 
     "l5_query_denotation" -> ErOracle.q(ErOracle.linkingCtes + ErOracle.linkingL5Ctes +
@@ -311,10 +315,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_gold,
         |  CAST(SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
         |  CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-        |  round(CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END), 6) AS acc_linked_r,
-        |  round(CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS acc_all_r
+        |  CASE WHEN SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    THEN round(CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / SUM(CASE WHEN l.title IS NOT NULL THEN 1 ELSE 0 END), 6)
+        |    ELSE 0.0 END AS acc_linked_r,
+        |  CASE WHEN count(*) > 0
+        |    THEN round(CAST(SUM(CASE WHEN l.title = lg5.gold_title THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6)
+        |    ELSE 0.0 END AS acc_all_r
         |FROM lg5 LEFT JOIN l5links l ON lg5.mention_id = l.mention_id""".stripMargin),
 
     "g2_ner_viterbi" -> ErOracle.qAll(ErOracle.nerCtes +

@@ -136,9 +136,12 @@ object Linking {
       count(lit(1)).as("n_gold"),
       sum(when(col("title").isNotNull, 1L).otherwise(0L)).as("n_linked"),
       sum(when(col("title") === col("gold_title"), 1L).otherwise(0L)).as("n_correct"))
-      .withColumn("acc_linked_r",
-        round(col("n_correct").cast("double") / col("n_linked"), 6))
-      .withColumn("acc_all_r",
-        round(col("n_correct").cast("double") / col("n_gold"), 6))
+      // 0/0 collapses to 0.0, not null (the module-wide metric guard): a run
+      // that links nothing — or an empty gold table — must serialize as a
+      // number; the oracle SQL mirrors the guard
+      .withColumn("acc_linked_r", when(col("n_linked") > 0,
+        round(col("n_correct").cast("double") / col("n_linked"), 6)).otherwise(lit(0.0)))
+      .withColumn("acc_all_r", when(col("n_gold") > 0,
+        round(col("n_correct").cast("double") / col("n_gold"), 6)).otherwise(lit(0.0)))
   }
 }

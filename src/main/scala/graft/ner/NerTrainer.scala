@@ -122,38 +122,48 @@ object NerTrainer {
       names: Seq[String] = FeatureNames): Array[Array[Double]] = {
     val dim = names.size
     val xCols = names.map(n => col(s"x_$n"))
+    val sc = features.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
     val data = features
       .join(labels, Seq("conv_id", "turn_idx", "pos"), "left")
       .withColumn("y", coalesce(col("y"), lit(0)))
       .select((xCols :+ col("y")): _*)
       .localCheckpoint(true)
-    val n = data.count().toDouble
-    // empty input would otherwise surface as an opaque NPE (null aggregate
-    // sums → row.getDouble throws) and a 0/0 gradient
-    require(n > 0, "NerTrainer.train: empty feature DataFrame")
-    val w = Array.fill(3, dim)(0.0)
-    val sq = Array.fill(3, dim)(0.0)
-    for (_ <- 0 until epochs) {
-      val s = (0 until 3).map(l =>
-        xCols.zipWithIndex.map { case (c, j) => c * w(l)(j) }.reduce(_ + _))
-      val mx = greatest(s(0), s(1), s(2))
-      val es = s.map(si => exp(si - mx))
-      val z = es.reduce(_ + _)
-      val p = es.map(_ / z)
-      val aggs = (for (l <- 0 until 3; j <- 0 until dim) yield
-        sum((p(l) - (col("y") === l).cast("double")) * xCols(j)).as(s"g_${l}_$j")).toSeq
-      val row = data.agg(aggs.head, aggs.tail: _*).collect()(0)
-      var k = 0
-      for (l <- 0 until 3; j <- 0 until dim) {
-        val g = row.getDouble(k) / n; k += 1
-        sq(l)(j) += g * g
-        val h = 1.0 + math.sqrt(sq(l)(j))
-        val wi = w(l)(j) - eta * g / h
-        val shrink = eta * lambda / h
-        w(l)(j) = math.signum(wi) * math.max(0.0, math.abs(wi) - shrink)
+    try {
+      val n = data.count().toDouble
+      // empty input would otherwise surface as an opaque NPE (null aggregate
+      // sums → row.getDouble throws) and a 0/0 gradient
+      require(n > 0, "NerTrainer.train: empty feature DataFrame")
+      val w = Array.fill(3, dim)(0.0)
+      val sq = Array.fill(3, dim)(0.0)
+      for (_ <- 0 until epochs) {
+        val s = (0 until 3).map(l =>
+          xCols.zipWithIndex.map { case (c, j) => c * w(l)(j) }.reduce(_ + _))
+        val mx = greatest(s(0), s(1), s(2))
+        val es = s.map(si => exp(si - mx))
+        val z = es.reduce(_ + _)
+        val p = es.map(_ / z)
+        val aggs = (for (l <- 0 until 3; j <- 0 until dim) yield
+          sum((p(l) - (col("y") === l).cast("double")) * xCols(j)).as(s"g_${l}_$j")).toSeq
+        val row = data.agg(aggs.head, aggs.tail: _*).collect()(0)
+        var k = 0
+        for (l <- 0 until 3; j <- 0 until dim) {
+          val g = row.getDouble(k) / n; k += 1
+          sq(l)(j) += g * g
+          val h = 1.0 + math.sqrt(sq(l)(j))
+          val wi = w(l)(j) - eta * g / h
+          val shrink = eta * lambda / h
+          w(l)(j) = math.signum(wi) * math.max(0.0, math.abs(wi) - shrink)
+        }
       }
+      w
+    } finally {
+      // release the checkpointed feature table, BLOCKING (the session-wide
+      // pin-hygiene rule, SURVEY §11.2): without this every train() call in
+      // a long-lived session (k-fold sweeps) leaks a token-table-sized pin
+      (sc.getPersistentRDDs.keySet.toSet -- before)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
     }
-    w
   }
 
   /** Emission table `(conv_id, turn_idx, pos, tok, e_o, e_b, e_i)` from

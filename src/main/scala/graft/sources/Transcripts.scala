@@ -76,12 +76,18 @@ object Transcripts {
     load(spark, sfDir).filter(pmod(xxhash64(col("conv_id")), lit(denom)) < num)
   }
 
-  /** Register every driver parquet table that the harness queries use. */
+  /** Register every driver parquet table that the harness queries use.
+    * Existence probes go through the Hadoop FileSystem API, not
+    * `java.io.File`: `Run --input` points here from spark-submit, where
+    * `sfDir` can be an hdfs:///s3a:// URI that a local-FS probe silently
+    * answers false for — every view would be skipped and the CTE query
+    * would fail with a missing-table error. */
   def registerBase(spark: SparkSession, sfDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     Seq("events", "customer", "nation", "documents", "embeddings", "lineitem", "orders").foreach { t =>
-      val p = s"$sfDir/$t.parquet"
-      if (new java.io.File(p).exists())
-        spark.read.parquet(p).createOrReplaceTempView(t)
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      if (p.getFileSystem(conf).exists(p))
+        spark.read.parquet(p.toString).createOrReplaceTempView(t)
     }
   }
 }

@@ -60,6 +60,20 @@ class LinkingSpec extends SparkSuite {
     assert(e.getAs[Double]("acc_linked_r") === 0.8)
   }
 
+  test("wikiEval: 0/0 slices collapse to 0.0, not null (metric guard)") {
+    val gold = Seq(("m1", "Acme_Systems")).toDF("mention_id", "gold_title")
+    val noLinks = Seq.empty[(String, String)].toDF("mention_id", "title")
+    val e = Linking.wikiEval(noLinks, gold).collect()(0)
+    assert(e.getAs[Long]("n_linked") === 0L)
+    assert(e.getAs[Double]("acc_linked_r") === 0.0, "0/0 must serialize as a number")
+    assert(e.getAs[Double]("acc_all_r") === 0.0)
+    val emptyGold = Seq.empty[(String, String)].toDF("mention_id", "gold_title")
+    val e2 = Linking.wikiEval(noLinks, emptyGold).collect()(0)
+    assert(e2.getAs[Long]("n_gold") === 0L)
+    assert(e2.getAs[Double]("acc_linked_r") === 0.0)
+    assert(e2.getAs[Double]("acc_all_r") === 0.0)
+  }
+
   test("W5: top-k titles per surface") {
     val top = Linking.topTitlesPerSurface(dict, k = 1)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
