@@ -52,6 +52,14 @@ import graft.train.{ModelIO, Trainer}
   *                                    decode
   *   [--joint-coupling <double>]      type-agreement factor strength (1.0)
   *   [--joint-iters <int>]            BP iterations (6)
+  *   [--ner true]                     additionally run the G1/G2 NER layer
+  *                                    (per-token Viterbi labels + decoded
+  *                                    chunks) over the input transcripts and
+  *                                    commit `ner` + `ner_chunks` tables —
+  *                                    the reference predict driver's NER
+  *                                    output. With --evaluate, metrics gains
+  *                                    the A11 chunk F1 against the PROPER
+  *                                    extents of the all-generators universe
   *   [--link true]                    wikify the mentions (L2–L5) against
   *                                    --link-dict and commit the per-mention
   *                                    `links` table alongside the clusters
@@ -107,7 +115,7 @@ object Run {
   private val KnownOpts = Set(
     "input", "output", "mode", "model-dir", "model-token", "train", "gold",
     "loss", "eta", "evaluate", "joint", "joint-coupling", "joint-iters",
-    "link", "link-dict", "link-redirects", "link-aux", "link-choose",
+    "ner", "link", "link-dict", "link-redirects", "link-aux", "link-choose",
     "conll-out", "checkpoint", "generator", "link-threshold",
     "streaming", "commit-cadence", "band", "watermark")
 
@@ -441,10 +449,10 @@ object Run {
       // ignored — including sub-options of rejected mains (--gold,
       // --generator, --loss…): the stream always extracts identifier
       // mentions, so accepting `--generator all` would silently no-op
-      val batchOnly = Seq("train", "joint", "evaluate", "link", "conll-out",
-        "checkpoint", "gold", "generator", "loss", "eta", "joint-coupling",
-        "joint-iters", "link-dict", "link-redirects", "link-aux",
-        "link-choose").filter(opt.contains)
+      val batchOnly = Seq("train", "joint", "evaluate", "ner", "link",
+        "conll-out", "checkpoint", "gold", "generator", "loss", "eta",
+        "joint-coupling", "joint-iters", "link-dict", "link-redirects",
+        "link-aux", "link-choose").filter(opt.contains)
       require(batchOnly.isEmpty,
         s"--streaming is the incremental-maintenance face; batch-only options " +
         s"given: ${batchOnly.map("--" + _).mkString(", ")} (train the model in " +
@@ -512,6 +520,34 @@ object Run {
       releasePins(sc, pinnedBefore)
       s""""joint_coupling":$coupling,"joint_iters":$iters,"joint_flips":$flips,"""
     } else ""
+    // G1/G2 + A11 operational face: the reference's predict driver emits the
+    // NER layer alongside coref (`NerSystemLabeled` tagged docs); commit the
+    // per-token Viterbi labels and the decoded chunks under the same lineage
+    // as the clusters (both are pure functions of the input transcripts)
+    val nerFrag = if (opt.get("ner").exists(_.toBoolean)) {
+      val sc = spark.sparkContext
+      val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
+      val labeled = graft.ner.Ner.viterbi(spark, graft.ner.Ner.emissions(transcripts))
+        .localCheckpoint(true) // consumed twice: committed + chunked
+      out.commit("ner", labeled, cfg.token)
+      val chunks = graft.ner.Ner.chunks(labeled).localCheckpoint(true)
+      out.commit("ner_chunks", chunks, cfg.token)
+      val nChunks = chunks.count()
+      // A11 under --evaluate: chunk F1 against the PROPER extents of the
+      // all-generators universe (the a11 driver-query gold, independent of
+      // --generator so the metric means the same thing in every run)
+      val f1Frag = if (opt.get("evaluate").exists(_.toBoolean)) {
+        val goldUniverse =
+          if (generator == "all") res.mentions
+          else extractMentions(transcripts, "all")
+        val gold = goldUniverse.filter(col("mtype") === "PROPER")
+          .select(col("conv_id"), col("turn_idx"), col("start"), col("end"))
+        val f1 = graft.ner.Ner.chunkF1(chunks, gold).collect()(0)
+        f""""ner_chunk_f1":${f1.getAs[Double]("f1")}%.6f,"""
+      } else ""
+      releasePins(sc, pinnedBefore)
+      s""""ner_chunks":$nChunks,""" + f1Frag
+    } else ""
     // L2–L5 operational face: wikify the mentions against a user-supplied
     // title dictionary and commit the per-mention links alongside the
     // clusters — the reference job's wikification output
@@ -568,7 +604,7 @@ object Run {
     val nMentions = res.mentions.count()
     val nClusters = res.clusters.agg(countDistinct(col("cluster_id"))).head.getLong(0)
     val metrics = s"""{"input":"$input","mode":"$mode","config":"${cfg.token}",""" +
-      trainFrag + jointFrag + linkFrag + conllFrag + evalFrag +
+      trainFrag + jointFrag + nerFrag + linkFrag + conllFrag + evalFrag +
       s""""mentions":$nMentions,"clusters":$nClusters,""" +
       f""""wall_sec":$wallSec%.3f}"""
     writeText(spark, s"$output/metrics.json", metrics)

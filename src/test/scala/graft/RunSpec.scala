@@ -110,6 +110,42 @@ class RunSpec extends SparkSuite {
     assert(flips >= 0L && flips < field(metrics, "mentions").toLong)
   }
 
+  test("--ner: commits the Viterbi labels and chunks under the config token; " +
+      "the metrics A11 F1 matches a recompute") {
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_ner").toString
+    val out = s"$tmp/out"
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "ner" -> "true",
+      "evaluate" -> "true"))
+    info(metrics)
+    val io = new TableIO(out)
+    val token = field(metrics, "config")
+    val labeled = io.readIfCurrent(spark, "ner", token)
+      .getOrElse(fail("ner labels not committed under the config token"))
+    val chunks = io.readIfCurrent(spark, "ner_chunks", token)
+      .getOrElse(fail("ner chunks not committed under the config token"))
+    assert(chunks.count() === field(metrics, "ner_chunks").toLong)
+    assert(labeled.filter(!col("label").isin("O", "B", "I")).count() === 0L,
+      "labels stay in the O/B/I domain")
+    // the committed tables ARE the G2 decode of the input, bit for bit
+    val t = graft.sources.Transcripts.load(spark, "/root/testdata/sf0.001")
+    val re = graft.ner.Ner.viterbi(spark, graft.ner.Ner.emissions(t))
+    assert(labeled.exceptAll(re).isEmpty && re.exceptAll(labeled).isEmpty,
+      "committed ner table must equal a fresh Viterbi decode")
+    // the reported A11 chunk F1 is the chunkF1 of the committed chunks
+    // against the PROPER all-generators extents — recompute and compare
+    val gold = graft.pipeline.Mentions.extractAll(t)
+      .filter(col("mtype") === "PROPER")
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("end"))
+    val f1 = graft.ner.Ner.chunkF1(chunks, gold).collect()(0).getAs[Double]("f1")
+    assert(math.abs(field(metrics, "ner_chunk_f1").toDouble - f1) < 1e-6,
+      s"reported A11 F1 must match the recompute: $metrics vs $f1")
+    assert(f1 > 0.0, "the synthetic corpus has recoverable PROPER chunks")
+  }
+
   test("--streaming: drains the input as a file stream, the maintained state " +
       "equals the batch band-leg decode, and a re-run resumes without refolding") {
     import graft.pipeline.{Mentions, Blocking, Scoring, Decode, Clustering}
