@@ -38,7 +38,9 @@ import graft.train.{ModelIO, Trainer}
   *                                    regime (0.1-3.0-1.0, G4) biases scores
   *                                    UP by design — pair it with a higher
   *                                    --link-threshold or it over-links
-  *   [--eta <double>]                 Adagrad step size, default 0.5
+  *   [--eta <double>]                 Adagrad step size, default 0.5 (feeds
+  *                                    whichever trainer runs: --train and/or
+  *                                    --ner-train)
   *   [--evaluate true]                score the output against gold: pairwise
   *                                    link F1 over the blocked universe + MUC
   *                                    + B³ into metrics.json
@@ -60,6 +62,16 @@ import graft.train.{ModelIO, Trainer}
   *                                    output. With --evaluate, metrics gains
   *                                    the A11 chunk F1 against the PROPER
   *                                    extents of the all-generators universe
+  *   [--ner-train <epochs>]           train the NER emission model first
+  *                                    (Adagrad+L1 multinomial logistic over
+  *                                    the NerFeaturizer surface features,
+  *                                    supervised by the PROPER extents) and
+  *                                    decode with the trained emissions
+  *                                    instead of the fixed ones; the 3×F
+  *                                    weight matrix is committed as
+  *                                    `ner_model` (implies --ner). A
+  *                                    --link-dict, if given, feeds the L7
+  *                                    surface-match dictionary features
   *   [--link true]                    wikify the mentions (L2–L5) against
   *                                    --link-dict and commit the per-mention
   *                                    `links` table alongside the clusters
@@ -115,7 +127,8 @@ object Run {
   private val KnownOpts = Set(
     "input", "output", "mode", "model-dir", "model-token", "train", "gold",
     "loss", "eta", "evaluate", "joint", "joint-coupling", "joint-iters",
-    "ner", "link", "link-dict", "link-redirects", "link-aux", "link-choose",
+    "ner", "ner-train", "link", "link-dict", "link-redirects", "link-aux",
+    "link-choose",
     "conll-out", "checkpoint", "generator", "link-threshold",
     "streaming", "commit-cadence", "band", "watermark")
 
@@ -449,8 +462,8 @@ object Run {
       // ignored — including sub-options of rejected mains (--gold,
       // --generator, --loss…): the stream always extracts identifier
       // mentions, so accepting `--generator all` would silently no-op
-      val batchOnly = Seq("train", "joint", "evaluate", "ner", "link",
-        "conll-out", "checkpoint", "gold", "generator", "loss", "eta",
+      val batchOnly = Seq("train", "joint", "evaluate", "ner", "ner-train",
+        "link", "conll-out", "checkpoint", "gold", "generator", "loss", "eta",
         "joint-coupling", "joint-iters", "link-dict", "link-redirects",
         "link-aux", "link-choose").filter(opt.contains)
       require(batchOnly.isEmpty,
@@ -524,29 +537,56 @@ object Run {
     // NER layer alongside coref (`NerSystemLabeled` tagged docs); commit the
     // per-token Viterbi labels and the decoded chunks under the same lineage
     // as the clusters (both are pure functions of the input transcripts)
-    val nerFrag = if (opt.get("ner").exists(_.toBoolean)) {
+    val nerTrainEpochs = opt.get("ner-train").map(_.toInt)
+    val nerFrag = if (nerTrainEpochs.nonEmpty || opt.get("ner").exists(_.toBoolean)) {
+      import graft.ner.{Ner, NerTrainer}
       val sc = spark.sparkContext
       val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
-      val labeled = graft.ner.Ner.viterbi(spark, graft.ner.Ner.emissions(transcripts))
+      // the PROPER extents of the all-generators universe double as the NER
+      // supervision (B/I/O projection — the reference distills its span
+      // annotation the same way) and as the A11 evaluation gold; computed
+      // against the SAME universe in both roles, independent of --generator
+      lazy val properExtents = {
+        val u = if (generator == "all") res.mentions
+          else extractMentions(transcripts, "all")
+        u.filter(col("mtype") === "PROPER")
+          .select(col("conv_id"), col("turn_idx"), col("start"), col("end"))
+      }
+      val (emissions, trainNerFrag) = nerTrainEpochs match {
+        case Some(ep) =>
+          require(ep >= 1, s"--ner-train needs at least 1 epoch, got $ep")
+          val dictToks = opt.get("link-dict")
+            .map(p => NerTrainer.dictTokens(spark.read.parquet(p)))
+          val feats = NerTrainer.tokenFeatures(transcripts, dictToks)
+            .localCheckpoint(true) // consumed twice: trainer epochs + emissions
+          val w = NerTrainer.train(feats,
+            NerTrainer.goldTokenLabels(properExtents), epochs = ep,
+            eta = opt.get("eta").map(_.toDouble).getOrElse(0.5))
+          // the trained 3×F matrix is committed like the coref model — the
+          // store is what makes a later decode reproducible (RunSpec gates it)
+          import spark.implicits._
+          val wdf = (for {
+            l <- 0 until Ner.Labels.length
+            j <- NerTrainer.FeatureNames.indices
+          } yield (Ner.Labels(l), NerTrainer.FeatureNames(j), w(l)(j)))
+            .toDF("label", "feature", "weight")
+          out.commit("ner_model", wdf, cfg.token)
+          (NerTrainer.emissions(feats, w), s""""ner_trained_epochs":$ep,""")
+        case None => (Ner.emissions(transcripts), "")
+      }
+      val labeled = Ner.viterbi(spark, emissions)
         .localCheckpoint(true) // consumed twice: committed + chunked
       out.commit("ner", labeled, cfg.token)
-      val chunks = graft.ner.Ner.chunks(labeled).localCheckpoint(true)
+      val chunks = Ner.chunks(labeled).localCheckpoint(true)
       out.commit("ner_chunks", chunks, cfg.token)
       val nChunks = chunks.count()
-      // A11 under --evaluate: chunk F1 against the PROPER extents of the
-      // all-generators universe (the a11 driver-query gold, independent of
-      // --generator so the metric means the same thing in every run)
+      // A11 under --evaluate: chunk F1 against the PROPER extents
       val f1Frag = if (opt.get("evaluate").exists(_.toBoolean)) {
-        val goldUniverse =
-          if (generator == "all") res.mentions
-          else extractMentions(transcripts, "all")
-        val gold = goldUniverse.filter(col("mtype") === "PROPER")
-          .select(col("conv_id"), col("turn_idx"), col("start"), col("end"))
-        val f1 = graft.ner.Ner.chunkF1(chunks, gold).collect()(0)
+        val f1 = Ner.chunkF1(chunks, properExtents).collect()(0)
         f""""ner_chunk_f1":${f1.getAs[Double]("f1")}%.6f,"""
       } else ""
       releasePins(sc, pinnedBefore)
-      s""""ner_chunks":$nChunks,""" + f1Frag
+      trainNerFrag + s""""ner_chunks":$nChunks,""" + f1Frag
     } else ""
     // L2–L5 operational face: wikify the mentions against a user-supplied
     // title dictionary and commit the per-mention links alongside the

@@ -146,6 +146,45 @@ class RunSpec extends SparkSuite {
     assert(f1 > 0.0, "the synthetic corpus has recoverable PROPER chunks")
   }
 
+  test("--ner-train: trains the emission model, commits it, and a decode " +
+      "rebuilt from the committed model reproduces the committed labels") {
+    import graft.ner.{Ner, NerTrainer}
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_nertrain").toString
+    val out = s"$tmp/out"
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "ner-train" -> "60",
+      "eta" -> "1.0",
+      "evaluate" -> "true"))
+    info(metrics)
+    assert(field(metrics, "ner_trained_epochs") === "60")
+    val io = new TableIO(out)
+    val token = field(metrics, "config")
+    val wdf = io.readIfCurrent(spark, "ner_model", token)
+      .getOrElse(fail("ner model not committed under the config token"))
+    assert(wdf.count() === 3L * NerTrainer.FeatureNames.size,
+      "one weight per (label, feature)")
+    // the committed model is the reproducibility contract: rebuild the 3×F
+    // matrix FROM THE STORE, decode fresh, and demand the committed labels
+    val wmap = wdf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val w = Array.tabulate(3, NerTrainer.FeatureNames.size)((l, j) =>
+      wmap((Ner.Labels(l), NerTrainer.FeatureNames(j))))
+    val t = graft.sources.Transcripts.load(spark, "/root/testdata/sf0.001")
+    val re = Ner.viterbi(spark,
+      NerTrainer.emissions(NerTrainer.tokenFeatures(t), w))
+    val labeled = io.readIfCurrent(spark, "ner", token)
+      .getOrElse(fail("ner labels not committed under the config token"))
+    assert(labeled.exceptAll(re).isEmpty && re.exceptAll(labeled).isEmpty,
+      "decode from the committed model must reproduce the committed labels")
+    // the trained tagger recovers the extents that supervised it (the
+    // NerTrainSpec 60-epoch wide-feature gate, on the real corpus)
+    assert(field(metrics, "ner_chunk_f1").toDouble >= 0.95,
+      s"trained NER must recover its supervision extents: $metrics")
+  }
+
   test("--streaming: drains the input as a file stream, the maintained state " +
       "equals the batch band-leg decode, and a re-run resumes without refolding") {
     import graft.pipeline.{Mentions, Blocking, Scoring, Decode, Clustering}
