@@ -54,6 +54,18 @@ import graft.train.{ModelIO, Trainer}
   *                                    decode
   *   [--joint-coupling <double>]      type-agreement factor strength (1.0)
   *   [--joint-iters <int>]            BP iterations (6)
+  *   [--joint-ner-coupling <double>]  NER-agreement factor strength (0 = off):
+  *                                    ties each mention's type to the NER
+  *                                    chain's entity posterior (forward-
+  *                                    backward `m_b + m_i` averaged over the
+  *                                    mention span)
+  *   [--joint-wiki-coupling <double>] denotation-agreement factor strength
+  *                                    (0 = off): latent wiki denotations per
+  *                                    mention over the L5 grid (requires
+  *                                    --link-dict; --link-redirects /
+  *                                    --link-aux honored); coref links pull
+  *                                    denotations together and vice versa
+  *   [--joint-wiki-nil <double>]      NIL denotation unary score (0.0)
   *   [--ner true]                     additionally run the G1/G2 NER layer
   *                                    (per-token Viterbi labels + decoded
   *                                    chunks) over the input transcripts and
@@ -127,6 +139,7 @@ object Run {
   private val KnownOpts = Set(
     "input", "output", "mode", "model-dir", "model-token", "train", "gold",
     "loss", "eta", "evaluate", "joint", "joint-coupling", "joint-iters",
+    "joint-ner-coupling", "joint-wiki-coupling", "joint-wiki-nil",
     "ner", "ner-train", "link", "link-dict", "link-redirects", "link-aux",
     "link-choose",
     "conll-out", "checkpoint", "generator", "link-threshold",
@@ -464,8 +477,9 @@ object Run {
       // mentions, so accepting `--generator all` would silently no-op
       val batchOnly = Seq("train", "joint", "evaluate", "ner", "ner-train",
         "link", "conll-out", "checkpoint", "gold", "generator", "loss", "eta",
-        "joint-coupling", "joint-iters", "link-dict", "link-redirects",
-        "link-aux", "link-choose").filter(opt.contains)
+        "joint-coupling", "joint-iters", "joint-ner-coupling",
+        "joint-wiki-coupling", "joint-wiki-nil", "link-dict",
+        "link-redirects", "link-aux", "link-choose").filter(opt.contains)
       require(batchOnly.isEmpty,
         s"--streaming is the incremental-maintenance face; batch-only options " +
         s"given: ${batchOnly.map("--" + _).mkString(", ")} (train the model in " +
@@ -515,14 +529,45 @@ object Run {
     // per-conversation, so cross-conversation bridge/chain arcs simply do
     // not couple — identical to the g3_joint_decode driver surface)
     val jointFrag = if (opt.get("joint").exists(_.toBoolean)) {
+      import spark.implicits._
       val coupling = opt.get("joint-coupling").map(_.toDouble).getOrElse(1.0)
       val iters = opt.get("joint-iters").map(_.toInt).getOrElse(6)
+      val nerCpl = opt.get("joint-ner-coupling").map(_.toDouble).getOrElse(0.0)
+      val wikiCpl = opt.get("joint-wiki-coupling").map(_.toDouble).getOrElse(0.0)
+      val wikiNil = opt.get("joint-wiki-nil").map(_.toDouble).getOrElse(0.0)
       val sc = spark.sparkContext
       val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
+      // NER-agreement evidence: the forward-backward entity posterior
+      // (m_b + m_i) averaged over each mention's token span — the infer()
+      // contract's documented feed (JointDocFactorGraphOnto.scala:62-99)
+      val evidence = if (nerCpl != 0.0) {
+        val fb = graft.ner.Ner.forwardBackward(spark,
+          graft.ner.Ner.emissions(transcripts))
+        Some(res.mentions.select(col("mention_id"), col("conv_id"),
+            col("turn_idx"), explode(sequence(col("start"), col("end"))).as("pos"))
+          .join(fb, Seq("conv_id", "turn_idx", "pos"))
+          .groupBy(col("mention_id"))
+          .agg(avg(col("m_b") + col("m_i")).as("p_entity"))
+          .withColumn("new_bias", lit(0.0)))
+      } else None
+      // wiki denotation nodes: the full L5 grid (every candidate title per
+      // mention), not the chooser's argmax — the factor graph owns the choice
+      val wikiScores = if (wikiCpl != 0.0) {
+        val dict = spark.read.parquet(opt.getOrElse("link-dict", sys.error(
+          "--joint-wiki-coupling requires --link-dict (the L5 grid source)")))
+        val redirects = opt.get("link-redirects").map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
+        val aux = opt.get("link-aux").map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[String].toDF("title"))
+        Some(graft.linking.Linking.denotationGrid(res.mentions, dict, redirects, aux))
+      } else None
       val joint = graft.joint.JointInference.infer(spark,
         graft.joint.JointInference.typePriors(res.mentions),
         res.scored.select(col("ant_id"), col("cur_id"), col("score")),
-        coupling = coupling, iters = iters, algorithm = "bp")
+        coupling = coupling, iters = iters,
+        evidence = evidence, nerCoupling = nerCpl,
+        wikiScores = wikiScores, wikiCoupling = wikiCpl, wikiNilScore = wikiNil,
+        algorithm = "bp")
         .localCheckpoint(true) // consumed twice: committed + flip-diffed
       out.commit("joint", joint, cfg.token)
       val flips = joint
@@ -530,8 +575,15 @@ object Run {
         .join(res.backptrs.select(col("cur_id"), col("ant_id").as("pair_ant")),
           Seq("cur_id"), "left")
         .filter(!(col("joint_ant") <=> col("pair_ant"))).count()
+      val wikiFrag = if (wikiCpl != 0.0) {
+        val titled = joint.filter(col("wiki_title").isNotNull).count()
+        s""""joint_wiki_coupling":$wikiCpl,"joint_wiki_titled":$titled,"""
+      } else ""
+      val nerCplFrag =
+        if (nerCpl != 0.0) s""""joint_ner_coupling":$nerCpl,""" else ""
       releasePins(sc, pinnedBefore)
-      s""""joint_coupling":$coupling,"joint_iters":$iters,"joint_flips":$flips,"""
+      s""""joint_coupling":$coupling,"joint_iters":$iters,""" +
+        nerCplFrag + wikiFrag + s""""joint_flips":$flips,"""
     } else ""
     // G1/G2 + A11 operational face: the reference's predict driver emits the
     // NER layer alongside coref (`NerSystemLabeled` tagged docs); commit the

@@ -117,6 +117,32 @@ object Linking {
         coalesce(col("dst"), col("title0")).as("title"), col("dscore"))
   }
 
+  /** The scored L5 query × denotation grid itself `(mention_id, title,
+    * dscore)` — every candidate title, not just the per-mention argmax:
+    * aux-purged, redirects resolved per row (max dscore per resolved
+    * title). This is the wiki-node input of the joint factor graph
+    * ([[graft.joint.JointInference.infer]]'s `wikiScores`; the reference
+    * builds its wiki nodes from the same grid,
+    * `wiki/JointQueryDenotationChooser.scala` via
+    * `JointDocFactorGraphOnto.scala:149-172`). [[queryDenotationChoose]]
+    * keeps its own argmax-then-redirect order (oracle-pinned) — this is a
+    * grid view beside it, not a refactor of it. */
+  def denotationGrid(mentions: DataFrame, dict: DataFrame,
+      redirects: DataFrame, auxTitles: DataFrame,
+      wPrio: Double = 1.0, wCnt: Double = 0.5): DataFrame = {
+    val hits = expandQueries(mentions)
+      .join(dict.select(col("surface").as("query"), col("title"), col("cnt")), "query")
+    val scored = purgeAux(hits, auxTitles).withColumn("dscore",
+      (lit(3) - col("prio")).cast("double") * wPrio +
+        log(greatest(col("cnt"), lit(1)).cast("double")) * wCnt)
+    scored
+      .join(redirects.select(col("src").as("title"), col("dst")), Seq("title"), "left")
+      .select(col("mention_id"),
+        coalesce(col("dst"), col("title")).as("title"), col("dscore"))
+      .groupBy(col("mention_id"), col("title"))
+      .agg(max(col("dscore")).as("dscore"))
+  }
+
   /** W5: top-k titles per surface from the dictionary (the reference's
     * per-surface candidate shortlist, `WikipediaTitleGivenSurfaceDB:34-60`)
     * — count-descending, name tie-break. */

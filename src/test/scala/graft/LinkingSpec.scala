@@ -60,6 +60,27 @@ class LinkingSpec extends SparkSuite {
     assert(e.getAs[Double]("acc_linked_r") === 0.8)
   }
 
+  test("denotationGrid: full candidate grid, aux-purged, redirect-resolved, " +
+      "max-deduped per resolved title") {
+    // extra head-query route to an existing title: the grid must keep ONE
+    // row per (mention, resolved title) at the MAX dscore across queries
+    val dict2 = dict.union(Seq(("data", "Acme_Data_B", 2)).toDF("surface", "title", "cnt"))
+    val aux = Seq("Acme_Data_A").toDF("title")
+    val grid = Linking.denotationGrid(mentions, dict2, redirects, aux)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(!grid.contains(("m2", "Acme_Data_A")), "aux titles purged from the grid")
+    assert(grid.keys.filter(_._1 == "m6").map(_._2).toSet === Set("A_Title", "B_Title"),
+      "BOTH tie candidates stay in the grid (the chooser argmaxes; the grid does not)")
+    assert(grid.keys.filter(_._1 == "m4").map(_._2).toSet === Set("NewCo"),
+      "redirects resolve per grid row")
+    assert(!grid.keys.exists(_._1 == "m5"), "NIL mentions are absent")
+    // m2 reaches Acme_Data_B at prio 0 (full surface, cnt 9) AND via the
+    // head query "data" at prio 2 (cnt 2) — one row, the prio-0 score
+    val expect = 3.0 * 1.0 + math.log(9.0) * 0.5
+    assert(math.abs(grid(("m2", "Acme_Data_B")) - expect) < 1e-9,
+      "duplicate routes to one title collapse to the max dscore")
+  }
+
   test("wikiEval: 0/0 slices collapse to 0.0, not null (metric guard)") {
     val gold = Seq(("m1", "Acme_Systems")).toDF("mention_id", "gold_title")
     val noLinks = Seq.empty[(String, String)].toDF("mention_id", "title")

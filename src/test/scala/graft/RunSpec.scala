@@ -110,6 +110,43 @@ class RunSpec extends SparkSuite {
     assert(flips >= 0L && flips < field(metrics, "mentions").toLong)
   }
 
+  test("--joint with NER evidence and wiki denotation factors: the full " +
+      "factor family runs from the entry point and commits titles") {
+    import graft.pipeline.Mentions
+    import graft.sources.Transcripts
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_jointfull").toString
+    val out = s"$tmp/out"
+    val m = Mentions.extractIdentifier(
+      Transcripts.load(spark, "/root/testdata/sf0.001"))
+    m.select(col("norm").as("surface")).distinct()
+      .select(col("surface"), concat(lit("T_"), col("surface")).as("title"),
+        lit(100L).as("cnt"))
+      .write.parquet(s"$tmp/dict")
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "joint" -> "true",
+      "joint-ner-coupling" -> "1.0",
+      "joint-wiki-coupling" -> "1.0",
+      "joint-wiki-nil" -> "0.5",
+      "link-dict" -> s"$tmp/dict"))
+    info(metrics)
+    val joint = new TableIO(out)
+      .readIfCurrent(spark, "joint", field(metrics, "config"))
+      .getOrElse(fail("joint decode not committed under the config token"))
+    assert(joint.count() === field(metrics, "mentions").toLong)
+    val titled = joint.filter(col("wiki_title").isNotNull)
+    assert(titled.count() === field(metrics, "joint_wiki_titled").toLong)
+    assert(titled.count() > 0L, "dict-covered mentions must carry denotations")
+    assert(titled.filter(!col("wiki_title").startsWith("T_")).count() === 0L,
+      "denotations come from the grid's titles")
+    val badP = joint.filter(col("p_wiki") < 0.0 || col("p_wiki") > 1.0 + 1e-9).count()
+    assert(badP === 0L, "denotation marginals must be probabilities")
+    assert(field(metrics, "joint_ner_coupling") === "1.0")
+  }
+
   test("--ner: commits the Viterbi labels and chunks under the config token; " +
       "the metrics A11 F1 matches a recompute") {
     val tmp = java.nio.file.Files.createTempDirectory("runspec_ner").toString
