@@ -66,6 +66,19 @@ import graft.train.{ModelIO, Trainer}
   *                                    --link-aux honored); coref links pull
   *                                    denotations together and vice versa
   *   [--joint-wiki-nil <double>]      NIL denotation unary score (0.0)
+  *   [--joint-train <epochs>]         train the coref (and, with
+  *                                    --joint-ner-coupling ≠ 0, NER) factor
+  *                                    couplings first by BP-gradient Adagrad
+  *                                    over the gold assignment log-likelihood
+  *                                    (central finite differences), starting
+  *                                    from the --joint-* values; gold
+  *                                    antecedents derive from --gold / the
+  *                                    harness convention (lowest-id
+  *                                    gold-coreferent candidate; absent =
+  *                                    gold-new). Wiki couplings stay user-set
+  *                                    (the gold table carries no titles).
+  *                                    The decode then runs with the TRAINED
+  *                                    couplings (reported in metrics)
   *   [--ner true]                     additionally run the G1/G2 NER layer
   *                                    (per-token Viterbi labels + decoded
   *                                    chunks) over the input transcripts and
@@ -140,6 +153,7 @@ object Run {
     "input", "output", "mode", "model-dir", "model-token", "train", "gold",
     "loss", "eta", "evaluate", "joint", "joint-coupling", "joint-iters",
     "joint-ner-coupling", "joint-wiki-coupling", "joint-wiki-nil",
+    "joint-train",
     "ner", "ner-train", "link", "link-dict", "link-redirects", "link-aux",
     "link-choose",
     "conll-out", "checkpoint", "generator", "link-threshold",
@@ -478,7 +492,7 @@ object Run {
       val batchOnly = Seq("train", "joint", "evaluate", "ner", "ner-train",
         "link", "conll-out", "checkpoint", "gold", "generator", "loss", "eta",
         "joint-coupling", "joint-iters", "joint-ner-coupling",
-        "joint-wiki-coupling", "joint-wiki-nil", "link-dict",
+        "joint-wiki-coupling", "joint-wiki-nil", "joint-train", "link-dict",
         "link-redirects", "link-aux", "link-choose").filter(opt.contains)
       require(batchOnly.isEmpty,
         s"--streaming is the incremental-maintenance face; batch-only options " +
@@ -561,11 +575,56 @@ object Run {
           .getOrElse(Seq.empty[String].toDF("title"))
         Some(graft.linking.Linking.denotationGrid(res.mentions, dict, redirects, aux))
       } else None
+      // --joint-train: the reference's runTrainEvaluate for the factor graph
+      // (BP-gradient Adagrad over the factor weights) — coref and, when the
+      // evidence factor is active, NER couplings; wiki couplings stay
+      // user-set (no gold titles in the mention→entity supervision). The
+      // gold marker g_type = "NONE" is deliberately outside the Types enum:
+      // the row participates in the antecedent term (gold-new mentions
+      // included) with no type-supervision term.
+      val (cplCoref, cplNer, trainJointFrag) =
+        opt.get("joint-train").map(_.toInt) match {
+          case Some(ep) =>
+            require(ep >= 1, s"--joint-train needs at least 1 epoch, got $ep")
+            val g = goldEntities(spark, opt, res.mentions)
+            val goldArc = res.scored.select(col("ant_id"), col("cur_id"))
+              .join(g.select(col("mention_id").as("ant_id"),
+                col("entity_id").as("e_a")), "ant_id")
+              .join(g.select(col("mention_id").as("cur_id"),
+                col("entity_id").as("e_c")), "cur_id")
+              .filter(col("e_a") === col("e_c"))
+              .groupBy(col("cur_id")).agg(min(col("ant_id")).as("g_ant"))
+            val goldDf = res.mentions.select(col("mention_id"))
+              .join(goldArc.select(col("cur_id").as("mention_id"), col("g_ant")),
+                Seq("mention_id"), "left")
+              .select(col("mention_id"), col("g_ant"),
+                lit("NONE").as("g_type"),
+                lit(null).cast("string").as("g_wiki"))
+            val (trained, trace) = graft.joint.JointInference.trainCouplings(
+              spark, graft.joint.JointInference.typePriors(res.mentions),
+              res.scored.select(col("ant_id"), col("cur_id"), col("score")),
+              goldDf, epochs = ep,
+              eta = opt.get("eta").map(_.toDouble).getOrElse(0.5),
+              iters = iters,
+              init = graft.joint.JointInference.Couplings(coupling, nerCpl,
+                wikiCpl, wikiNil),
+              // no wikiScores in the TRAINING graph: every g_wiki is null,
+              // so a wiki-factored objective would read "all denotations are
+              // gold-NIL" — false supervision perturbing the coref gradient.
+              // Wiki factors join at decode with their user-set couplings.
+              evidence = evidence, wikiScores = None,
+              trainWiki = false, algorithm = "bp")
+            (trained.coref, trained.ner,
+              f""""joint_trained_epochs":$ep,""" +
+              f""""joint_loss_first":${trace.head._2}%.6f,""" +
+              f""""joint_loss_last":${trace.last._2}%.6f,""")
+          case None => (coupling, nerCpl, "")
+        }
       val joint = graft.joint.JointInference.infer(spark,
         graft.joint.JointInference.typePriors(res.mentions),
         res.scored.select(col("ant_id"), col("cur_id"), col("score")),
-        coupling = coupling, iters = iters,
-        evidence = evidence, nerCoupling = nerCpl,
+        coupling = cplCoref, iters = iters,
+        evidence = evidence, nerCoupling = cplNer,
         wikiScores = wikiScores, wikiCoupling = wikiCpl, wikiNilScore = wikiNil,
         algorithm = "bp")
         .localCheckpoint(true) // consumed twice: committed + flip-diffed
@@ -580,9 +639,9 @@ object Run {
         s""""joint_wiki_coupling":$wikiCpl,"joint_wiki_titled":$titled,"""
       } else ""
       val nerCplFrag =
-        if (nerCpl != 0.0) s""""joint_ner_coupling":$nerCpl,""" else ""
+        if (cplNer != 0.0) s""""joint_ner_coupling":$cplNer,""" else ""
       releasePins(sc, pinnedBefore)
-      s""""joint_coupling":$coupling,"joint_iters":$iters,""" +
+      trainJointFrag + s""""joint_coupling":$cplCoref,"joint_iters":$iters,""" +
         nerCplFrag + wikiFrag + s""""joint_flips":$flips,"""
     } else ""
     // G1/G2 + A11 operational face: the reference's predict driver emits the

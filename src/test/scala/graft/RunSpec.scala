@@ -147,6 +147,33 @@ class RunSpec extends SparkSuite {
     assert(field(metrics, "joint_ner_coupling") === "1.0")
   }
 
+  test("--joint-train: trains the factor couplings from the entry point and " +
+      "decodes with them") {
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_jointtrain").toString
+    val out = s"$tmp/out"
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "joint" -> "true",
+      "joint-coupling" -> "0.0", // trained from a cold start
+      "joint-train" -> "4",
+      "eta" -> "1.0"))
+    info(metrics)
+    assert(field(metrics, "joint_trained_epochs") === "4")
+    val lossFirst = field(metrics, "joint_loss_first").toDouble
+    val lossLast = field(metrics, "joint_loss_last").toDouble
+    assert(lossLast <= lossFirst,
+      s"joint -loglik must not increase over training: $lossFirst -> $lossLast")
+    // the decode ran with the TRAINED coupling, which moved off the 0 start
+    val trained = field(metrics, "joint_coupling").toDouble
+    assert(trained !== 0.0, s"training must move the coupling off 0: $metrics")
+    val joint = new TableIO(out)
+      .readIfCurrent(spark, "joint", field(metrics, "config"))
+      .getOrElse(fail("joint decode not committed under the config token"))
+    assert(joint.count() === field(metrics, "mentions").toLong)
+  }
+
   test("--ner: commits the Viterbi labels and chunks under the config token; " +
       "the metrics A11 F1 matches a recompute") {
     val tmp = java.nio.file.Files.createTempDirectory("runspec_ner").toString
