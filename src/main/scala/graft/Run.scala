@@ -78,7 +78,8 @@ import graft.train.{ModelIO, Trainer}
   *                                    gold-new). Wiki couplings stay user-set
   *                                    (the gold table carries no titles).
   *                                    The decode then runs with the TRAINED
-  *                                    couplings (reported in metrics)
+  *                                    couplings (reported in metrics); implies
+  *                                    --joint
   *   [--ner true]                     additionally run the G1/G2 NER layer
   *                                    (per-token Viterbi labels + decoded
   *                                    chunks) over the input transcripts and
@@ -542,7 +543,10 @@ object Run {
     // pairwise decode consumed, committed alongside (the factor graph is
     // per-conversation, so cross-conversation bridge/chain arcs simply do
     // not couple — identical to the g3_joint_decode driver surface)
-    val jointFrag = if (opt.get("joint").exists(_.toBoolean)) {
+    // --joint-train implies --joint, the way --ner-train implies --ner: a
+    // training request with the decode flag forgotten must not silently no-op
+    val jointFrag = if (opt.get("joint").exists(_.toBoolean)
+        || opt.contains("joint-train")) {
       import spark.implicits._
       val coupling = opt.get("joint-coupling").map(_.toDouble).getOrElse(1.0)
       val iters = opt.get("joint-iters").map(_.toInt).getOrElse(6)

@@ -155,7 +155,7 @@ class RunSpec extends SparkSuite {
       "input" -> "/root/testdata/sf0.001",
       "output" -> out,
       "generator" -> "identifier",
-      "joint" -> "true",
+      // no "joint" flag: --joint-train must imply the decode
       "joint-coupling" -> "0.0", // trained from a cold start
       "joint-train" -> "4",
       "eta" -> "1.0"))
