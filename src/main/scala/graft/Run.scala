@@ -39,8 +39,8 @@ import graft.train.{ModelIO, Trainer}
   *                                    UP by design — pair it with a higher
   *                                    --link-threshold or it over-links
   *   [--eta <double>]                 Adagrad step size, default 0.5 (feeds
-  *                                    whichever trainer runs: --train and/or
-  *                                    --ner-train)
+  *                                    whichever trainer runs: --train,
+  *                                    --ner-train, and/or --joint-train)
   *   [--evaluate true]                score the output against gold: pairwise
   *                                    link F1 over the blocked universe + MUC
   *                                    + B³ into metrics.json
@@ -74,20 +74,28 @@ import graft.train.{ModelIO, Trainer}
   *                                    from the --joint-* values; gold
   *                                    antecedents derive from --gold / the
   *                                    harness convention (lowest-id
-  *                                    gold-coreferent candidate; absent =
-  *                                    gold-new). Wiki couplings stay user-set
-  *                                    (the gold table carries no titles).
-  *                                    The decode then runs with the TRAINED
-  *                                    couplings (reported in metrics); implies
-  *                                    --joint
+  *                                    gold-coreferent candidate IN THE SAME
+  *                                    CONVERSATION — the factor graph is
+  *                                    per-conversation; absent = gold-new).
+  *                                    Mentions NOT covered by --gold carry no
+  *                                    supervision term (a partial gold table
+  *                                    does not read as "everything uncovered
+  *                                    is gold-new"). Wiki couplings stay
+  *                                    user-set (the gold table carries no
+  *                                    titles). The decode then runs with the
+  *                                    TRAINED couplings (reported in
+  *                                    metrics); implies --joint
   *   [--ner true]                     additionally run the G1/G2 NER layer
   *                                    (per-token Viterbi labels + decoded
   *                                    chunks) over the input transcripts and
   *                                    commit `ner` + `ner_chunks` tables —
   *                                    the reference predict driver's NER
-  *                                    output. With --evaluate, metrics gains
-  *                                    the A11 chunk F1 against the PROPER
-  *                                    extents of the all-generators universe
+  *                                    output (committed under `ner_config`,
+  *                                    the pipeline token extended with the
+  *                                    emission model's identity). With
+  *                                    --evaluate, metrics gains the A11 chunk
+  *                                    F1 against the PROPER extents of the
+  *                                    all-generators universe
   *   [--ner-train <epochs>]           train the NER emission model first
   *                                    (Adagrad+L1 multinomial logistic over
   *                                    the NerFeaturizer surface features,
@@ -501,6 +509,27 @@ object Run {
         "a batch run and pass it via --model-dir/--model-token)")
       return runStreaming(spark, opt, input, output)
     }
+    // joint-flag validation UP FRONT (before the pipeline runs), same
+    // doctrine as KnownOpts and the streaming batch-only reject: an
+    // operational entry point must reject a contradictory or dangling
+    // sub-option, not run a full pipeline and then silently ignore it.
+    // --joint-train implies --joint, the way --ner-train implies --ner: a
+    // training request with the decode flag forgotten must not no-op
+    val jointOn = opt.get("joint").exists(_.toBoolean) ||
+      opt.contains("joint-train")
+    require(!(opt.contains("joint-train") && opt.get("joint").exists(!_.toBoolean)),
+      "--joint false contradicts --joint-train (training implies the decode)")
+    if (!jointOn) {
+      val dangling = Seq("joint-coupling", "joint-iters", "joint-ner-coupling",
+        "joint-wiki-coupling", "joint-wiki-nil").filter(opt.contains)
+      require(dangling.isEmpty,
+        s"joint sub-options given without --joint true / --joint-train: " +
+        s"${dangling.map("--" + _).mkString(", ")}")
+    }
+    require(opt.get("joint-wiki-coupling").map(_.toDouble).getOrElse(0.0) != 0.0 ||
+        !opt.contains("joint-wiki-nil"),
+      "--joint-wiki-nil is meaningless without --joint-wiki-coupling ≠ 0")
+
     val trainEpochs = opt.get("train").map(_.toInt)
     val mode = if (trainEpochs.nonEmpty) "sparse" else opt.getOrElse("mode", "dense")
     val generator = opt.getOrElse("generator", "all")
@@ -539,15 +568,105 @@ object Run {
     out.commit("backptrs", res.backptrs, cfg.token)
     val wallSec = (System.nanoTime() - t0) / 1e9
 
+    // shared loader for the linking inputs (consumed by the joint wiki
+    // factors, --ner-train's L7 dictionary features, and --link): one parse
+    // point, so a schema or default fix cannot drift between consumers
+    def loadLinkInputs(requiredBy: String): (DataFrame, DataFrame, DataFrame) = {
+      import spark.implicits._
+      val dict = spark.read.parquet(opt.getOrElse("link-dict", sys.error(
+        s"$requiredBy requires --link-dict (a (surface,title,cnt) parquet — " +
+        "distill one from a dump with graft.wiki (L6))")))
+      val redirects = opt.get("link-redirects").map(spark.read.parquet(_))
+        .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
+      val aux = opt.get("link-aux").map(spark.read.parquet(_))
+        .getOrElse(Seq.empty[String].toDF("title"))
+      (dict, redirects, aux)
+    }
+    // CONTENT identity of an optional path option, and a derived sub-token:
+    // a committed table whose content depends on inputs beyond the pipeline
+    // config must extend the pipeline token with those inputs' identities
+    // (the `links` doctrine: the same clusters against two different
+    // dictionaries — or one re-distilled into the same path — must never
+    // share a snapshot identity)
+    def optId(key: String): String = opt.get(key)
+      .map(p => s"$p@${pathIdentity(spark, p)}").getOrElse("")
+    def subToken(parts: String): String = cfg.token + "-" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(parts).toLong & 0xffffffffL)
+
+    // G1/G2 + A11 operational face: the reference's predict driver emits the
+    // NER layer alongside coref (`NerSystemLabeled` tagged docs); commit the
+    // per-token Viterbi labels and the decoded chunks. Runs BEFORE the joint
+    // block: when --ner-train and --joint-ner-coupling are both given, the
+    // joint evidence must be the TRAINED tagger's posteriors — the model
+    // this run commits — not the fixed default's.
+    val nerTrainEpochs = opt.get("ner-train").map(_.toInt)
+    val (nerFrag, nerW) =
+      if (nerTrainEpochs.nonEmpty || opt.get("ner").exists(_.toBoolean)) {
+      import graft.ner.{Ner, NerTrainer}
+      val sc = spark.sparkContext
+      val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
+      // the PROPER extents of the all-generators universe double as the NER
+      // supervision (B/I/O projection — the reference distills its span
+      // annotation the same way) and as the A11 evaluation gold; computed
+      // against the SAME universe in both roles, independent of --generator
+      lazy val properExtents = {
+        val u = if (generator == "all") res.mentions
+          else extractMentions(transcripts, "all")
+        u.filter(col("mtype") === "PROPER")
+          .select(col("conv_id"), col("turn_idx"), col("start"), col("end"))
+      }
+      // the NER lineage extends the pipeline token with everything the
+      // emission model depends on: epochs, step size, the L7 dictionary's
+      // content identity — two differently-trained taggers into the same
+      // --output must not share a snapshot identity
+      val (emissions, wOpt, nerToken, trainNerFrag) = nerTrainEpochs match {
+        case Some(ep) =>
+          require(ep >= 1, s"--ner-train needs at least 1 epoch, got $ep")
+          val eta = opt.get("eta").map(_.toDouble).getOrElse(0.5)
+          val dictToks = opt.get("link-dict")
+            .map(p => NerTrainer.dictTokens(spark.read.parquet(p)))
+          val feats = NerTrainer.tokenFeatures(transcripts, dictToks)
+            .localCheckpoint(true) // consumed twice: trainer epochs + emissions
+          val w = NerTrainer.train(feats,
+            NerTrainer.goldTokenLabels(properExtents), epochs = ep, eta = eta)
+          val tok = subToken(s"ner|$ep|$eta|${optId("link-dict")}")
+          // the trained 3×F matrix is committed like the coref model — the
+          // store is what makes a later decode reproducible (RunSpec gates it)
+          import spark.implicits._
+          val wdf = (for {
+            l <- 0 until Ner.Labels.length
+            j <- NerTrainer.FeatureNames.indices
+          } yield (Ner.Labels(l), NerTrainer.FeatureNames(j), w(l)(j)))
+            .toDF("label", "feature", "weight")
+          out.commit("ner_model", wdf, tok)
+          (NerTrainer.emissions(feats, w), Some(w), tok,
+            s""""ner_trained_epochs":$ep,""")
+        case None =>
+          (Ner.emissions(transcripts), None, subToken("ner|fixed"), "")
+      }
+      val labeled = Ner.viterbi(spark, emissions)
+        .localCheckpoint(true) // consumed twice: committed + chunked
+      out.commit("ner", labeled, nerToken)
+      val chunks = Ner.chunks(labeled).localCheckpoint(true)
+      out.commit("ner_chunks", chunks, nerToken)
+      val nChunks = chunks.count()
+      // A11 under --evaluate: chunk F1 against the PROPER extents
+      val f1Frag = if (opt.get("evaluate").exists(_.toBoolean)) {
+        val f1 = Ner.chunkF1(chunks, properExtents).collect()(0)
+        f""""ner_chunk_f1":${f1.getAs[Double]("f1")}%.6f,"""
+      } else ""
+      releasePins(sc, pinnedBefore)
+      (trainNerFrag + s""""ner_config":"$nerToken","ner_chunks":$nChunks,""" +
+        f1Frag, wOpt)
+    } else ("", None)
+
     // G3 operational face: BP joint decode over the same scored arcs the
     // pairwise decode consumed, committed alongside (the factor graph is
     // per-conversation, so cross-conversation bridge/chain arcs simply do
-    // not couple — identical to the g3_joint_decode driver surface)
-    // --joint-train implies --joint, the way --ner-train implies --ner: a
-    // training request with the decode flag forgotten must not silently no-op
-    val jointFrag = if (opt.get("joint").exists(_.toBoolean)
-        || opt.contains("joint-train")) {
-      import spark.implicits._
+    // not couple — identical to the g3_joint_decode driver surface);
+    // flag validation happened up front, before the pipeline ran
+    val jointFrag = if (jointOn) {
       val coupling = opt.get("joint-coupling").map(_.toDouble).getOrElse(1.0)
       val iters = opt.get("joint-iters").map(_.toInt).getOrElse(6)
       val nerCpl = opt.get("joint-ner-coupling").map(_.toDouble).getOrElse(0.0)
@@ -557,26 +676,31 @@ object Run {
       val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
       // NER-agreement evidence: the forward-backward entity posterior
       // (m_b + m_i) averaged over each mention's token span — the infer()
-      // contract's documented feed (JointDocFactorGraphOnto.scala:62-99)
+      // contract's documented feed (JointDocFactorGraphOnto.scala:62-99) —
+      // from the emission model THIS RUN decodes with (trained when
+      // --ner-train ran, fixed otherwise); checkpointed: consumed by
+      // training (dozens of objective evaluations) and by the decode
       val evidence = if (nerCpl != 0.0) {
-        val fb = graft.ner.Ner.forwardBackward(spark,
-          graft.ner.Ner.emissions(transcripts))
+        val emis = nerW match {
+          case Some(w) => graft.ner.NerTrainer.emissions(
+            graft.ner.NerTrainer.tokenFeatures(transcripts,
+              opt.get("link-dict").map(p =>
+                graft.ner.NerTrainer.dictTokens(spark.read.parquet(p)))), w)
+          case None => graft.ner.Ner.emissions(transcripts)
+        }
+        val fb = graft.ner.Ner.forwardBackward(spark, emis)
         Some(res.mentions.select(col("mention_id"), col("conv_id"),
             col("turn_idx"), explode(sequence(col("start"), col("end"))).as("pos"))
           .join(fb, Seq("conv_id", "turn_idx", "pos"))
           .groupBy(col("mention_id"))
           .agg(avg(col("m_b") + col("m_i")).as("p_entity"))
-          .withColumn("new_bias", lit(0.0)))
+          .withColumn("new_bias", lit(0.0))
+          .localCheckpoint(true))
       } else None
       // wiki denotation nodes: the full L5 grid (every candidate title per
       // mention), not the chooser's argmax — the factor graph owns the choice
       val wikiScores = if (wikiCpl != 0.0) {
-        val dict = spark.read.parquet(opt.getOrElse("link-dict", sys.error(
-          "--joint-wiki-coupling requires --link-dict (the L5 grid source)")))
-        val redirects = opt.get("link-redirects").map(spark.read.parquet(_))
-          .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
-        val aux = opt.get("link-aux").map(spark.read.parquet(_))
-          .getOrElse(Seq.empty[String].toDF("title"))
+        val (dict, redirects, aux) = loadLinkInputs("--joint-wiki-coupling")
         Some(graft.linking.Linking.denotationGrid(res.mentions, dict, redirects, aux))
       } else None
       // --joint-train: the reference's runTrainEvaluate for the factor graph
@@ -591,14 +715,32 @@ object Run {
           case Some(ep) =>
             require(ep >= 1, s"--joint-train needs at least 1 epoch, got $ep")
             val g = goldEntities(spark, opt, res.mentions)
+            val mConv = res.mentions.select(col("mention_id"), col("conv_id"))
+            // the factor graph is per-conversation: the gold antecedent is
+            // the lowest-id gold-coreferent candidate IN THE SAME
+            // CONVERSATION. A cross-conversation chain/bridge arc is not a
+            // reachable assignment for any A_c, so deriving g_ant from one
+            // would floor that mention's goldLogLik term to a constant
+            // (zero gradient) even when an in-conversation gold candidate
+            // exists — silently destroying its training signal.
             val goldArc = res.scored.select(col("ant_id"), col("cur_id"))
+              .join(mConv.select(col("mention_id").as("ant_id"),
+                col("conv_id").as("conv_a")), "ant_id")
+              .join(mConv.select(col("mention_id").as("cur_id"),
+                col("conv_id").as("conv_c")), "cur_id")
+              .filter(col("conv_a") === col("conv_c"))
               .join(g.select(col("mention_id").as("ant_id"),
                 col("entity_id").as("e_a")), "ant_id")
               .join(g.select(col("mention_id").as("cur_id"),
                 col("entity_id").as("e_c")), "cur_id")
               .filter(col("e_a") === col("e_c"))
               .groupBy(col("cur_id")).agg(min(col("ant_id")).as("g_ant"))
-            val goldDf = res.mentions.select(col("mention_id"))
+            // supervision only for gold-COVERED mentions: a mention absent
+            // from the gold table gets NO gold row (the kernel's all-null
+            // case, no term), not a fabricated "gold-new" — a partial
+            // --gold must not read as "everything uncovered starts its own
+            // entity", which would bias the trained coupling against linking
+            val goldDf = g.select(col("mention_id")).distinct()
               .join(goldArc.select(col("cur_id").as("mention_id"), col("g_ant")),
                 Seq("mention_id"), "left")
               .select(col("mention_id"), col("g_ant"),
@@ -632,7 +774,22 @@ object Run {
         wikiScores = wikiScores, wikiCoupling = wikiCpl, wikiNilScore = wikiNil,
         algorithm = "bp")
         .localCheckpoint(true) // consumed twice: committed + flip-diffed
-      out.commit("joint", joint, cfg.token)
+      // the joint table's lineage: pipeline token + everything the factor
+      // graph depends on beyond the pipeline — the (possibly trained)
+      // couplings, the iteration count, the gold table's content identity
+      // (it shaped the trained couplings), the emission model feeding the
+      // evidence, and the wiki grid's inputs
+      val emisId = if (nerCpl != 0.0) nerW.map(_ =>
+          s"trained|${nerTrainEpochs.get}|${opt.getOrElse("eta", "0.5")}|" +
+            optId("link-dict"))
+        .getOrElse("fixed") else ""
+      val wikiId = if (wikiCpl != 0.0)
+        s"${optId("link-dict")}|${optId("link-redirects")}|${optId("link-aux")}"
+        else ""
+      val jointToken = subToken(
+        s"joint|$cplCoref|$cplNer|$wikiCpl|$wikiNil|$iters|bp|" +
+        s"${opt.getOrElse("joint-train", "")}|${optId("gold")}|$emisId|$wikiId")
+      out.commit("joint", joint, jointToken)
       val flips = joint
         .select(col("mention_id").as("cur_id"), col("ant_id").as("joint_ant"))
         .join(res.backptrs.select(col("cur_id"), col("ant_id").as("pair_ant")),
@@ -645,77 +802,16 @@ object Run {
       val nerCplFrag =
         if (cplNer != 0.0) s""""joint_ner_coupling":$cplNer,""" else ""
       releasePins(sc, pinnedBefore)
-      trainJointFrag + s""""joint_coupling":$cplCoref,"joint_iters":$iters,""" +
+      trainJointFrag + s""""joint_config":"$jointToken",""" +
+        s""""joint_coupling":$cplCoref,"joint_iters":$iters,""" +
         nerCplFrag + wikiFrag + s""""joint_flips":$flips,"""
-    } else ""
-    // G1/G2 + A11 operational face: the reference's predict driver emits the
-    // NER layer alongside coref (`NerSystemLabeled` tagged docs); commit the
-    // per-token Viterbi labels and the decoded chunks under the same lineage
-    // as the clusters (both are pure functions of the input transcripts)
-    val nerTrainEpochs = opt.get("ner-train").map(_.toInt)
-    val nerFrag = if (nerTrainEpochs.nonEmpty || opt.get("ner").exists(_.toBoolean)) {
-      import graft.ner.{Ner, NerTrainer}
-      val sc = spark.sparkContext
-      val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
-      // the PROPER extents of the all-generators universe double as the NER
-      // supervision (B/I/O projection — the reference distills its span
-      // annotation the same way) and as the A11 evaluation gold; computed
-      // against the SAME universe in both roles, independent of --generator
-      lazy val properExtents = {
-        val u = if (generator == "all") res.mentions
-          else extractMentions(transcripts, "all")
-        u.filter(col("mtype") === "PROPER")
-          .select(col("conv_id"), col("turn_idx"), col("start"), col("end"))
-      }
-      val (emissions, trainNerFrag) = nerTrainEpochs match {
-        case Some(ep) =>
-          require(ep >= 1, s"--ner-train needs at least 1 epoch, got $ep")
-          val dictToks = opt.get("link-dict")
-            .map(p => NerTrainer.dictTokens(spark.read.parquet(p)))
-          val feats = NerTrainer.tokenFeatures(transcripts, dictToks)
-            .localCheckpoint(true) // consumed twice: trainer epochs + emissions
-          val w = NerTrainer.train(feats,
-            NerTrainer.goldTokenLabels(properExtents), epochs = ep,
-            eta = opt.get("eta").map(_.toDouble).getOrElse(0.5))
-          // the trained 3×F matrix is committed like the coref model — the
-          // store is what makes a later decode reproducible (RunSpec gates it)
-          import spark.implicits._
-          val wdf = (for {
-            l <- 0 until Ner.Labels.length
-            j <- NerTrainer.FeatureNames.indices
-          } yield (Ner.Labels(l), NerTrainer.FeatureNames(j), w(l)(j)))
-            .toDF("label", "feature", "weight")
-          out.commit("ner_model", wdf, cfg.token)
-          (NerTrainer.emissions(feats, w), s""""ner_trained_epochs":$ep,""")
-        case None => (Ner.emissions(transcripts), "")
-      }
-      val labeled = Ner.viterbi(spark, emissions)
-        .localCheckpoint(true) // consumed twice: committed + chunked
-      out.commit("ner", labeled, cfg.token)
-      val chunks = Ner.chunks(labeled).localCheckpoint(true)
-      out.commit("ner_chunks", chunks, cfg.token)
-      val nChunks = chunks.count()
-      // A11 under --evaluate: chunk F1 against the PROPER extents
-      val f1Frag = if (opt.get("evaluate").exists(_.toBoolean)) {
-        val f1 = Ner.chunkF1(chunks, properExtents).collect()(0)
-        f""""ner_chunk_f1":${f1.getAs[Double]("f1")}%.6f,"""
-      } else ""
-      releasePins(sc, pinnedBefore)
-      trainNerFrag + s""""ner_chunks":$nChunks,""" + f1Frag
     } else ""
     // L2–L5 operational face: wikify the mentions against a user-supplied
     // title dictionary and commit the per-mention links alongside the
     // clusters — the reference job's wikification output
     // (`wiki/JointQueryDenotationChooser.scala`, `WikificationEvaluator`)
     val linkFrag = if (opt.get("link").exists(_.toBoolean)) {
-      import spark.implicits._
-      val dict = spark.read.parquet(opt.getOrElse("link-dict", sys.error(
-        "--link requires --link-dict (a (surface,title,cnt) parquet — " +
-        "distill one from a dump with graft.wiki (L6))")))
-      val redirects = opt.get("link-redirects").map(spark.read.parquet(_))
-        .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
-      val aux = opt.get("link-aux").map(spark.read.parquet(_))
-        .getOrElse(Seq.empty[String].toDF("title"))
+      val (dict, redirects, aux) = loadLinkInputs("--link")
       val sc = spark.sparkContext
       val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
       val choose = opt.getOrElse("link-choose", "grid")
@@ -729,15 +825,10 @@ object Run {
       // links lineage extends the pipeline token with the linking inputs —
       // the same clusters wikified against a different dictionary (or chooser)
       // must NOT share a token, or a resume-style reader would treat the two
-      // as interchangeable snapshots. Each input contributes its CONTENT
-      // identity, not just its path: a dictionary re-distilled into the same
-      // path is a different dictionary.
-      def withId(key: String): String = opt.get(key)
-        .map(p => s"$p@${pathIdentity(spark, p)}").getOrElse("")
-      val linkToken = cfg.token + "-" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"${withId("link-dict")}|${withId("link-redirects")}|" +
-          s"${withId("link-aux")}|$choose").toLong & 0xffffffffL)
+      // as interchangeable snapshots (see optId/subToken above)
+      val linkToken = subToken(
+        s"${optId("link-dict")}|${optId("link-redirects")}|" +
+        s"${optId("link-aux")}|$choose")
       out.commit("links", links, linkToken)
       val nLinked = links.count()
       releasePins(sc, pinnedBefore)

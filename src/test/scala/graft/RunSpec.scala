@@ -97,8 +97,8 @@ class RunSpec extends SparkSuite {
       "joint" -> "true"))
     info(metrics)
     val joint = new TableIO(out)
-      .readIfCurrent(spark, "joint", field(metrics, "config"))
-      .getOrElse(fail("joint decode not committed under the config token"))
+      .readIfCurrent(spark, "joint", field(metrics, "joint_config"))
+      .getOrElse(fail("joint decode not committed under the joint_config token"))
     assert(joint.count() === field(metrics, "mentions").toLong,
       "one joint decision per mention")
     assert(joint.filter(!col("type").isin("IDENT", "ORG", "OTHER")).count() === 0L,
@@ -134,8 +134,8 @@ class RunSpec extends SparkSuite {
       "link-dict" -> s"$tmp/dict"))
     info(metrics)
     val joint = new TableIO(out)
-      .readIfCurrent(spark, "joint", field(metrics, "config"))
-      .getOrElse(fail("joint decode not committed under the config token"))
+      .readIfCurrent(spark, "joint", field(metrics, "joint_config"))
+      .getOrElse(fail("joint decode not committed under the joint_config token"))
     assert(joint.count() === field(metrics, "mentions").toLong)
     val titled = joint.filter(col("wiki_title").isNotNull)
     assert(titled.count() === field(metrics, "joint_wiki_titled").toLong)
@@ -169,8 +169,8 @@ class RunSpec extends SparkSuite {
     val trained = field(metrics, "joint_coupling").toDouble
     assert(trained !== 0.0, s"training must move the coupling off 0: $metrics")
     val joint = new TableIO(out)
-      .readIfCurrent(spark, "joint", field(metrics, "config"))
-      .getOrElse(fail("joint decode not committed under the config token"))
+      .readIfCurrent(spark, "joint", field(metrics, "joint_config"))
+      .getOrElse(fail("joint decode not committed under the joint_config token"))
     assert(joint.count() === field(metrics, "mentions").toLong)
   }
 
@@ -186,11 +186,13 @@ class RunSpec extends SparkSuite {
       "evaluate" -> "true"))
     info(metrics)
     val io = new TableIO(out)
-    val token = field(metrics, "config")
+    val token = field(metrics, "ner_config")
+    assert(token.startsWith(field(metrics, "config") + "-"),
+      "the ner lineage token must extend the pipeline token")
     val labeled = io.readIfCurrent(spark, "ner", token)
-      .getOrElse(fail("ner labels not committed under the config token"))
+      .getOrElse(fail("ner labels not committed under the ner_config token"))
     val chunks = io.readIfCurrent(spark, "ner_chunks", token)
-      .getOrElse(fail("ner chunks not committed under the config token"))
+      .getOrElse(fail("ner chunks not committed under the ner_config token"))
     assert(chunks.count() === field(metrics, "ner_chunks").toLong)
     assert(labeled.filter(!col("label").isin("O", "B", "I")).count() === 0L,
       "labels stay in the O/B/I domain")
@@ -225,9 +227,11 @@ class RunSpec extends SparkSuite {
     info(metrics)
     assert(field(metrics, "ner_trained_epochs") === "60")
     val io = new TableIO(out)
-    val token = field(metrics, "config")
+    val token = field(metrics, "ner_config")
+    assert(token.startsWith(field(metrics, "config") + "-"),
+      "the ner lineage token must extend the pipeline token")
     val wdf = io.readIfCurrent(spark, "ner_model", token)
-      .getOrElse(fail("ner model not committed under the config token"))
+      .getOrElse(fail("ner model not committed under the ner_config token"))
     assert(wdf.count() === 3L * NerTrainer.FeatureNames.size,
       "one weight per (label, feature)")
     // the committed model is the reproducibility contract: rebuild the 3×F
@@ -513,6 +517,25 @@ class RunSpec extends SparkSuite {
       Run.runWith(spark, Map(
         "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o2",
         "streaming" -> "true", "evaluate" -> "true"))
+    }
+    // joint sub-options without --joint/--joint-train reject UP FRONT
+    // (before the pipeline runs), not silently no-op
+    intercept[IllegalArgumentException] {
+      Run.runWith(spark, Map(
+        "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o3",
+        "joint-wiki-coupling" -> "1.0"))
+    }
+    // --joint false + --joint-train is a contradiction, not a silent train
+    intercept[IllegalArgumentException] {
+      Run.runWith(spark, Map(
+        "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o4",
+        "joint" -> "false", "joint-train" -> "2"))
+    }
+    // --joint-wiki-nil without an active wiki factor is dangling
+    intercept[IllegalArgumentException] {
+      Run.runWith(spark, Map(
+        "input" -> "/root/testdata/sf0.001", "output" -> s"$tmp/o5",
+        "joint" -> "true", "joint-wiki-nil" -> "0.5"))
     }
   }
 }
