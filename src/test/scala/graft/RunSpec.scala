@@ -147,6 +147,66 @@ class RunSpec extends SparkSuite {
     assert(field(metrics, "joint_ner_coupling") === "1.0")
   }
 
+  test("--ner-train + --joint-ner-coupling: the joint evidence comes from " +
+      "the TRAINED tagger, rebuildable from the committed ner_model") {
+    import graft.ner.{Ner, NerTrainer}
+    import graft.sources.Transcripts
+    val tmp = java.nio.file.Files.createTempDirectory("runspec_jointner").toString
+    val out = s"$tmp/out"
+    val metrics = Run.runWith(spark, Map(
+      "input" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "generator" -> "identifier",
+      "ner-train" -> "60",
+      "eta" -> "1.0",
+      "joint" -> "true",
+      "joint-ner-coupling" -> "1.5"))
+    info(metrics)
+    val io = new TableIO(out)
+    val joint = io.readIfCurrent(spark, "joint", field(metrics, "joint_config"))
+      .getOrElse(fail("joint decode not committed under the joint_config token"))
+    val wdf = io.readIfCurrent(spark, "ner_model", field(metrics, "ner_config"))
+      .getOrElse(fail("ner model not committed under the ner_config token"))
+    val wmap = wdf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val w = Array.tabulate(3, NerTrainer.FeatureNames.size)((l, j) =>
+      wmap((Ner.Labels(l), NerTrainer.FeatureNames(j))))
+    val t = Transcripts.load(spark, "/root/testdata/sf0.001")
+    val res = graft.pipeline.Pipeline.run(spark, t,
+      graft.pipeline.Pipeline.Config(mentionGenerator = "identifier"))
+    // rebuild the evidence the way Run does, decode directly, and compare
+    // against the committed table — equality under the TRAINED emissions
+    // plus inequality under the FIXED ones proves the run's joint factors
+    // consumed the tagger this run trained and committed
+    def decodeWith(emis: org.apache.spark.sql.DataFrame) = {
+      val fb = Ner.forwardBackward(spark, emis)
+      val ev = res.mentions.select(col("mention_id"), col("conv_id"),
+          col("turn_idx"), explode(sequence(col("start"), col("end"))).as("pos"))
+        .join(fb, Seq("conv_id", "turn_idx", "pos"))
+        .groupBy(col("mention_id"))
+        .agg(avg(col("m_b") + col("m_i")).as("p_entity"))
+        .withColumn("new_bias", lit(0.0))
+      graft.joint.JointInference.infer(spark,
+        graft.joint.JointInference.typePriors(res.mentions),
+        res.scored.select(col("ant_id"), col("cur_id"), col("score")),
+        coupling = 1.0, iters = 6,
+        evidence = Some(ev), nerCoupling = 1.5, algorithm = "bp")
+    }
+    def diffs(a: org.apache.spark.sql.DataFrame): Long = joint.alias("x")
+      .join(a.alias("y"), "mention_id")
+      .filter(!(col("x.ant_id") <=> col("y.ant_id")) ||
+        !(col("x.type") <=> col("y.type")) ||
+        abs(col("x.p_ant") - col("y.p_ant")) > 1e-9 ||
+        abs(col("x.p_type") - col("y.p_type")) > 1e-9)
+      .count()
+    assert(diffs(decodeWith(
+        NerTrainer.emissions(NerTrainer.tokenFeatures(t), w))) === 0L,
+      "committed joint decode must equal a rebuild from the committed ner_model")
+    assert(diffs(decodeWith(Ner.emissions(t))) > 0L,
+      "the fixed-emission decode must be observably different — otherwise " +
+      "this gate proves nothing")
+  }
+
   test("--joint-train: trains the factor couplings from the entry point and " +
       "decodes with them") {
     val tmp = java.nio.file.Files.createTempDirectory("runspec_jointtrain").toString
