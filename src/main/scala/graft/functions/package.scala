@@ -144,22 +144,31 @@ package object functions {
     * subexpression appears exactly once, so there is nothing to duplicate. */
   def lshBandKeysDirect(shingles: Column, bands: Int, rowsPerBand: Int,
       impl: String): Column =
-    array((0 until bands).map { b =>
-      val parts = (0 until rowsPerBand)
-        .map(r => minhashOne(shingles, b * rowsPerBand + r, impl))
-      concat_ws(":", lit(s"b$b") +: parts.map(_.cast("string")): _*)
-    }: _*)
+    if (impl == "xxhash64")
+      // engine fast path: ONE codegen'd traversal computing every band's
+      // minhash slots at once ([[LshBandKeysXx]]) — value-identical to the
+      // per-slot `array_min(transform(...))` built-ins below (FunctionsSpec
+      // pins it), without `bands×rowsPerBand` interpreted lambdas per row.
+      // The md5 variant stays on the built-ins: it exists for DuckDB
+      // portability, not speed, and the oracle-checked queries use it.
+      org.apache.spark.sql.graft.ColumnBridge.column(LshBandKeysXx(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
+        bands, rowsPerBand))
+    else
+      array((0 until bands).map { b =>
+        val parts = (0 until rowsPerBand)
+          .map(r => minhashOne(shingles, b * rowsPerBand + r, impl))
+        concat_ws(":", lit(s"b$b") +: parts.map(_.cast("string")): _*)
+      }: _*)
 
   /** SimHash (64-bit) from a pre-materialized array of 64-bit token hashes:
-    * for each bit b, sign-sum over tokens > 0 sets the bit. Callers MUST pass
-    * a *column reference* to materialized hashes (not an inline expression) —
-    * the 64 per-bit aggregates each re-evaluate their input expression. */
+    * for each bit b, sign-sum over tokens > 0 sets the bit. One codegen'd
+    * traversal ([[Simhash64]]) — value-identical to the 64 per-bit
+    * `aggregate` folds OR'd together (FunctionsSpec pins it), without the
+    * 64 interpreted lambdas per row or their plan/compile cost. */
   def simhash64FromHashes(hashed: Column): Column =
-    (0 until 64).map { b =>
-      val bitSum = aggregate(hashed, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      Simhash64(org.apache.spark.sql.graft.ColumnBridge.expression(hashed)))
 
   /** SimHash (64-bit) over string tokens — convenience for small inputs; for
     * datasets, materialize `transform(tokens, xxhash64)` into a column first

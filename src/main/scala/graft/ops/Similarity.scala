@@ -30,9 +30,16 @@ object Similarity {
     base.unionByName(near).withColumn("nrm", sqrt(dot64(col("emb"), col("emb"))))
   }
 
-  /** Explicit left-associated dot product (bit-reproducible in DuckDB). */
+  /** Explicit left-associated dot product (bit-reproducible in DuckDB).
+    * One codegen'd node ([[graft.functions.Dot64]]) — value-identical to the
+    * 64-term `element_at` chain the DuckDB oracle spells out (same add
+    * order), but without the ~190-node Catalyst tree per use that dominated
+    * the sim_* ops' planning/codegen time (guide §7.2; FunctionsSpec pins
+    * the equality). */
   def dot64(a: Column, b: Column): Column =
-    (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.Dot64(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot64(a, b) / (sqrt(dot64(a, a)) * sqrt(dot64(b, b)))
@@ -64,15 +71,15 @@ object Similarity {
     Array.fill(bits)(Array.fill(Dim)(rng.nextGaussian()))
   }
 
-  /** Sign-LSH bucket key: `bits` hyperplane sign bits as plan-literal
-    * expressions (no UDF). */
-  def signBucket(emb: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.map { p =>
-      val dot = (1 to Dim).map(i => element_at(emb, i) * lit(p(i - 1))).reduce(_ + _)
-      when(dot >= 0, "1").otherwise("0")
-    }
-    concat(bits: _*)
-  }
+  /** Sign-LSH bucket key: `bits` hyperplane sign bits. One codegen'd node
+    * ([[graft.functions.SignBucketKey]]) — value-identical to the plan-literal
+    * `when(dot >= 0, "1").otherwise("0")` concat (the DuckDB oracle's
+    * spelled-out form), replacing the ~`bits×Dim`-node tree per table that
+    * dominated the LSH ops' planning/codegen time (FunctionsSpec pins the
+    * equality, the sim/dd oracle rows pin it end-to-end). */
+  def signBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.SignBucketKey(
+      org.apache.spark.sql.graft.ColumnBridge.expression(emb), planes))
 
   /** Multi-table sign-LSH bucket keys: `tables` independent plane sets (seed
     * + t), each key prefixed by its table index. A vector emits `tables`

@@ -120,31 +120,36 @@ object Blocking {
         col("n_surfaces") > cfg.maxBlockSize || col("mention_mass") > cfg.maxBlockMass)
 
   /** Candidate *surface* pairs `(norm_a, norm_b, block_key)`, `norm_a <
-    * norm_b`, deduped across keys, oversize keys dropped (audited). */
+    * norm_b`, deduped across keys, oversize keys dropped (audited — the gate
+    * semantics are exactly [[blockStats]]' `oversize`, which stays the
+    * audit-query face).
+    *
+    * Plan shape (r06): the per-key size gate is a WINDOW over `block_key`
+    * instead of the old aggregate-then-join-back — one `block_key`
+    * partitioning serves the gate AND both sides of the self-join (the
+    * window's exchange+sort is planned once and reused; the join adds no
+    * exchange because both children already hash-cluster and sort on
+    * `block_key`). Replaces the keys cache + stats join + hinted self-join:
+    * 3 exchanges and a cache round-trip fewer per call, and the minhash
+    * band keys are still computed exactly once per surface. */
   def surfacePairs(surfaces: DataFrame, cfg: Config = Config()): DataFrame = {
-    // keys feeds both the stats gate and the self-join legs — cache it or
-    // the minhash signatures (the expensive leg) are computed twice per run.
-    // The cache is released BEFORE returning: the (surface-granularity,
-    // contracted) RESULT is pinned with an eager localCheckpoint while the
-    // keys cache is alive, so repeated calls leave no orphan cacheManager
-    // entry (round-3 advice — the old always-on cache leaked one entry per
-    // invocation, and its cross-call plan reuse silently flattered bench
-    // pass 2). NOTE: checkpointing `keys` instead would erase its size
-    // stats (LogicalRDD defaults to max sizeInBytes) and de-broadcast the
-    // stats-gate join — measured 3× on the blocking stage.
-    val keys = blockKeys(surfaces, cfg).cache()
-    val sized = keys.join(
-      blockStats(keys, surfaces, cfg).filter(!col("oversize")).select(col("block_key")),
-      Seq("block_key"))
+    import org.apache.spark.sql.expressions.Window
+    val keys = blockKeys(surfaces, cfg)
+      .join(surfaces.select(col("norm"), col("n_mentions")), "norm")
+    val w = Window.partitionBy(col("block_key"))
+    val sized = keys
+      .withColumn("n_surfaces", count(lit(1)).over(w))
+      .withColumn("mention_mass", sum(col("n_mentions")).over(w))
+      .filter(!(col("n_surfaces") > cfg.maxBlockSize ||
+        col("mention_mass") > cfg.maxBlockMass))
+      .select(col("block_key"), col("norm"))
     val left = sized.select(col("block_key"), col("norm").as("norm_a"))
     val right = sized.select(col("block_key"), col("norm").as("norm_b"))
-    val out = left.join(right.hint("shuffle_hash"), Seq("block_key"))
+    left.join(right, Seq("block_key"))
       .filter(col("norm_a") < col("norm_b"))
       .groupBy(col("norm_a"), col("norm_b"))
       .agg(min(col("block_key")).as("block_key"))
       .localCheckpoint(true)
-    keys.unpersist()
-    out
   }
 
   /** B1 conversation-band mention pairs `(ant_id, cur_id)` (closed- and
@@ -240,9 +245,14 @@ object Blocking {
         col("conv_id").as("conv_c"),
         lag(col("m_seq"), 1).over(wBucket).as("seq_a"),
         col("m_seq").as("seq_c"))
+    // bucket minimum with its conv/seq attributes in ONE aggregation
+    // (min_by on mention_id) — the old shape re-joined the mention table
+    // just to re-fetch two columns the aggregation already saw
     val bucketMin = src.groupBy(col("norm"), col("salt"))
-      .agg(min(col("mention_id")).as("mention_id"))
-      .join(mentions.select(col("mention_id"), col("conv_id"), col("m_seq")), "mention_id")
+      .agg(min(col("mention_id")).as("mention_id"),
+        min_by(struct(col("conv_id"), col("m_seq")), col("mention_id")).as("ba"))
+      .select(col("norm"), col("salt"), col("mention_id"),
+        col("ba.conv_id").as("conv_id"), col("ba.m_seq").as("m_seq"))
     val wSurface = Window.partitionBy(col("norm")).orderBy(col("mention_id"))
     val leg2 = bucketMin
       .select(col("norm"),
@@ -284,10 +294,14 @@ object Blocking {
   def bridgePairs(linkedSurfacePairs: DataFrame, mentions: DataFrame,
       cfg: Config = Config(), extraCols: Seq[String] = Nil,
       keepInBand: Boolean = false): DataFrame = {
+    // per-surface minimum mention with its conv/seq in ONE aggregation
+    // (min_by) — no second pass over the mention table
     val smin = mentions.filter(!col("closed_class"))
-      .groupBy(col("norm")).agg(min(col("mention_id")).as("mention_id"))
-      .join(mentions.select(col("mention_id"), col("conv_id"), col("m_seq")), "mention_id")
-      .select(col("norm"), col("mention_id"), col("conv_id"), col("m_seq"))
+      .groupBy(col("norm"))
+      .agg(min(col("mention_id")).as("mention_id"),
+        min_by(struct(col("conv_id"), col("m_seq")), col("mention_id")).as("ba"))
+      .select(col("norm"), col("mention_id"),
+        col("ba.conv_id").as("conv_id"), col("ba.m_seq").as("m_seq"))
     val a = smin.toDF("norm_a", "id_a", "conv_a", "seq_a")
     val b = smin.toDF("norm_b", "id_b", "conv_b", "seq_b")
     val joined = linkedSurfacePairs.join(a, "norm_a").join(b, "norm_b")

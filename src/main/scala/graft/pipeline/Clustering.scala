@@ -35,16 +35,33 @@ object Clustering {
       checkpoint: (Int, DataFrame) => DataFrame = (_, df) => df.localCheckpoint(true))
     : DataFrame = {
 
+    // pin hygiene (r06): each iteration's superseded labels checkpoint is
+    // released as soon as the convergence check has read it — without this,
+    // dead label tables accumulate in executor storage for the whole loop
+    // (O(nodes × iterations) pinned bytes on a deep graph). Pins are
+    // attributed by diffing the persistent-RDD set around each checkpoint
+    // call (a TableIO-backed checkpoint pins nothing — the diff is empty
+    // and the release a no-op). `sym` is released when the loop ends; the
+    // FINAL labels pin is the returned result and stays.
+    val sc = nodes.sparkSession.sparkContext
+    def pinsNow(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+
+    val preSym = pinsNow()
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    val symPins = pinsNow() -- preSym
 
     // init: label(v) = min(v, min neighbor)
+    val preInit = pinsNow()
     var labels = nodes.select(col("id"), col("id").as("lbl"))
       .unionByName(sym.select(col("dst").as("id"), col("src").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
       .localCheckpoint(true)
+    var labelPins: Set[Int] = pinsNow() -- preInit
 
     @tailrec
     def loop(iter: Int): Unit = {
@@ -58,13 +75,19 @@ object Clustering {
         .select(col("id"), col("lbl2").as("lbl"))
       val next = labels.unionByName(viaNbr).unionByName(viaJump)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      val preChk = pinsNow()
       val nextChk = checkpoint(iter, next)
+      val nextPins = pinsNow() -- preChk
       val changed = nextChk.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
+      // the superseded iteration is dead once the convergence check read it
+      release(labelPins)
       labels = nextChk
+      labelPins = nextPins
       if (changed > 0) loop(iter + 1)
     }
     loop(0)
+    release(symPins)
     labels.select(col("id").as("mention_id"), col("lbl").as("cluster_id"))
   }
 
@@ -147,6 +170,27 @@ object Clustering {
       .select(col("src_root").as("src"), col("dst_root").as("dst"))
       .localCheckpoint(true)
 
+    // string-id driver fast path (r06): when the contracted graph fits the
+    // (tighter, string-id) driver bound, solve it directly with union-by-min
+    // and map every local root through ONE broadcast join — the integer
+    // encode/decode below exists to shrink the DISTRIBUTED loop's shuffles
+    // and the larger long-id driver collect, which a graph this small never
+    // reaches. The take doubles as the size probe (clusterTouched
+    // discipline); labels are bit-identical (component-min mention-id string
+    // either way — denseIdsByKey assigns long ids in string sort order, so
+    // the encoded path's min-long decodes to the same min-string).
+    val takenCross = crossRoots.take(maxDriverContractedEdges + 1)
+    if (takenCross.length <= maxDriverContractedEdges) {
+      val uf = new UnionFindMin[String]
+      takenCross.foreach(r => uf.union(r.getString(0), r.getString(1)))
+      val sparkSes = spark
+      import sparkSes.implicits._
+      val mapped = uf.roots.toSeq.toDF("local_root", "root_cluster")
+      return local.join(broadcast(mapped), Seq("local_root"), "left")
+        .select(col("id").as("mention_id"),
+          coalesce(col("root_cluster"), col("local_root")).as("cluster_id"))
+    }
+
     val rootNodes = local.select(col("local_root").as("id")).distinct()
 
     // integer-encode the contracted graph (round-3 advice, two rounds
@@ -186,6 +230,13 @@ object Clustering {
     * integer-encoded ids, 500k long edges is ≤ ~30 MB of driver heap
     * (bounded, with the distributed loop as the over-threshold fallback). */
   val maxDriverEdges: Int = 500000
+
+  /** Edge-count bound for [[cluster]]'s STRING-id driver fast path (skips
+    * the integer encode/decode stages outright). String ids are ~25-40
+    * bytes vs 8-byte longs, so the bound is tighter — same memory class as
+    * [[maxDriverEditEdges]]. `private[graft] var` so specs can force the
+    * encoded/distributed paths on small fixtures. */
+  private[graft] var maxDriverContractedEdges: Int = 200000
 
   /** Hybrid connected components over a LONG-id graph: below
     * [[maxDriverEdges]] the graph is solved driver-side with union-by-min
@@ -261,39 +312,82 @@ object Clustering {
       // merged backpointer table the caller already computed (and pinned)
       // via [[mergeBackpointers]] — avoids running the O(state) full_outer
       // merge twice when the caller also keeps the merged table as state
-      premerged: Option[DataFrame] = None)
+      premerged: Option[DataFrame] = None,
+      // touched-cluster ids the caller already probed driver-side (the
+      // streaming fold's singleton registration collects them anyway) —
+      // skips this kernel's own bounded probe
+      knownTouched: Option[Seq[String]] = None)
     : DataFrame = {
-    // fresh exprIds on every pinned intermediate: these checkpoints derive
-    // FROM `clusters` and join straight back against it, and a pinned
-    // LogicalRDD keeps its source plan's attribute ids — when `clusters` is
-    // itself a union/projection (StreamingClusters' lazy registered view)
-    // the analyzer's conflict dedup cannot rewrite the alias side, failing
-    // with "conflicting references". An alias round-trip re-ids the output.
+    // fresh exprIds on every intermediate that derives FROM `clusters` and
+    // joins straight back against it: a pinned LogicalRDD keeps its source
+    // plan's attribute ids — when `clusters` is itself a union/projection
+    // (StreamingClusters' lazy registered view) the analyzer's conflict
+    // dedup cannot rewrite the alias side, failing with "conflicting
+    // references". An alias round-trip re-ids the output.
     def refresh(df: DataFrame): DataFrame =
       df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
     val e0 = edits.select(col("cur_id"), col("new_ant_id"))
     val e = if (editsPinned) e0 else e0.localCheckpoint(true)
-    val touched = refresh(e.select(col("cur_id").as("mention_id"))
-      .unionByName(e.select(col("new_ant_id").as("mention_id")))
-      .distinct()
-      .join(clusters, "mention_id")
-      .select(col("cluster_id")).distinct()
-      .localCheckpoint(true))
-    val members = refresh(clusters.join(broadcast(touched), Seq("cluster_id"))
-      .select(col("mention_id")).localCheckpoint(true))
-    // edited backpointers restricted to touched members (refresh a caller-
-    // pinned premerged table: pinned LogicalRDDs keep their source exprIds)
-    val edited = premerged.map(refresh).getOrElse(mergeBackpointers(backptrs, e))
-    // membership filter on the cur side only: an unedited edge's ant shares
-    // cur's component, and an edited edge's ant is touched by construction.
-    // No forced broadcast — a large edit batch makes `members` large, and
-    // AQE picks the broadcast side when it is in fact small.
-    val subEdges = edited.join(
-      members.select(col("mention_id").as("cur_id")), "cur_id")
-    val recomputed = clusterTouched(spark, members, subEdges)
-    clusters.join(broadcast(touched), Seq("cluster_id"), "left_anti")
-      .select(col("mention_id"), col("cluster_id"))
-      .unionByName(recomputed.select(col("mention_id"), col("cluster_id")))
+    // Touched-cluster ids, driver-side and bounded: in the steady
+    // incremental regime the touched set is a handful of clusters, so the
+    // old shape (pin touched, pin members, broadcast the pins) paid three
+    // checkpoint jobs per edit where ONE bounded take suffices — the
+    // clusterTouched discipline applied one level up. The take doubles as
+    // the size probe; an over-bound touched set falls back to the pinned
+    // distributed shape below. The ids join streams `clusters` against the
+    // broadcast edit ids — no shuffle of the state table.
+    val touchedSeq: Option[Seq[String]] = knownTouched.orElse {
+      val sparkSes = spark
+      import sparkSes.implicits._
+      val ids = e.select(col("cur_id").as("mention_id"))
+        .unionByName(e.select(col("new_ant_id").as("mention_id")))
+        .distinct()
+      val probe = clusters.join(broadcast(ids), Seq("mention_id"))
+        .select(col("cluster_id")).distinct()
+        .take(maxDriverEditEdges + 1)
+      if (probe.length <= maxDriverEditEdges) Some(probe.map(_.getString(0)).toSeq)
+      else None
+    }
+    touchedSeq match {
+      case Some(ts) =>
+        val sparkSes = spark
+        import sparkSes.implicits._
+        // LocalRelation: known-size, statically broadcast — every consumer
+        // below is a narrow scan of `clusters`, no pins, no state shuffles
+        val touchedDf = ts.toDF("cluster_id")
+        val members = refresh(clusters.join(broadcast(touchedDf), Seq("cluster_id"))
+          .select(col("mention_id")))
+        val edited = premerged.map(refresh).getOrElse(mergeBackpointers(backptrs, e))
+        val subEdges = edited.join(
+          members.select(col("mention_id").as("cur_id")), "cur_id")
+        val recomputed = clusterTouched(spark, members, subEdges)
+        clusters.join(broadcast(touchedDf), Seq("cluster_id"), "left_anti")
+          .select(col("mention_id"), col("cluster_id"))
+          .unionByName(recomputed.select(col("mention_id"), col("cluster_id")))
+      case None =>
+        // distributed fallback (over-bound touched set): the pinned shape
+        val touched = refresh(e.select(col("cur_id").as("mention_id"))
+          .unionByName(e.select(col("new_ant_id").as("mention_id")))
+          .distinct()
+          .join(clusters, "mention_id")
+          .select(col("cluster_id")).distinct()
+          .localCheckpoint(true))
+        val members = refresh(clusters.join(broadcast(touched), Seq("cluster_id"))
+          .select(col("mention_id")).localCheckpoint(true))
+        // edited backpointers restricted to touched members (refresh a caller-
+        // pinned premerged table: pinned LogicalRDDs keep their source exprIds)
+        val edited = premerged.map(refresh).getOrElse(mergeBackpointers(backptrs, e))
+        // membership filter on the cur side only: an unedited edge's ant shares
+        // cur's component, and an edited edge's ant is touched by construction.
+        // No forced broadcast — a large edit batch makes `members` large, and
+        // AQE picks the broadcast side when it is in fact small.
+        val subEdges = edited.join(
+          members.select(col("mention_id").as("cur_id")), "cur_id")
+        val recomputed = clusterTouched(spark, members, subEdges)
+        clusters.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+          .select(col("mention_id"), col("cluster_id"))
+          .unionByName(recomputed.select(col("mention_id"), col("cluster_id")))
+    }
   }
 
   /** Edge-count bound for solving the TOUCHED subgraph of an incremental

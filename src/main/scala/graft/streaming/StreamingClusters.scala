@@ -69,9 +69,28 @@ object StreamingClusters {
       .select(col("cur_id"), col("ant_id").as("new_ant_id"))
   }
 
+  /** Edit-count bound for the driver fast path of [[update]]: batches whose
+    * final link set fits are folded with driver-held edit/touched sets (ONE
+    * bounded take replaces three checkpoint pins + an emptiness probe —
+    * the [[Clustering.clusterTouched]] discipline applied to the fold);
+    * larger batches take the fully distributed shape. Same memory class as
+    * [[Clustering.maxDriverEditEdges]]. */
+  private def maxDriverBatchEdits: Int = Clustering.maxDriverEditEdges
+
   /** One microbatch fold (pure batch function): register unseen ids as
     * singletons, then apply the batch's links as one C2 edit. */
   def update(spark: SparkSession, st: State, batchDecoded: DataFrame): State = {
+    val sparkSes = spark
+    import sparkSes.implicits._
+    // ONE bounded take doubles as the emptiness probe, the edit fetch and
+    // the singleton-registration input: the steady fold regime is
+    // touched-proportional by contract, so the final link set is small; an
+    // over-bound batch falls back to the fully distributed shape.
+    val taken = finalLinks(batchDecoded).take(maxDriverBatchEdits + 1)
+    if (taken.isEmpty) return st.copy(batches = st.batches + 1)
+    if (taken.length > maxDriverBatchEdits)
+      return updateDistributed(spark, st, batchDecoded)
+
     val sc = spark.sparkContext
     def pinned(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
     // BLOCKING frees: the steady per-batch fold pins fresh checkpoint blocks
@@ -80,13 +99,57 @@ object StreamingClusters {
     // (SURVEY §11.2, same rule as Run.releasePins / the trainer)
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    val before = pinned()
+
+    // edits as a LocalRelation: statically broadcastable, nothing to pin
+    val editPairs = taken.map(r => (r.getString(0), r.getString(1))).toSeq
+    val edits = editPairs.toDF("cur_id", "new_ant_id")
+    val idsArr = (editPairs.map(_._1) ++ editPairs.map(_._2)).distinct
+    // every id the batch mentions that the state has never seen becomes a
+    // singleton cluster first, so the C2 kernel always edits a complete
+    // universe. ONE narrow scan of the state (broadcast ids, no shuffle)
+    // resolves the batch ids' current clusters; ids it misses are the new
+    // singletons — and the touched-cluster set falls out of the same probe
+    // (existing clusters hit + the new ids themselves), so the C2 kernel
+    // skips its own probe (`knownTouched`).
+    val matched = st.clusters
+      .join(broadcast(idsArr.toDF("mention_id")), Seq("mention_id"))
+      .select(col("mention_id"), col("cluster_id"))
+      .collect() // ≤ |idsArr| rows — bounded by construction
+    val matchedIds = matched.map(_.getString(0)).toSet
+    val newIds = idsArr.filterNot(matchedIds)
+    val touched = (matched.map(_.getString(1)).toSeq ++ newIds).distinct
+    val newSingletons = newIds.map(id => (id, id)).toDF("mention_id", "cluster_id")
+    val registered = st.clusters.unionByName(newSingletons)
+
+    // ONE O(state) full_outer merge per batch: the merged table IS the next
+    // backpointer state AND the edge set the C2 kernel restricts to touched
+    // members (passed as `premerged` so the kernel doesn't re-run the merge)
+    val preMerge = pinned()
+    val backptrs2 = Clustering.mergeBackpointers(st.backptrs, edits)
+      .localCheckpoint(true)
+    val bp2Pins = pinned() -- preMerge
+    val edited = Clustering.editBackpointers(spark, registered, st.backptrs,
+      edits, editsPinned = true, premerged = Some(backptrs2),
+      knownTouched = Some(touched))
+    val interm = pinned() -- before -- bp2Pins
+    val clusters2 = edited.localCheckpoint(true)
+    val pins2 = pinned() -- before -- interm
+    release(interm ++ st.pins)
+    State(clusters2, backptrs2, pins2, st.batches + 1)
+  }
+
+  /** The fully distributed fold — the over-bound branch of [[update]]
+    * (edit set too large to hold driver-side): the pinned shape. */
+  private def updateDistributed(spark: SparkSession, st: State,
+      batchDecoded: DataFrame): State = {
+    val sc = spark.sparkContext
+    def pinned(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
 
     val before = pinned()
     val edits = finalLinks(batchDecoded).localCheckpoint(true)
-    if (edits.isEmpty) {
-      release(pinned() -- before)
-      return st.copy(batches = st.batches + 1)
-    }
     // every id the batch mentions that the state has never seen becomes a
     // singleton cluster first, so the C2 kernel always edits a complete
     // universe (its touched-set lookup joins against `clusters`)
@@ -102,9 +165,6 @@ object StreamingClusters {
       .localCheckpoint(true)
     val registered = st.clusters.unionByName(newSingletons)
 
-    // ONE O(state) full_outer merge per batch: the merged table IS the next
-    // backpointer state AND the edge set the C2 kernel restricts to touched
-    // members (passed as `premerged` so the kernel doesn't re-run the merge)
     val preMerge = pinned()
     val backptrs2 = Clustering.mergeBackpointers(st.backptrs, edits)
       .localCheckpoint(true)

@@ -239,15 +239,31 @@ object Trainer {
   /** Fully-distributed sparse ranking trainer — the 10^9-feature scale path
     * of [[trainSparseRanking]]: the model (weight + Adagrad accumulator per
     * feature) lives in a DataFrame for the whole run; NOTHING per-feature
-    * ever reaches the driver (only the scalar epoch loss). Per epoch:
+    * ever reaches the driver (only the scalar epoch loss). The exploded
+    * feature table is pre-aggregated ONCE to pair granularity
+    * (`groupBy(pair).collect_list(f)` + the label join) — the pin then
+    * carries each pair's ids and label once instead of once per feature row
+    * (~3× fewer pinned bytes), and every epoch's pair-keyed work (windows,
+    * gradient attach) runs at PAIR cardinality, not feature-occurrence
+    * cardinality. Per epoch:
     *
-    *  1. pair scores: `feats ⋈ weights` (LEFT) + `groupBy(pair).sum` —
-    *     broadcast while the model fits, shuffle-hash join on `f` beyond;
+    *  1. pair scores: `explode(fs) ⋈ weights` (LEFT) + `groupBy(pair).sum`
+    *     — the model side is explicitly broadcast while it fits
+    *     ([[graft.pipeline.SparseFeatures.BroadcastMaxFeatures]], the
+    *     engine-wide cutoff; beyond it the hint is withheld and the join
+    *     degrades to the shuffle plan, the 10^9-feature design). The explode
+    *     output is clustered by pair (one array per pair), so partial
+    *     aggregation collapses the re-group to one row per pair before the
+    *     exchange — the shuffle carries pair rows, never feature rows;
     *  2. the same per-mention softmax(-margin) residual windows as the
-    *     driver-side variant;
-    *  3. per-feature gradient `groupBy(f).sum(resid)` joined FULL OUTER onto
-    *     the model, Adagrad + L1 proximal applied as column expressions,
-    *     result pinned (localCheckpoint) as the next epoch's model.
+    *     driver-side variant (label already on the row — no per-epoch
+    *     label join);
+    *  3. per-feature gradient: residuals joined back at PAIR granularity
+    *     (pair ⋈ pair, both sides ~|pairs|), features exploded under the
+    *     join, `groupBy(f).sum(resid)` with map-side combine, joined FULL
+    *     OUTER onto the model, Adagrad + L1 proximal applied as column
+    *     expressions, result pinned (localCheckpoint) as the next epoch's
+    *     model.
     *
     * Same update rule as [[trainSparseRanking]] — the two differ only in
     * float-sum association (distributed partial aggregation), so trained
@@ -276,8 +292,17 @@ object Trainer {
     def pinnedIds(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
-    val f = feats.localCheckpoint(true)
+    // ONE pair-granularity pin: features collected per pair (multiplicity
+    // preserved — a feature firing twice still contributes its weight twice)
+    // with the gold label attached. The exploded input's rows are clustered
+    // by pair (explode fan-out), so the partial collect_list collapses to
+    // one row per pair per map task before the exchange.
     val lab = labeled.select(col("ant_id"), col("cur_id"), col("label")).localCheckpoint(true)
+    val fAgg = feats.select(col("ant_id"), col("cur_id"), col("f"))
+      .groupBy(col("ant_id"), col("cur_id"))
+      .agg(collect_list(col("f")).as("fs"))
+      .join(lab, Seq("ant_id", "cur_id"))
+      .localCheckpoint(true)
     val nCur = lab.select(col("cur_id")).distinct().count().toDouble
     val wCur = Window.partitionBy(col("cur_id"))
     // model table: (f, w, sq) — starts empty; features enter on first nonzero grad
@@ -289,13 +314,25 @@ object Trainer {
         org.apache.spark.sql.types.StructField("sq", org.apache.spark.sql.types.DoubleType))))
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var prevModelIds: Set[Int] = Set.empty
+    // model cardinality (updated from the pinned model each epoch — one
+    // metadata-cheap job) gates the explicit broadcast of the weight side:
+    // a checkpointed model has no size statistics, so without the hint the
+    // planner shuffles the full feature-occurrence table by `f` before AQE
+    // can see the model is tiny. Over-cutoff models withhold the hint and
+    // keep the shuffle plan — the 10^9-feature path.
+    var nModel = 0L
     for (ep <- 0 until epochs) {
       val epT0 = System.nanoTime()
       val beforeWithP = pinnedIds()
-      val scored = f.join(model.select(col("f"), col("w")), Seq("f"), "left")
+      val wSide = model.select(col("f"), col("w"))
+      val wJoin =
+        if (nModel <= graft.pipeline.SparseFeatures.BroadcastMaxFeatures) broadcast(wSide)
+        else wSide
+      val scored = fAgg
+        .select(col("ant_id"), col("cur_id"), col("label"), explode(col("fs")).as("f"))
+        .join(wJoin, Seq("f"), "left")
         .groupBy(col("ant_id"), col("cur_id"))
-        .agg(sum(coalesce(col("w"), lit(0.0))).as("s0"))
-        .join(lab, Seq("ant_id", "cur_id"))
+        .agg(sum(coalesce(col("w"), lit(0.0))).as("s0"), max(col("label")).as("label"))
       val withP = scored
         .withColumn("anaph", max(col("label")).over(wCur) > 0.5)
         .withColumn("lcost", when(col("label") === 1.0, 0.0)
@@ -316,8 +353,13 @@ object Trainer {
             count(lit(1)).over(wCur))
         .localCheckpoint(true)
       val loss = withP.agg(sum(col("l"))).collect()(0).getDouble(0) / nCur
+      // gradient attach at PAIR granularity: |pairs| ⋈ |pairs|, features
+      // exploded under the join — the old shape re-joined the full
+      // feature-occurrence table by pair every epoch
       val grads = withP.select(col("ant_id"), col("cur_id"), col("resid"))
-        .join(f, Seq("ant_id", "cur_id"))
+        .join(fAgg.select(col("ant_id"), col("cur_id"), col("fs")),
+          Seq("ant_id", "cur_id"))
+        .select(col("resid"), explode(col("fs")).as("f"))
         .groupBy(col("f")).agg((sum(col("resid")) / nCur).as("g"))
       // Adagrad + L1 proximal as pure column arithmetic over the outer join
       val sqN = coalesce(col("sq"), lit(0.0)) +
@@ -342,6 +384,7 @@ object Trainer {
       // this epoch's intermediate and LAST epoch's model are now dead
       release(withPIds ++ prevModelIds)
       prevModelIds = pinnedIds() -- beforeWithP -- withPIds
+      nModel = model.count()
       trace += ((ep, loss))
       // per-epoch wall seconds for callers that meter training cost (the
       // bench's steady-epoch surface). The one-time featurize+pin of the

@@ -104,6 +104,73 @@ class FunctionsSpec extends SparkSuite {
     assert(bands.length === 6 && bands.forall(_.startsWith("b")))
   }
 
+  test("r06 compact kernels are bit-identical to the expression chains they replace") {
+    // the originals, spelled out exactly as the pre-r06 code (and the DuckDB
+    // oracle SQL) build them — the compact codegen'd kernels must agree
+    // value-for-value on every row, including planted dups and edge shapes
+    import org.apache.spark.sql.Column
+    val dim = graft.ops.Similarity.Dim
+
+    // dot64 / signBucket over the embeddings corpus
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = graft.ops.Similarity.corpus(emb)
+    def dotChain(a: Column, b: Column): Column =
+      (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    val planes = graft.ops.Similarity.hyperplanes(8, 43L)
+    def signChain(e: Column): Column = concat(planes.map { p =>
+      val dot = (1 to dim).map(i => element_at(e, i) * lit(p(i - 1))).reduce(_ + _)
+      when(dot >= 0, "1").otherwise("0")
+    }: _*)
+    val cmp = corpus.select(
+      dotChain(col("emb"), col("emb")).as("d_old"),
+      graft.ops.Similarity.dot64(col("emb"), col("emb")).as("d_new"),
+      signChain(col("emb")).as("s_old"),
+      graft.ops.Similarity.signBucket(col("emb"), planes).as("s_new"))
+    assert(cmp.filter(col("d_old") =!= col("d_new") ||
+      col("s_old") =!= col("s_new")).count() === 0)
+
+    // simhash64 / lsh band keys over the documents corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dcorp = graft.ops.Dedup.corpus(docs)
+    def simhashChain(hashed: Column): Column =
+      (0 until 64).map { b =>
+        val bitSum = aggregate(hashed, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    def bandChain(sh: Column, bands: Int, rows: Int): Column =
+      array((0 until bands).map { b =>
+        val parts = (0 until rows).map(r => minhashOne(sh, b * rows + r, "xxhash64"))
+        concat_ws(":", lit(s"b$b") +: parts.map(_.cast("string")): _*)
+      }: _*)
+    val dcmp = dcorp
+      .select(col("doc_id"), graft.ops.Dedup.wordShingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"), transform(col("sh"), t => xxhash64(t)).as("hv"))
+      .select(
+        simhashChain(col("hv")).as("h_old"),
+        simhash64FromHashes(col("hv")).as("h_new"),
+        bandChain(col("sh"), 6, 2).as("k_old"),
+        lshBandKeysDirect(col("sh"), 6, 2, "xxhash64").as("k_new"))
+    assert(dcmp.filter(col("h_old") =!= col("h_new") ||
+      col("k_old") =!= col("k_new")).count() === 0)
+
+    // edge shapes: empty-ish arrays, nulls
+    val edge = Seq(
+      (Seq.empty[String], Seq.empty[Double]),
+      (Seq("x"), Seq.fill(dim)(0.0)),
+      (Seq("a", "b"), Seq.tabulate(dim)(_.toDouble))).toDF("sh", "emb")
+    val ecmp = edge.select(
+      bandChain(col("sh"), 6, 2).as("k_old"),
+      lshBandKeysDirect(col("sh"), 6, 2, "xxhash64").as("k_new"))
+    assert(ecmp.filter(col("k_old") =!= col("k_new")).count() === 0)
+    // short/empty emb arrays: the old chain errors under ANSI element_at, so
+    // compare the sign key on well-formed (full-dim) rows only
+    val wf = edge.filter(size(col("emb")) === dim).select(
+      signChain(col("emb")).as("s_old"),
+      graft.ops.Similarity.signBucket(col("emb"), planes).as("s_new"))
+    assert(wf.filter(col("s_old") =!= col("s_new")).count() === 0)
+  }
+
   test("simhash: identical inputs collide, hamming bounded") {
     val df = Seq(
       ("a", "acme data systems ltd"), ("b", "acme data systems ltd"),
