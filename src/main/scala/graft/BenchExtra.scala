@@ -254,6 +254,30 @@ object BenchExtra {
       }
     }
 
+    if (mode == "plans") {
+      // args(1) = output tag ("before"/"after"), args(2..) = query names
+      // (default: the r06-touched set). Writes plans/r06/<q>_<tag>.txt with
+      // the .explain("formatted") output of the DECLARED query's DataFrame.
+      val tag = if (args.length > 1) args(1) else "after"
+      val qs = if (args.length > 2) args.drop(2).toSeq else Seq(
+        "b1_candidate_pairs", "p_surface_pairs", "p2_surface_scores_all",
+        "p11b_sparse_fast", "c1_clusters", "c2_incremental_edit",
+        "c2b_stream_fold", "dd_embedding", "sim_topk_brute", "sim_ann_lsh",
+        "sim_ann_ivf")
+      val dir = java.nio.file.Paths.get("plans/r06")
+      java.nio.file.Files.createDirectories(dir)
+      val queryMap = graft.SparkEntry.queries
+      val planSf = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
+      qs.foreach { q =>
+        val df = queryMap(q)(spark, planSf)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(dir.resolve(s"${q}_$tag.txt"), txt)
+        System.err.println(s"[extra] wrote plan ${q}_$tag (${txt.length} chars)")
+      }
+      graft.harness.Queries.clearCache()
+    }
+
     if (mode == "joint" || mode == "all") {
       val cfgX = Pipeline.Config(mentionGenerator = "identifier")
       val (mX, _, _) = trainInputs(spark, sfDir)

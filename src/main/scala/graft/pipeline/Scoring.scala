@@ -207,10 +207,15 @@ object Scoring {
     * surface carries the identical, surface-pure score, so it is computed
     * once per distinct repeated surface. Output: `(norm, block_key, score)`. */
   def selfScores(surfaces: DataFrame, w: Weights = DefaultWeights): DataFrame = {
-    val self = surfaces.filter(col("n_mentions") >= 2)
-      .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
-        lit("x:self").as("block_key"))
-    scoreSurfacePairs(self, surfaces, w)
+    // self frame built directly from the surface row — the general path
+    // joined the self pair list back against the surface table per side to
+    // re-fetch columns of the SAME row (r06; values identical)
+    val self = surfaces.filter(col("n_mentions") >= 2).select(
+      col("norm").as("norm_a"), col("norm").as("norm_b"), col("norm").as("norm_c"),
+      lit("x:self").as("block_key"),
+      col("head_key").as("head_key_a"), col("head_key").as("head_key_c"),
+      col("toks").as("toks_a"), col("toks").as("toks_c"))
+    score(featurize(withSurfaceOnlyAttrs(self)), w)
       .select(col("norm_a").as("norm"), col("block_key"), col("score"))
   }
 

@@ -225,16 +225,41 @@ object SparseFeatures {
         explode(array(baseTemplates: _*)).as("f"))
 
   /** Shared prep for the surface-pure template set (see
-    * [[surfaceFeatureStrings]] for the semantics). */
+    * [[surfaceFeatureStrings]] for the semantics). The surface attrs and the
+    * counts-side pieces are combined into ONE side table joined once per
+    * side (r06) — the old shape joined attrs and counts separately, four
+    * broadcast joins per leg where two suffice. */
   private def surfaceFeatureFrame(surfacePairs: DataFrame, surfaces: DataFrame,
       counts: DataFrame): DataFrame = {
-    val attrs = surfaces.select(col("norm"), col("head_key"), col("toks"))
-    val a = attrs.toDF("norm_a", "head_key_a", "toks_a")
-    val c = attrs.toDF("norm_b", "head_key_c", "toks_c")
-    val joined = Scoring.withSurfaceOnlyAttrs(
+    val side = surfaces.select(col("norm"), col("head_key"), col("toks"))
+      .join(surfaceSideCols(counts), "norm")
+    val a = side.toDF("norm_a", "head_key_a", "toks_a",
+      "n_a", "backed_a", "scls_a", "inits_a")
+    val c = side.toDF("norm_b", "head_key_c", "toks_c",
+      "n_c", "backed_c", "scls_c", "inits_c")
+    Scoring.withSurfaceOnlyAttrs(
       surfacePairs.join(a, "norm_a").join(c, "norm_b")
         .withColumn("norm_c", col("norm_b")))
-    withCounts(joined, counts)
+  }
+
+  /** Self-pair frame (norm vs itself) built directly from the surface
+    * table — one cb join and zero pair-side joins (the general path joined
+    * the self pair list back against attrs + counts per side: four joins to
+    * re-fetch columns of the SAME row). Output columns and values are
+    * identical to `surfaceFeatureFrame(selfPairs, surfaces, counts)`. */
+  private def selfFeatureFrame(surfaces: DataFrame, counts: DataFrame): DataFrame = {
+    val side = surfaces.filter(col("n_mentions") >= 2)
+      .select(col("norm"), col("head_key"), col("toks"))
+      .join(surfaceSideCols(counts), "norm")
+    Scoring.withSurfaceOnlyAttrs(side.select(
+      col("norm").as("norm_a"), col("norm").as("norm_b"), col("norm").as("norm_c"),
+      lit("x:self").as("block_key"),
+      col("head_key").as("head_key_a"), col("head_key").as("head_key_c"),
+      col("toks").as("toks_a"), col("toks").as("toks_c"),
+      col("n_norm").as("n_a"), col("n_norm").as("n_c"),
+      col("backed").as("backed_a"), col("backed").as("backed_c"),
+      col("scls").as("scls_a"), col("scls").as("scls_c"),
+      col("inits").as("inits_a"), col("inits").as("inits_c")))
   }
 
   /** A6 feature dictionary: dense ids 0..n-1 in feature-string sort order.
@@ -328,15 +353,16 @@ object SparseFeatures {
       weights, Seq("norm_a", "norm_b", "block_key"))
 
   /** Sparse per-surface self score (chain-edge score in sparse mode) —
-    * `(norm, block_key, score)`; see [[Scoring.selfScores]]. */
+    * `(norm, block_key, score)`; see [[Scoring.selfScores]]. Built on the
+    * direct [[selfFeatureFrame]] (one join, not four). */
   def selfScoresSparse(surfaces: DataFrame, counts: DataFrame,
-      weights: DataFrame): DataFrame = {
-    val self = surfaces.filter(col("n_mentions") >= 2)
-      .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
-        lit("x:self").as("block_key"))
-    scoreSurfacePairsSparse(self, surfaces, counts, weights)
+      weights: DataFrame): DataFrame =
+    scoreWithWeights(
+      selfFeatureFrame(surfaces, counts)
+        .select(col("norm_a"), col("norm_b"), col("block_key"),
+          explode(array(baseTemplates: _*)).as("f")),
+      weights, Seq("norm_a", "norm_b", "block_key"))
       .select(col("norm_a").as("norm"), col("block_key"), col("score"))
-  }
 
   /** Sparse mention-pair scorer for the conversation-band leg:
     * `(ant_id, cur_id, score)` over the full three-axis template set. */
@@ -436,13 +462,11 @@ object SparseFeatures {
       .select(col("norm_a"), col("norm_b"), col("block_key"),
         weightSum(array(baseTemplates: _*), wmap).as("score"))
 
-  /** [[selfScoresSparse]] on a collected model. */
+  /** [[selfScoresSparse]] on a collected model (direct self frame — one
+    * join, zero pair-side joins). */
   def selfScoresSparseFast(surfaces: DataFrame, counts: DataFrame,
-      wmap: graft.functions.SparseWeightMap): DataFrame = {
-    val self = surfaces.filter(col("n_mentions") >= 2)
-      .select(col("norm").as("norm_a"), col("norm").as("norm_b"),
-        lit("x:self").as("block_key"))
-    scoreSurfacePairsSparseFast(self, surfaces, counts, wmap)
-      .select(col("norm_a").as("norm"), col("block_key"), col("score"))
-  }
+      wmap: graft.functions.SparseWeightMap): DataFrame =
+    selfFeatureFrame(surfaces, counts)
+      .select(col("norm_a").as("norm"), col("block_key"),
+        weightSum(array(baseTemplates: _*), wmap).as("score"))
 }

@@ -122,11 +122,26 @@ object StreamingClusters {
     val newSingletons = newIds.map(id => (id, id)).toDF("mention_id", "cluster_id")
     val registered = st.clusters.unionByName(newSingletons)
 
-    // ONE O(state) full_outer merge per batch: the merged table IS the next
-    // backpointer state AND the edge set the C2 kernel restricts to touched
-    // members (passed as `premerged` so the kernel doesn't re-run the merge)
+    // ONE O(state) merge per batch — as a SCAN, not a shuffle: with the
+    // edits driver-held, the full_outer decomposes into [state rows
+    // broadcast-LEFT-joined against the edits] ∪ [edit rows whose cur_id
+    // the state has no backpointer for] (resolved by one more bounded
+    // probe). Value-identical to Clustering.mergeBackpointers (edits are
+    // unique per cur_id by finalLinks), with the state table streamed once
+    // instead of sort-merge-shuffled every batch. The merged table IS the
+    // next backpointer state AND the edge set the C2 kernel restricts to
+    // touched members (passed as `premerged`).
+    val existingCur = st.backptrs
+      .join(broadcast(editPairs.map(_._1).toDF("cur_id")), Seq("cur_id"))
+      .select(col("cur_id")).collect().map(_.getString(0)).toSet
+    val freshLinks = editPairs.filterNot { case (c, _) => existingCur(c) }
     val preMerge = pinned()
-    val backptrs2 = Clustering.mergeBackpointers(st.backptrs, edits)
+    val backptrs2 = st.backptrs
+      .join(broadcast(edits), Seq("cur_id"), "left")
+      .select(col("cur_id"),
+        coalesce(col("new_ant_id"), col("ant_id")).as("ant_id"))
+      .unionByName(freshLinks.toDF("cur_id", "ant_id"))
+      .filter(col("ant_id") =!= col("cur_id"))
       .localCheckpoint(true)
     val bp2Pins = pinned() -- preMerge
     val edited = Clustering.editBackpointers(spark, registered, st.backptrs,
