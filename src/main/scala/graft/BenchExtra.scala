@@ -278,6 +278,119 @@ object BenchExtra {
       graft.harness.Queries.clearCache()
     }
 
+    if (mode == "plansurf") {
+      // The surfacePairs result is localCheckpoint-pinned, so the declared
+      // queries' explain output hides the gate's plan change behind a
+      // LogicalRDD leaf. Dump the PRE-checkpoint plan of both shapes
+      // (reconstructed from the public pieces) so the exchange-count claim
+      // is auditable: old = keys cache + blockStats aggregate + join-back +
+      // hinted self-join; new = window gate + partitioning-aligned self-join.
+      import org.apache.spark.sql.expressions.Window
+      val cfg = Pipeline.Config(mentionGenerator = "identifier").blocking
+      val transcripts = Transcripts.load(spark, sys.env.getOrElse(
+        "SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001"))
+      val mentions = Mentions.extractIdentifier(transcripts)
+      val surfaces = Blocking.surfaceTable(mentions)
+      val dir = java.nio.file.Paths.get("plans/r06")
+      java.nio.file.Files.createDirectories(dir)
+      def dump(name: String, df: DataFrame): Unit = {
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(dir.resolve(name), txt)
+        System.err.println(s"[extra] wrote $name (${txt.length} chars)")
+      }
+      // old shape (pre-r06), reconstructed
+      val keys = Blocking.blockKeys(surfaces, cfg)
+      val sizedOld = keys.join(
+        Blocking.blockStats(keys, surfaces, cfg)
+          .filter(!col("oversize")).select(col("block_key")), Seq("block_key"))
+      val oldPairs = sizedOld.select(col("block_key"), col("norm").as("norm_a"))
+        .join(sizedOld.select(col("block_key"), col("norm").as("norm_b"))
+          .hint("shuffle_hash"), Seq("block_key"))
+        .filter(col("norm_a") < col("norm_b"))
+        .groupBy(col("norm_a"), col("norm_b"))
+        .agg(min(col("block_key")).as("block_key"))
+      dump("surface_pairs_gate_before.txt", oldPairs)
+      // new shape (the surfacePairs body, sans checkpoint)
+      val keysN = Blocking.blockKeys(surfaces, cfg)
+        .join(surfaces.select(col("norm"), col("n_mentions")), "norm")
+      val w = Window.partitionBy(col("block_key"))
+      val sizedN = keysN
+        .withColumn("n_surfaces", count(lit(1)).over(w))
+        .withColumn("mention_mass", sum(col("n_mentions")).over(w))
+        .filter(!(col("n_surfaces") > cfg.maxBlockSize ||
+          col("mention_mass") > cfg.maxBlockMass))
+        .select(col("block_key"), col("norm"))
+      val newPairs = sizedN.select(col("block_key"), col("norm").as("norm_a"))
+        .join(sizedN.select(col("block_key"), col("norm").as("norm_b")), Seq("block_key"))
+        .filter(col("norm_a") < col("norm_b"))
+        .groupBy(col("norm_a"), col("norm_b"))
+        .agg(min(col("block_key")).as("block_key"))
+      dump("surface_pairs_gate_after.txt", newPairs)
+    }
+
+    if (mode == "ccdist") {
+      // VERDICT r05 item 4: run the full sf clustering through the
+      // DISTRIBUTED checkpointed CC loop (both driver fast paths disabled)
+      // and record its wall time beside the hybrid number — plus the
+      // persistent-RDD census across the loop to show the new per-iteration
+      // pin release holds in anger.
+      val cfg = Pipeline.Config(mentionGenerator = "identifier")
+      val transcripts = Transcripts.load(spark, sfDir)
+        .repartition(sc.defaultParallelism, col("conv_id")).cache()
+      transcripts.count()
+      val mentions = Mentions.extractIdentifier(transcripts).cache(); mentions.count()
+      val surfaces = Blocking.surfaceTable(mentions).cache()
+      val sPairs = Blocking.surfacePairs(surfaces, cfg.blocking).cache(); sPairs.count()
+      val sScored = Scoring.scoreSurfacePairs(sPairs, surfaces, cfg.weights).cache()
+      sScored.count()
+      val bandAttr = Blocking.convBandPairsAttr(mentions, cfg.blocking)
+      val band = Scoring.scorePairsAttr(bandAttr, cfg.weights)
+        .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
+      val linked = sScored.filter(col("score") > cfg.linkThreshold)
+        .select(col("norm_a"), col("norm_b"), col("block_key"), col("score"))
+      val bridge = Blocking.bridgePairs(linked, mentions, cfg.blocking,
+        extraCols = Seq("score"))
+        .select(col("ant_id"), col("cur_id"), col("block_key"), col("score"))
+      val chains = Blocking.sameSurfaceChainPairs(mentions, cfg.blocking, Some(surfaces))
+        .join(Scoring.selfScores(surfaces, cfg.weights).hint("shuffle_hash"), "norm")
+        .select(col("ant_id"), col("cur_id"), lit("x:chain").as("block_key"), col("score"))
+      val scoredAll = band.unionByName(bridge).unionByName(chains).cache()
+      scoredAll.count()
+      val backptrs = Decode.backpointers(scoredAll, cfg.linkThreshold).cache()
+      backptrs.count()
+      for (rep <- 1 to 2)
+        t(s"er_clustering hybrid rep$rep")(
+          Clustering.cluster(spark, mentions, backptrs).count())
+      val savedC = Clustering.maxDriverContractedEdges
+      val savedD = Clustering.maxDriverEdges
+      try {
+        Clustering.maxDriverContractedEdges = 0
+        Clustering.maxDriverEdges = 0
+        for (rep <- 1 to 2) {
+          val pinsBefore = sc.getPersistentRDDs.size
+          t(s"er_clustering DISTRIBUTED rep$rep")(
+            Clustering.cluster(spark, mentions, backptrs).count())
+          System.err.println(s"[extra] persistent RDDs before=$pinsBefore " +
+            s"after=${sc.getPersistentRDDs.size}")
+        }
+        // equality evidence: distributed labels == hybrid labels
+        Clustering.maxDriverContractedEdges = savedC
+        Clustering.maxDriverEdges = savedD
+        val hybrid = Clustering.cluster(spark, mentions, backptrs)
+        Clustering.maxDriverContractedEdges = 0
+        Clustering.maxDriverEdges = 0
+        val dist = Clustering.cluster(spark, mentions, backptrs)
+        val diff = hybrid.unionByName(dist).groupBy(col("mention_id"))
+          .agg(countDistinct(col("cluster_id")).as("n"))
+          .filter(col("n") > 1).count()
+        System.err.println(s"[extra] distributed-vs-hybrid label diffs: $diff")
+      } finally {
+        Clustering.maxDriverContractedEdges = savedC
+        Clustering.maxDriverEdges = savedD
+      }
+    }
+
     if (mode == "joint" || mode == "all") {
       val cfgX = Pipeline.Config(mentionGenerator = "identifier")
       val (mX, _, _) = trainInputs(spark, sfDir)

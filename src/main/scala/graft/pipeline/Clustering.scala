@@ -228,8 +228,10 @@ object Clustering {
   /** Edge-count threshold under which the contracted cross-conversation
     * graph is solved driver-side instead of by the distributed loop. With
     * integer-encoded ids, 500k long edges is ≤ ~30 MB of driver heap
-    * (bounded, with the distributed loop as the over-threshold fallback). */
-  val maxDriverEdges: Int = 500000
+    * (bounded, with the distributed loop as the over-threshold fallback).
+    * `private[graft] var` (r06) so the forced-distributed bench evidence
+    * and specs can zero it to exercise the checkpointed loop in anger. */
+  private[graft] var maxDriverEdges: Int = 500000
 
   /** Edge-count bound for [[cluster]]'s STRING-id driver fast path (skips
     * the integer encode/decode stages outright). String ids are ~25-40

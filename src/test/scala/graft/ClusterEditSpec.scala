@@ -98,4 +98,38 @@ class ClusterEditSpec extends SparkSuite {
     val out = Clustering.editBackpointers(spark, clusters0, bp, edits)
     assert(toSet(out) == toSet(clusters0))
   }
+
+  test("distributed CC loop: pins bounded across iterations, labels equal driver path") {
+    // a long cross-conversation chain forces a multi-iteration hash-to-min
+    // loop; the r06 pin hygiene must release each superseded iteration's
+    // checkpoint blocks, so the persistent-RDD count after the run is
+    // bounded by a constant (the result + its inputs), not the iteration
+    // count. Both driver fast paths disabled to force the loop.
+    val n = 40
+    val ids = (0 until n).map(i => mid(f"c$i%02d", 0, 0))
+    val mentions = ids.toDF("mention_id")
+    val bp = (1 until n).map(i => (ids(i), ids(i - 1))).toDF("cur_id", "ant_id")
+    val expected = Clustering.cluster(spark, mentions, bp)
+    val savedC = Clustering.maxDriverContractedEdges
+    val savedD = Clustering.maxDriverEdges
+    val sc = spark.sparkContext
+    val (dist, pinsAfter) = try {
+      Clustering.maxDriverContractedEdges = 0
+      Clustering.maxDriverEdges = 0
+      val before = sc.getPersistentRDDs.size
+      val d = Clustering.cluster(spark, mentions, bp).localCheckpoint(true)
+      (d, sc.getPersistentRDDs.size - before)
+    } finally {
+      Clustering.maxDriverContractedEdges = savedC
+      Clustering.maxDriverEdges = savedD
+    }
+    // chain of 40 conversations -> O(log n) CC iterations; without the
+    // release each iteration leaked one labels checkpoint. Allow the
+    // result pin + the loop's live labels + a small constant of pinned
+    // inputs (local roots, contracted edges, encode table), NOT one per
+    // iteration beyond that.
+    assert(pinsAfter <= 8, s"persistent RDDs grew by $pinsAfter — superseded " +
+      "CC iterations are not being released")
+    assert(toSet(dist) == toSet(expected))
+  }
 }
