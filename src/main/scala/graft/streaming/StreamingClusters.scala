@@ -112,10 +112,21 @@ object StreamingClusters {
     // singletons — and the touched-cluster set falls out of the same probe
     // (existing clusters hit + the new ids themselves), so the C2 kernel
     // skips its own probe (`knownTouched`).
-    val matched = st.clusters
+    // ONE probe job over BOTH state tables (unioned, tagged): resolves the
+    // batch ids' current clusters AND which cur_ids already hold a
+    // backpointer row — two narrow broadcast-join scans in a single action
+    val curIds = editPairs.map(_._1).distinct
+    val probed = st.clusters
       .join(broadcast(idsArr.toDF("mention_id")), Seq("mention_id"))
-      .select(col("mention_id"), col("cluster_id"))
-      .collect() // ≤ |idsArr| rows — bounded by construction
+      .select(col("mention_id"), col("cluster_id"), lit("c").as("src"))
+      .unionByName(st.backptrs
+        .join(broadcast(curIds.toDF("cur_id")), Seq("cur_id"))
+        .select(col("cur_id").as("mention_id"),
+          col("cur_id").as("cluster_id"), lit("b").as("src")))
+      .collect() // ≤ |idsArr| + |curIds| rows — bounded by construction
+    val matched = probed.filter(_.getString(2) == "c")
+    val existingCur = probed.collect {
+      case r if r.getString(2) == "b" => r.getString(0) }.toSet
     val matchedIds = matched.map(_.getString(0)).toSet
     val newIds = idsArr.filterNot(matchedIds)
     val touched = (matched.map(_.getString(1)).toSeq ++ newIds).distinct
@@ -131,9 +142,6 @@ object StreamingClusters {
     // instead of sort-merge-shuffled every batch. The merged table IS the
     // next backpointer state AND the edge set the C2 kernel restricts to
     // touched members (passed as `premerged`).
-    val existingCur = st.backptrs
-      .join(broadcast(editPairs.map(_._1).toDF("cur_id")), Seq("cur_id"))
-      .select(col("cur_id")).collect().map(_.getString(0)).toSet
     val freshLinks = editPairs.filterNot { case (c, _) => existingCur(c) }
     val preMerge = pinned()
     val backptrs2 = st.backptrs
