@@ -296,20 +296,60 @@ object Trainer {
     // preserved — a feature firing twice still contributes its weight twice)
     // with the gold label attached. The exploded input's rows are clustered
     // by pair (explode fan-out), so the partial collect_list collapses to
-    // one row per pair per map task before the exchange.
+    // one row per pair per map task before the exchange. The (expensive)
+    // featurize chain is evaluated exactly once — everything below derives
+    // from this pin.
     val lab = labeled.select(col("ant_id"), col("cur_id"), col("label")).localCheckpoint(true)
-    val fAgg = feats.select(col("ant_id"), col("cur_id"), col("f"))
+    val preStr = pinnedIds()
+    val fAggS = feats.select(col("ant_id"), col("cur_id"), col("f"))
       .groupBy(col("ant_id"), col("cur_id"))
       .agg(collect_list(col("f")).as("fs"))
       .join(lab, Seq("ant_id", "cur_id"))
       .localCheckpoint(true)
+    val strPins = pinnedIds() -- preStr
+    // Feature strings → dense long ids (the A6 Indexer move, exact — no
+    // hashing): every per-epoch probe, the gradient exchange and the model
+    // join then carry 8-byte ids instead of ~20–40-byte strings (measured
+    // ~2× on the steady epoch). Both the dict distinct and the id
+    // conversion read the PIN — the featurize chain is never re-evaluated.
+    // (A single-row broadcast map + per-element `element_at` was tried and
+    // abandoned: Spark's MapData lookup is a linear scan, O(|features|)
+    // per probe — the hash-join probe below is constant-time.) The dict is
+    // joined back once at the end to restore the public `(f, w)` face.
+    //
+    // The indexing is an INVESTMENT amortized over epochs (its build costs
+    // roughly two steady epochs): single-epoch calls skip it and train on
+    // the string arrays directly — same plans, string keys.
+    val useIds = epochs > 1
+    val (fAgg, dictOpt): (DataFrame, Option[DataFrame]) =
+      if (!useIds) (fAggS, None)
+      else {
+        val dict = graft.pipeline.SparseFeatures
+          .denseIdsByKey(fAggS.select(explode(col("fs")).as("f")), "f", "fid")
+          .localCheckpoint(true)
+        val idized = fAggS
+          .select(col("ant_id"), col("cur_id"), col("label"), explode(col("fs")).as("f"))
+          .join(broadcast(dict), Seq("f"))
+          .groupBy(col("ant_id"), col("cur_id"))
+          .agg(collect_list(col("fid")).as("fs"), max(col("label")).as("label"))
+          .localCheckpoint(true)
+        release(strPins) // the string-array pin is superseded by the id pin
+        (idized, Some(dict))
+      }
+    // model/gradient key column: dense long id when indexed, the feature
+    // string otherwise
+    val kCol = if (useIds) "fid" else "f"
+    val kType: org.apache.spark.sql.types.DataType =
+      if (useIds) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
     val nCur = lab.select(col("cur_id")).distinct().count().toDouble
     val wCur = Window.partitionBy(col("cur_id"))
-    // model table: (f, w, sq) — starts empty; features enter on first nonzero grad
+    // model table: (key, w, sq) — starts empty; features enter on first
+    // nonzero grad
     var model = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(kCol, kType),
         org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("sq", org.apache.spark.sql.types.DoubleType))))
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
@@ -324,13 +364,13 @@ object Trainer {
     for (ep <- 0 until epochs) {
       val epT0 = System.nanoTime()
       val beforeWithP = pinnedIds()
-      val wSide = model.select(col("f"), col("w"))
+      val wSide = model.select(col(kCol), col("w"))
       val wJoin =
         if (nModel <= graft.pipeline.SparseFeatures.BroadcastMaxFeatures) broadcast(wSide)
         else wSide
       val scored = fAgg
-        .select(col("ant_id"), col("cur_id"), col("label"), explode(col("fs")).as("f"))
-        .join(wJoin, Seq("f"), "left")
+        .select(col("ant_id"), col("cur_id"), col("label"), explode(col("fs")).as(kCol))
+        .join(wJoin, Seq(kCol), "left")
         .groupBy(col("ant_id"), col("cur_id"))
         .agg(sum(coalesce(col("w"), lit(0.0))).as("s0"), max(col("label")).as("label"))
       val withP = scored
@@ -359,8 +399,8 @@ object Trainer {
       val grads = withP.select(col("ant_id"), col("cur_id"), col("resid"))
         .join(fAgg.select(col("ant_id"), col("cur_id"), col("fs")),
           Seq("ant_id", "cur_id"))
-        .select(col("resid"), explode(col("fs")).as("f"))
-        .groupBy(col("f")).agg((sum(col("resid")) / nCur).as("g"))
+        .select(col("resid"), explode(col("fs")).as(kCol))
+        .groupBy(col(kCol)).agg((sum(col("resid")) / nCur).as("g"))
       // Adagrad + L1 proximal as pure column arithmetic over the outer join
       val sqN = coalesce(col("sq"), lit(0.0)) +
         coalesce(col("g"), lit(0.0)) * coalesce(col("g"), lit(0.0))
@@ -368,8 +408,8 @@ object Trainer {
       val wi = coalesce(col("w"), lit(0.0)) - lit(eta) * coalesce(col("g"), lit(0.0)) / h
       val shrink = lit(eta * lambda) / h
       val withPIds = pinnedIds() -- beforeWithP
-      model = model.join(grads, Seq("f"), "full_outer")
-        .select(col("f"),
+      model = model.join(grads, Seq(kCol), "full_outer")
+        .select(col(kCol),
           (signum(wi) * greatest(abs(wi) - shrink, lit(0.0))).as("w"),
           sqN.as("sq"))
         // dead-feature pruning (round-4 advice: the full_outer join otherwise
@@ -392,7 +432,12 @@ object Trainer {
       // epoch costs; epoch 0 still pays first-use JIT/shuffle warmup.
       epochSecondsOut.foreach(_ += (System.nanoTime() - epT0) / 1e9)
     }
-    (model.select(col("f"), col("w")), trace.toSeq)
+    // restore the public string face: one dictionary join at model size
+    val out = dictOpt match {
+      case Some(dict) => model.join(dict, Seq("fid")).select(col("f"), col("w"))
+      case None => model.select(col("f"), col("w"))
+    }
+    (out, trace.toSeq)
   }
 
   /** Score pairs with a sparse weight map (driver-side model → broadcast). */
