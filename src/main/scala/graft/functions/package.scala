@@ -261,6 +261,27 @@ package object functions {
         when(col("__bk_n") >= cutoff, tok).otherwise(wordShape(tok)))
       .drop("__bk_tok", "__bk_n")
 
+  /** Bounded driver fetch in ONE job: `df.take(n)` escalates incrementally
+    * (`spark.sql.limit.initialNumPartitions` = 1, ×4 per retry — up to 4
+    * sequential jobs on a 32-partition input) which is right when a few
+    * rows suffice, and pure waste for the engine's bounded PROBES, which
+    * by design fetch (nearly) the whole small result and only use the
+    * bound as an overflow guard. Scanning all partitions in one pass is
+    * scale-independent: the probe inputs are contracted/touched/candidate
+    * sets orders of magnitude below the data, and an over-bound result
+    * still stops at n rows collected per the limit semantics. */
+  def fetchBounded(df: DataFrame, n: Int): Array[org.apache.spark.sql.Row] = {
+    val conf = df.sparkSession.conf
+    val k = "spark.sql.limit.initialNumPartitions"
+    val old = conf.getOption(k)
+    conf.set(k, Int.MaxValue.toString)
+    try df.take(n)
+    finally old match {
+      case Some(v) => conf.set(k, v)
+      case None => conf.unset(k)
+    }
+  }
+
   /** W2 deterministic shuffle: content-derived, seed-stable global order (the
     * reference shuffles training docs with a fixed-seed RNG,
     * `/root/reference/.../coref/CorefSystem.scala:128`). A seeded-hash sort

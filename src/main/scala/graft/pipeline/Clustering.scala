@@ -179,7 +179,7 @@ object Clustering {
     // discipline); labels are bit-identical (component-min mention-id string
     // either way — denseIdsByKey assigns long ids in string sort order, so
     // the encoded path's min-long decodes to the same min-string).
-    val takenCross = crossRoots.take(maxDriverContractedEdges + 1)
+    val takenCross = graft.functions.fetchBounded(crossRoots, maxDriverContractedEdges + 1)
     if (takenCross.length <= maxDriverContractedEdges) {
       val uf = new UnionFindMin[String]
       takenCross.foreach(r => uf.union(r.getString(0), r.getString(1)))
@@ -259,7 +259,8 @@ object Clustering {
     // ONE take(max+1) doubles as the size probe and the driver fetch (the
     // clusterTouched shape) — a separate limit().count() probe executed the
     // edge plan twice for every under-threshold graph, the common case
-    val es0 = edges.select(col("src"), col("dst")).take(maxDriverEdges + 1)
+    val es0 = graft.functions.fetchBounded(
+      edges.select(col("src"), col("dst")), maxDriverEdges + 1)
     if (es0.length <= maxDriverEdges) {
       val uf = new UnionFindMin[Long]
       es0.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
@@ -344,9 +345,9 @@ object Clustering {
       val ids = e.select(col("cur_id").as("mention_id"))
         .unionByName(e.select(col("new_ant_id").as("mention_id")))
         .distinct()
-      val probe = clusters.join(broadcast(ids), Seq("mention_id"))
-        .select(col("cluster_id")).distinct()
-        .take(maxDriverEditEdges + 1)
+      val probe = graft.functions.fetchBounded(
+        clusters.join(broadcast(ids), Seq("mention_id"))
+          .select(col("cluster_id")).distinct(), maxDriverEditEdges + 1)
       if (probe.length <= maxDriverEditEdges) Some(probe.map(_.getString(0)).toSeq)
       else None
     }
@@ -411,8 +412,8 @@ object Clustering {
     * mention_id string, which union-by-min preserves). */
   private def clusterTouched(spark: SparkSession, members: DataFrame,
       subEdges: DataFrame): DataFrame = {
-    val taken = subEdges.select(col("ant_id"), col("cur_id"))
-      .take(maxDriverEditEdges + 1)
+    val taken = graft.functions.fetchBounded(
+      subEdges.select(col("ant_id"), col("cur_id")), maxDriverEditEdges + 1)
     if (taken.length > maxDriverEditEdges) cluster(spark, members, subEdges)
     else {
       val uf = new UnionFindMin[String]

@@ -392,7 +392,8 @@ object SparseFeatures {
     // ONE take(max+1) is both the size probe and the fetch — a separate
     // limit().count() probe would execute a derived (unpinned) weights plan
     // twice; take stops early on over-cutoff tables just like limit did
-    val rows = weights.select(col("f"), col("w_i")).take(maxFeatures + 1)
+    val rows = graft.functions.fetchBounded(
+      weights.select(col("f"), col("w_i")), maxFeatures + 1)
     if (rows.length > maxFeatures) None
     else {
       val names = new Array[String](rows.length)

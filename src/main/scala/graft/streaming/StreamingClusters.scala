@@ -86,7 +86,8 @@ object StreamingClusters {
     // the singleton-registration input: the steady fold regime is
     // touched-proportional by contract, so the final link set is small; an
     // over-bound batch falls back to the fully distributed shape.
-    val taken = finalLinks(batchDecoded).take(maxDriverBatchEdits + 1)
+    val taken = graft.functions.fetchBounded(
+      finalLinks(batchDecoded), maxDriverBatchEdits + 1)
     if (taken.isEmpty) return st.copy(batches = st.batches + 1)
     if (taken.length > maxDriverBatchEdits)
       return updateDistributed(spark, st, batchDecoded)
